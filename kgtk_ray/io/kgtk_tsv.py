@@ -1,0 +1,98 @@
+"""KGTK TSV sources/sinks on Ray Data.
+
+The reference reads KGTK files row-at-a-time in a single process
+(/root/reference/kgtk/io/kgtkreader.py) and writes one line per row
+(/root/reference/kgtk/io/kgtkwriter.py).  Here a KGTK TSV file is just
+a tab-delimited CSV read in parallel by Arrow into blocks
+(``ray.data.read_csv`` with tab delimiter), followed by a
+schema-normalization ``map_batches`` that resolves column aliases
+(from/subject -> node1, ...) and converts nulls to "" per the spec
+("empty string == null", docs/specification.md:22).
+
+Parquet is the native format at scale; the TSV path exists for KGTK
+conformance.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.csv
+import ray.data
+
+from ..format import KGTK_EDGE_COLUMNS, resolve_column_aliases
+
+
+def _normalize_batch(t: pa.Table) -> pa.Table:
+    renames = resolve_column_aliases(t.column_names)
+    if renames:
+        t = t.rename_columns([renames.get(c, c) for c in t.column_names])
+    # all-string cells, nulls -> ""
+    cols = []
+    for name in t.column_names:
+        col = t[name]
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        cols.append(pc.fill_null(col, ""))
+    return pa.table(cols, names=t.column_names)
+
+
+def read_kgtk_tsv(path: str | list[str], *, normalize: bool = True) -> ray.data.Dataset:
+    """Read a KGTK TSV file into a Dataset of string columns.
+
+    Column aliases are resolved to node1/label/node2/id and nulls become
+    "" so every operator sees the canonical shape.
+    """
+    ds = ray.data.read_csv(
+        path,
+        parse_options=pyarrow.csv.ParseOptions(delimiter="\t", quote_char=False),
+        convert_options=pyarrow.csv.ConvertOptions(strings_can_be_null=False),
+    )
+    # make every column string-typed (arrow may infer ints)
+    ds = ds.map_batches(_normalize_batch if normalize else _to_string_batch,
+                        batch_format="pyarrow")
+    return ds
+
+
+def _to_string_batch(t: pa.Table) -> pa.Table:
+    cols = [pc.fill_null(pc.cast(t[c], pa.string()), "") for c in t.column_names]
+    return pa.table(cols, names=t.column_names)
+
+
+def _order_columns(names: list[str]) -> list[str]:
+    """KGTK column order convention: id, node1, label, node2, then the rest
+    in their existing order."""
+    head = [c for c in KGTK_EDGE_COLUMNS if c in names]
+    return head + [c for c in names if c not in head]
+
+
+def write_kgtk_tsv(ds: ray.data.Dataset, path: str) -> None:
+    """Write a Dataset as KGTK TSV part files under ``path`` (a directory).
+
+    Values are written verbatim (cells already carry KGTK string-sigil
+    encoding); nulls become empty cells.
+    """
+    first = ds.take_batch(1, batch_format="pyarrow")
+    order = _order_columns(list(first.column_names))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        cols = [pc.fill_null(pc.cast(t[c], pa.string()), "") for c in order]
+        return pa.table(cols, names=order)
+
+    ds.map_batches(fmt, batch_format="pyarrow").write_csv(
+        path,
+        arrow_csv_args_fn=lambda: {
+            "write_options": pyarrow.csv.WriteOptions(
+                delimiter="\t", quoting_style="none")
+        },
+    )
+
+
+def read_edges_parquet(path: str | list[str], *, columns: list[str] | None = None,
+                       **kwargs) -> ray.data.Dataset:
+    """Native edge-file source: partitioned Parquet with column pruning."""
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def write_edges_parquet(ds: ray.data.Dataset, path: str, **kwargs) -> None:
+    """Native edge-file sink: a directory of part files (resumable layout)."""
+    ds.write_parquet(path, **kwargs)

@@ -1,0 +1,36 @@
+from .core import (
+    kgtk_filter,
+    ifempty,
+    ifnotempty,
+    calc_percentage,
+    expand_lists,
+    normalize_nodes,
+    lower_labels,
+    add_id,
+    remove_columns,
+    rename_columns,
+    reorder_columns,
+    cat,
+)
+from .shuffle import (
+    compact,
+    unique_counts,
+    ifexists,
+    ifnotexists,
+    kgtk_join,
+    lift,
+    sort_edges,
+    dedup_exact_edges,
+)
+from .validate import validate_edges, clean_edges, explode_node2, implode_node2
+from .graph import degrees, graph_statistics, reachable_nodes, connected_components
+from .window import tumbling_window
+
+__all__ = [
+    "kgtk_filter", "ifempty", "ifnotempty", "calc_percentage", "expand_lists",
+    "normalize_nodes", "lower_labels", "add_id", "remove_columns", "rename_columns",
+    "reorder_columns", "cat", "compact", "unique_counts", "ifexists", "ifnotexists",
+    "kgtk_join", "lift", "sort_edges", "dedup_exact_edges", "validate_edges",
+    "clean_edges", "explode_node2", "implode_node2", "degrees", "graph_statistics",
+    "reachable_nodes", "connected_components", "tumbling_window",
+]

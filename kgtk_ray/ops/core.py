@@ -1,0 +1,308 @@
+"""Row-wise (embarrassingly parallel) KGTK operators.
+
+Every function is ``Dataset -> Dataset`` and runs as a vectorized
+``map_batches`` over Arrow or pandas batches — no Python loop touches
+individual rows on the hot path.  Semantics mirror the reference CLI
+commands cited per function; implementation is Ray-Data-first.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..format import (
+    expand_column_ranges,
+    resolve_column_aliases,
+    split_list,
+)
+
+Dataset = ray.data.Dataset
+
+
+def _as_set(v) -> set[str] | None:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return set(v.split(","))
+    return set(v)
+
+
+def kgtk_filter(
+    ds: Dataset,
+    *,
+    subj: Iterable[str] | str | None = None,
+    pred: Iterable[str] | str | None = None,
+    obj: Iterable[str] | str | None = None,
+    invert: bool = False,
+    or_mode: bool = False,
+    subj_col: str = "node1",
+    pred_col: str = "label",
+    obj_col: str = "node2",
+) -> Dataset:
+    """Keep rows where node1∈subj ∧ label∈pred ∧ node2∈obj (``--or`` makes
+    it a disjunction; ``--invert`` complements).  Reference semantics:
+    kgtk/cli/filter.py:124-330 (pattern ``subj;pred;obj`` with comma
+    sets).  Vectorized with pyarrow.compute.is_in per batch."""
+    s, p, o = _as_set(subj), _as_set(pred), _as_set(obj)
+
+    def f(t: pa.Table) -> pa.Table:
+        masks = []
+        for col, vals in ((subj_col, s), (pred_col, p), (obj_col, o)):
+            if vals is not None:
+                masks.append(pc.is_in(pc.cast(t[col], pa.string()),
+                                      value_set=pa.array(sorted(vals), pa.string())))
+        if not masks:
+            mask = pa.array(np.ones(t.num_rows, dtype=bool))
+        else:
+            mask = masks[0]
+            for m in masks[1:]:
+                mask = pc.or_(mask, m) if or_mode else pc.and_(mask, m)
+        if invert:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _empty_mask(t: pa.Table, columns: Sequence[str]) -> pa.ChunkedArray:
+    masks = [pc.or_kleene(pc.is_null(t[c]),
+                          pc.equal(pc.cast(t[c], pa.string()), ""))
+             for c in columns]
+    out = masks[0]
+    for m in masks[1:]:
+        out = pc.and_kleene(out, m)
+    return pc.fill_null(out, True)
+
+
+def ifempty(ds: Dataset, columns: Sequence[str], *, all_are: bool = True) -> Dataset:
+    """Keep rows where all (or any, ``all_are=False``) of ``columns`` are
+    empty/null.  Reference: kgtk/iff/kgtkifempty.py."""
+    def f(t: pa.Table) -> pa.Table:
+        per = [pc.fill_null(pc.or_kleene(pc.is_null(t[c]),
+                                         pc.equal(pc.cast(t[c], pa.string()), "")), True)
+               for c in columns]
+        mask = per[0]
+        for m in per[1:]:
+            mask = pc.and_(mask, m) if all_are else pc.or_(mask, m)
+        return t.filter(mask)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ifnotempty(ds: Dataset, columns: Sequence[str], *, all_are: bool = True) -> Dataset:
+    """Keep rows where all (or any) of ``columns`` are non-empty."""
+    def f(t: pa.Table) -> pa.Table:
+        per = [pc.fill_null(pc.and_kleene(pc.is_valid(t[c]),
+                                          pc.not_equal(pc.cast(t[c], pa.string()), "")),
+                            False)
+               for c in columns]
+        mask = per[0]
+        for m in per[1:]:
+            mask = pc.and_(mask, m) if all_are else pc.or_(mask, m)
+        return t.filter(mask)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def calc_percentage(ds: Dataset, value_col: str, total_col: str,
+                    into: str = "result", fmt: str = "%5.2f") -> Dataset:
+    """The reference's ``calc --do percentage`` (kgtk/cli/calc.py:244-249):
+    into = 100 * value / total, formatted with ``fmt``."""
+    def f(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        tot = pc.cast(t[total_col], pa.float64())
+        pct = pc.multiply(pc.divide(v, tot), pa.scalar(100.0))
+        formatted = pa.array([("" if x is None else fmt % x) for x in pct.to_pylist()],
+                             pa.string())
+        return t.append_column(into, formatted)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def expand_lists(ds: Dataset, columns: Sequence[str] | None = None) -> Dataset:
+    """Explode ``|``-separated list cells into multiple rows (key columns
+    repeated).  Reference: kgtk/reshape/kgtkexpand.py.  One column at a
+    time (multi-column expansion is a cross-product in the reference too)."""
+    cols = list(columns) if columns else ["node2"]
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df = df.assign(**{c: df[c].fillna("").map(split_list)})
+            df = df.explode(c, ignore_index=True)
+            df[c] = df[c].fillna("")
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def normalize_nodes(ds: Dataset, *, id_col: str = "id",
+                    labels: Mapping[str, str] | None = None) -> Dataset:
+    """Node file -> edge file: one edge ``(id, column, value)`` per
+    non-empty non-id cell (reference kgtk/cli/normalize_nodes.py).
+    ``labels`` optionally renames column names to edge labels."""
+    labels = dict(labels or {})
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        value_cols = [c for c in df.columns if c != id_col]
+        out = df.melt(id_vars=[id_col], value_vars=value_cols,
+                      var_name="label", value_name="node2")
+        out = out.rename(columns={id_col: "node1"})
+        out["label"] = out["label"].map(lambda c: labels.get(c, c))
+        out = out[out["node2"].notna() & (out["node2"].astype(str) != "")]
+        return out[["node1", "label", "node2"]].astype(str)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def lower_labels(ds: Dataset, *, suffix: str = ";label") -> tuple[Dataset, Dataset]:
+    """Inverse of lift (reference kgtk/cli/lower.py): strip ``X;label``
+    columns from the edge file and emit their contents as a separate
+    label-edge dataset ``(node1=value-of-X, label='label', node2=the label)``.
+
+    Returns (edges_without_label_columns, label_edges)."""
+    schema_cols = ds.schema().names
+    lifted = [c for c in schema_cols if c.endswith(suffix)]
+    base_of = {c: c[: -len(suffix)] for c in lifted}
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns(lifted)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in lifted:
+            base = base_of[c]
+            sub = df[[base, c]].rename(columns={base: "node1", c: "node2"})
+            sub = sub[sub["node2"].notna() & (sub["node2"].astype(str) != "")]
+            sub = sub.assign(label="label")
+            # a lifted cell may hold a | list of labels
+            sub = sub.assign(node2=sub["node2"].map(split_list)).explode("node2")
+            frames.append(sub[["node1", "label", "node2"]])
+        if not frames:
+            return pd.DataFrame({"node1": [], "label": [], "node2": []}, dtype=str)
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return out.astype(str)
+
+    return ds.map_batches(strip, batch_format="pyarrow"), ds.map_batches(
+        emit, batch_format="pandas")
+
+
+def add_id(ds: Dataset, *, style: str = "node1-label-node2",
+           id_col: str = "id", overwrite: bool = True) -> Dataset:
+    """Assign edge IDs (reference kgtk/reshape/kgtkidbuilder.py:20-34).
+
+    Content-derived styles (``node1-label-node2``, ``node1-label-node2-id``,
+    ``wikidata`` hash) are embarrassingly parallel ``map_batches``.
+    Sequence styles (``node1-label-num``, ``node1-label-node2-num``) need a
+    deterministic per-key ordering: implemented as a
+    ``groupby(key).map_groups`` assigning ranks after sorting the group on
+    the remaining columns — deterministic under Ray's unordered blocks
+    (the reference numbers by input file order instead; KGTK row order is
+    not semantic, docs/specification.md:24)."""
+    if style in ("node1-label-node2", "node1-label-node2-id", "empty", "wikidata"):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            if style == "empty":
+                new = pd.Series([""] * len(df))
+            else:
+                base = (df["node1"].astype(str) + "-" + df["label"].astype(str)
+                        + "-" + df["node2"].astype(str))
+                if style == "node1-label-node2-id":
+                    old = (df[id_col].fillna("").astype(str)
+                           if id_col in df.columns else pd.Series([""] * len(df)))
+                    new = base + "-" + old.values
+                elif style == "wikidata":
+                    import hashlib
+                    new = base.map(lambda s: "E" + hashlib.sha1(
+                        s.encode("utf-8")).hexdigest()[:16])
+                else:
+                    new = base
+            if id_col in df.columns:
+                if overwrite:
+                    df[id_col] = new.values
+                else:
+                    empty = df[id_col].isna() | (df[id_col].astype(str) == "")
+                    df.loc[empty, id_col] = new[empty.values].values
+            else:
+                df.insert(0, id_col, new.values)
+            return df
+        return ds.map_batches(f, batch_format="pandas")
+
+    if style in ("node1-label-num", "node1-label-node2-num"):
+        keys = ["node1", "label"] if style == "node1-label-num" else [
+            "node1", "label", "node2"]
+
+        def g(df: pd.DataFrame) -> pd.DataFrame:
+            rest = [c for c in df.columns if c not in keys]
+            df = df.sort_values(rest or keys, kind="mergesort").reset_index(drop=True)
+            prefix = df[keys[0]].astype(str)
+            for k in keys[1:]:
+                prefix = prefix + "-" + df[k].astype(str)
+            new = prefix + "-" + pd.Series(np.arange(len(df)), dtype=str).str.zfill(4)
+            if id_col in df.columns:
+                df[id_col] = new.values
+            else:
+                df.insert(0, id_col, new.values)
+            return df
+
+        return ds.groupby(keys).map_groups(g, batch_format="pandas")
+
+    raise ValueError(f"unknown id style: {style}")
+
+
+def remove_columns(ds: Dataset, columns: Sequence[str]) -> Dataset:
+    """Reference kgtk/cli/remove_columns.py."""
+    keep = [c for c in ds.schema().names if c not in set(columns)]
+    return ds.select_columns(keep)
+
+
+def rename_columns(ds: Dataset, mapping: Mapping[str, str]) -> Dataset:
+    """Reference kgtk/cli/rename_columns.py.  Renames inside an Arrow
+    batch fn (Ray's ``Dataset.rename_columns`` chokes on pandas blocks)."""
+    m = dict(mapping)
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def reorder_columns(ds: Dataset, order: Sequence[str]) -> Dataset:
+    """Reference kgtk/cli/reorder_columns.py with ``..``/``...`` ranges."""
+    cols = ds.schema().names
+    expanded = expand_column_ranges(order, cols)
+    rest = [c for c in cols if c not in expanded]
+    return ds.select_columns(list(expanded) + rest)
+
+
+def cat(*datasets: Dataset, fill: str = "") -> Dataset:
+    """Concatenate edge files with alias-aware column merge (reference
+    kgtk/join/kgtkcat.py + kgtk/join/kgtkmergecolumns.py:37-84): each
+    input is renamed to canonical column names, missing columns are
+    filled with "" and the result is the union."""
+    merged: list[str] = []
+    normed: list[tuple[Dataset, dict, list[str]]] = []
+    for d in datasets:
+        cols = d.schema().names
+        renames = resolve_column_aliases(cols)
+        cols = [renames.get(c, c) for c in cols]
+        for c in cols:
+            if c not in merged:
+                merged.append(c)
+        normed.append((d, renames, cols))
+
+    out: list[Dataset] = []
+    for d, renames, cols in normed:
+        missing = [c for c in merged if c not in cols]
+
+        def align(t: pa.Table, _renames=dict(renames), _missing=tuple(missing),
+                  _order=tuple(merged)) -> pa.Table:
+            if _renames:
+                t = t.rename_columns([_renames.get(c, c) for c in t.column_names])
+            for c in _missing:
+                t = t.append_column(c, pa.array([fill] * t.num_rows, pa.string()))
+            return t.select(list(_order))
+
+        out.append(d.map_batches(align, batch_format="pyarrow"))
+    first = out[0]
+    return first.union(*out[1:]) if len(out) > 1 else first

@@ -1,0 +1,319 @@
+"""Wide (shuffle-backed) KGTK operators.
+
+These are the all-to-all exchanges: grouped merges, semi/anti joins,
+KGTK's key-set join, label lifting and distributed sort.  Scale notes
+per operator:
+
+* aggregations pre-combine inside ``map_batches`` before the global
+  ``groupby`` (partial aggregation) so the shuffle moves one row per
+  (key, batch) instead of one per input row;
+* small lookup sides are broadcast once via ``ray.put`` and read inside
+  the batch fn — never re-shipped per batch, never shuffled;
+* large filter sides use Ray's hash-partitioned ``Dataset.join``
+  (left_semi / left_anti);
+* hot-key skew in the dedup groupby is absorbed by the partial
+  aggregation (a head key collapses to ≤1 row per batch before the
+  exchange).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..format import merge_list_series
+
+Dataset = ray.data.Dataset
+
+# Above this many rows the broadcast fast path gives way to a
+# hash-partitioned distributed join.
+BROADCAST_LIMIT = 5_000_000
+
+
+def _default_edge_keys(columns: Sequence[str]) -> list[str]:
+    if "node1" in columns:
+        return [c for c in ("node1", "label", "node2") if c in columns]
+    return ["id"]
+
+
+def compact(
+    ds: Dataset,
+    key_columns: Sequence[str] | None = None,
+    *,
+    presorted: bool = False,
+) -> Dataset:
+    """Group rows on key columns and merge every other column's values
+    into sorted-unique ``|`` lists.
+
+    Semantics follow the reference's compact (kgtk/reshape/kgtkcompact.py:
+    77-168: expand lists, merge, re-join sorted-unique) — but where the
+    reference needs presorted input or buffers the whole file in a dict
+    (:317-338), this runs as a two-phase shuffle:
+
+      1. partial: pandas groupby inside each batch merges local
+         duplicates (combiner — this is also the skew guard: a hot
+         (node1,label,node2) key leaves each batch as one row);
+      2. global ``groupby(keys).map_groups`` applies the same
+         associative merge to the partials.
+    """
+    keys = list(key_columns) if key_columns else _default_edge_keys(ds.schema().names)
+
+    def merge_df(df: pd.DataFrame) -> pd.DataFrame:
+        rest = [c for c in df.columns if c not in keys]
+        if not rest:
+            return df.drop_duplicates()
+        agg = {c: merge_list_series for c in rest}
+        out = df.groupby(keys, as_index=False, sort=False).agg(agg)
+        return out
+
+    # phase 1: per-batch combiner; phase 2: global grouped merge
+    partial = ds.map_batches(merge_df, batch_format="pandas")
+    return partial.groupby(keys).map_groups(merge_df, batch_format="pandas")
+
+
+def unique_counts(
+    ds: Dataset,
+    column: str,
+    *,
+    where_col: str | None = None,
+    where_values: Sequence[str] | None = None,
+    as_edges: bool = True,
+) -> Dataset:
+    """Value counts for one column, emitted as KGTK edge rows
+    ``(value, "count", n)`` (reference kgtk/join/unique.py:87-143, which
+    holds the whole count dict in memory).  Two-phase: per-batch
+    ``value_counts`` then a small groupby-sum over the partials."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if where_col is not None:
+            df = df[df[where_col].isin(set(where_values or []))]
+        vc = df[column].astype(str).value_counts()
+        return pd.DataFrame({"node1": vc.index.astype(str), "n": vc.to_numpy()})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    counts = partials.groupby("node1").aggregate(Sum("n", alias_name="count"))
+
+    if not as_edges:
+        return counts
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node1": pc.cast(t["node1"], pa.string()),
+            "label": pa.array(["count"] * t.num_rows, pa.string()),
+            "node2": pc.cast(t["count"], pa.string()),
+        })
+
+    return counts.map_batches(to_edges, batch_format="pyarrow")
+
+
+def _key_expr(df: pd.DataFrame, columns: Sequence[str]) -> pd.Series:
+    """KGTK join key: the | -joined column values
+    (reference kgtk/iff/kgtkifexists.py:117-127)."""
+    key = df[columns[0]].fillna("").astype(str)
+    for c in columns[1:]:
+        key = key + "|" + df[c].fillna("").astype(str)
+    return key
+
+
+def _iff_keys(input_cols: Sequence[str], filter_cols: Sequence[str],
+              input_keys, filter_keys) -> tuple[list[str], list[str]]:
+    """Default key resolution (kgtk/iff/kgtkifexists.py:73-115):
+    edge×edge -> (node1,label,node2); node×node -> id; edge×node ->
+    input.node1 = filter.id."""
+    if input_keys and filter_keys:
+        return list(input_keys), list(filter_keys)
+    in_edge = "node1" in input_cols
+    f_edge = "node1" in filter_cols
+    if in_edge and f_edge:
+        k = [c for c in ("node1", "label", "node2") if c in input_cols and c in filter_cols]
+        return k, k
+    if in_edge and not f_edge:
+        return ["node1"], ["id"]
+    if not in_edge and f_edge:
+        return ["id"], ["node1"]
+    return ["id"], ["id"]
+
+
+def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
+               input_keys=None, filter_keys=None) -> Dataset:
+    ikeys, fkeys = _iff_keys(ds.schema().names, filter_ds.schema().names,
+                             input_keys, filter_keys)
+    n_filter = filter_ds.count()
+    if n_filter <= BROADCAST_LIMIT:
+        # broadcast the filter-side key set once; filter inside map_batches
+        kdf = filter_ds.select_columns(list(dict.fromkeys(fkeys))).to_pandas()
+        keyset = set(_key_expr(kdf, fkeys))
+        ref = ray.put(keyset)
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ref)
+            mask = _key_expr(df, ikeys).isin(ks)
+            return df[~mask] if anti else df[mask]
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    # large filter side: hash-partitioned semi/anti join on a derived key col
+    def addkey(df: pd.DataFrame, cols) -> pd.DataFrame:
+        df = df.copy()
+        df["__key__"] = _key_expr(df, cols)
+        return df
+
+    left = ds.map_batches(lambda d: addkey(d, ikeys), batch_format="pandas")
+    right = filter_ds.map_batches(
+        lambda d: addkey(d, fkeys)[["__key__"]].drop_duplicates(),
+        batch_format="pandas")
+    joined = left.join(right, "left_anti" if anti else "left_semi",
+                       num_partitions=max(2, min(64, n_filter // 1_000_000 + 2)),
+                       on=("__key__",))
+    return joined.drop_columns(["__key__"])
+
+
+def ifexists(ds: Dataset, filter_ds: Dataset, *, input_keys=None,
+             filter_keys=None) -> Dataset:
+    """Semi-join: keep input rows whose key exists in the filter file
+    (reference kgtk/iff/kgtkifexists.py, which caches the filter key set
+    in one process's memory)."""
+    return _semi_anti(ds, filter_ds, anti=False, input_keys=input_keys,
+                      filter_keys=filter_keys)
+
+
+def ifnotexists(ds: Dataset, filter_ds: Dataset, *, input_keys=None,
+                filter_keys=None) -> Dataset:
+    """Anti-join complement of :func:`ifexists`."""
+    return _semi_anti(ds, filter_ds, anti=True, input_keys=input_keys,
+                      filter_keys=filter_keys)
+
+
+def kgtk_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    join_on: Sequence[str] | None = None,
+    right_join_on: Sequence[str] | None = None,
+    left_join: bool = False,
+    right_join: bool = False,
+) -> Dataset:
+    """KGTK's join (kgtk/join/kgtkjoiner.py) — NOT a relational
+    row-pairing join: compute a key set (inner = L∩R; ``left_join`` = all
+    L keys; ``right_join`` = all R keys; both = union), then output the
+    union of rows from BOTH files whose key is in the set, in the merged
+    column layout (:180-217 key sets, :304-344 merged output).
+
+    The key sets are distinct-key datasets (usually ≪ rows); they are
+    reduced distributedly and broadcast for the filter pass.
+    """
+    lcols = left.schema().names
+    rcols = right.schema().names
+    lkeys = list(join_on) if join_on else _default_edge_keys(lcols)[:1]
+    rkeys = list(right_join_on) if right_join_on else lkeys
+
+    def keyset(d: Dataset, cols: Sequence[str]) -> set[str]:
+        uniq = d.map_batches(
+            lambda df, c=tuple(cols): pd.DataFrame(
+                {"__key__": _key_expr(df, list(c)).drop_duplicates()}),
+            batch_format="pandas",
+        )
+        return set(uniq.unique("__key__"))
+
+    lset = keyset(left, lkeys)
+    rset = keyset(right, rkeys)
+    if left_join and right_join:
+        keep = lset | rset
+    elif left_join:
+        keep = lset
+    elif right_join:
+        keep = rset
+    else:
+        keep = lset & rset
+    ref = ray.put(keep)
+
+    from .core import cat
+
+    def filt(keys):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ref)
+            return df[_key_expr(df, keys).isin(ks)]
+        return f
+
+    lf = left.map_batches(filt(lkeys), batch_format="pandas")
+    rf = right.map_batches(filt(rkeys), batch_format="pandas")
+    return cat(lf, rf)
+
+
+def lift(
+    ds: Dataset,
+    labels: Dataset | None = None,
+    *,
+    label_value: str = "label",
+    lift_columns: Sequence[str] = ("node1", "label", "node2"),
+    suffix: str = ";label",
+    remove_label_rows: bool = True,
+) -> Dataset:
+    """Attach entity labels as new columns ``node1;label``, ``label;label``,
+    ``node2;label`` (reference kgtk/lift/kgtklift.py; label map built from
+    rows whose ``label`` column == "label", multiple labels merged into a
+    sorted-unique ``|`` list, :228-241).
+
+    The label map is reduced distributedly (groupby + merge), then
+    broadcast once via ``ray.put`` and looked up with a vectorized pandas
+    ``map`` per batch — the lookup side never re-shuffles the input.
+    """
+    label_source = labels if labels is not None else ds
+
+    lbl_rows = label_source.map_batches(
+        lambda df: df.loc[df["label"] == label_value, ["node1", "node2"]],
+        batch_format="pandas",
+    )
+    # distributed merge of multi-labels, then driver-side dict (small)
+    merged = lbl_rows.groupby("node1").map_groups(
+        lambda g: pd.DataFrame({"node1": [g["node1"].iloc[0]],
+                                "node2": [merge_list_series(g["node2"])]}),
+        batch_format="pandas",
+    )
+    label_map = dict(zip(*(lambda d: (d["node1"], d["node2"]))(merged.to_pandas())))
+    ref = ray.put(label_map)
+
+    out_cols = list(lift_columns)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        lm = ray.get(ref)
+        if remove_label_rows and labels is None and "label" in df.columns:
+            df = df[df["label"] != label_value]
+        df = df.copy()
+        for c in out_cols:
+            if c in df.columns:
+                df[c + suffix] = df[c].map(lm).fillna("")
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def sort_edges(ds: Dataset, columns: Sequence[str] = ("node1", "label", "node2"),
+               *, descending: bool = False) -> Dataset:
+    """Distributed range-partition sort (the reference shells out to
+    coreutils sort, kgtk/cli/sort.py:164)."""
+    return ds.sort(list(columns), descending=descending)
+
+
+def dedup_exact_edges(ds: Dataset, key_columns: Sequence[str] | None = None) -> Dataset:
+    """Exact duplicate removal on (node1,label,node2) (or given keys):
+    two-phase — per-batch drop_duplicates (combiner / skew guard), then
+    ``groupby(keys).map_groups(head(1))``.  Deterministic winner: the
+    lexicographically-first row of the group."""
+    keys = list(key_columns) if key_columns else _default_edge_keys(ds.schema().names)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=keys)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        rest = [c for c in g.columns if c not in keys]
+        return g.sort_values(rest or keys, kind="mergesort").head(1)
+
+    return ds.map_batches(local, batch_format="pandas").groupby(keys).map_groups(
+        first, batch_format="pandas")

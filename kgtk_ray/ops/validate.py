@@ -1,0 +1,96 @@
+"""Dataset-level validate / clean / explode / implode.
+
+Built on the vectorized value kernels in ``kgtk_ray.values``;
+reference semantics: kgtk/cli/validate.py, kgtk/cli/clean_data.py,
+kgtk/reshape/kgtkexplode.py, kgtk/reshape/kgtkimplode.py.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import ray.data
+
+from .. import values as V
+
+Dataset = ray.data.Dataset
+
+EXPLODE_PREFIX = ";kgtk:"  # reference: kgtk/reshape/kgtkexplode.py:32
+
+
+def validate_edges(ds: Dataset, columns: Sequence[str] = ("node1", "label", "node2"),
+                   *, invalid_action: str = "exclude") -> Dataset:
+    """Classify + validate the given columns per the KGTK value grammar.
+
+    ``invalid_action``: "exclude" drops invalid rows (the reference's
+    EXCLUDE action, kgtk/io/kgtkreader.py:742-767); "mark" appends a
+    boolean ``valid`` column; "pass" returns the input unchanged.
+    """
+    cols = list(columns)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ok = None
+        for c in cols:
+            v = V.validate(df[c].fillna("").to_numpy(dtype=object))
+            ok = v if ok is None else (ok & v)
+        if invalid_action == "exclude":
+            return df[ok]
+        if invalid_action == "mark":
+            df = df.copy()
+            df["valid"] = ok
+            return df
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",)) -> Dataset:
+    """validate + repair + keep-valid (the reference's clean-data:
+    repairs month/day-zero dates and out-of-range coordinates, then
+    excludes rows that remain invalid)."""
+    cols = list(columns)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        ok = None
+        for c in cols:
+            repaired = V.repair(df[c].fillna("").to_numpy(dtype=object))
+            df[c] = repaired
+            v = V.validate(repaired)
+            ok = v if ok is None else (ok & v)
+        return df[ok]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def explode_node2(ds: Dataset, column: str = "node2",
+                  fields: Sequence[str] | None = None) -> Dataset:
+    """Split ``column`` into typed subfield columns named
+    ``<column>;kgtk:<field>`` (reference kgtk/reshape/kgtkexplode.py)."""
+    want = list(fields) if fields else V.ALL_FIELDS
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ex = V.explode_fields(df[column].fillna("").to_numpy(dtype=object))
+        df = df.reset_index(drop=True).copy()
+        for fld in want:
+            df[f"{column}{EXPLODE_PREFIX}{fld}"] = ex[fld].to_numpy()
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def implode_node2(ds: Dataset, column: str = "node2",
+                  *, drop_fields: bool = True) -> Dataset:
+    """Rebuild ``column`` from its exploded ``<column>;kgtk:*`` subfields
+    (reference kgtk/reshape/kgtkimplode.py)."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        prefix = f"{column}{EXPLODE_PREFIX}"
+        sub = {c[len(prefix):]: df[c] for c in df.columns if c.startswith(prefix)}
+        fields = pd.DataFrame(sub)
+        df = df.copy()
+        df[column] = V.implode_fields(fields).to_numpy()
+        if drop_fields:
+            df = df.drop(columns=[c for c in df.columns if c.startswith(prefix)])
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")

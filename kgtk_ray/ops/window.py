@@ -1,0 +1,63 @@
+"""Windowed aggregates over event streams.
+
+The reference has no streaming windows (SURVEY §2.11); these are the
+training-pipeline extensions: tumbling-window aggregation expressed as
+a vectorized bucket column + two-phase groupby (no per-row Python).
+"""
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+Dataset = ray.data.Dataset
+
+
+def tumbling_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user_id",
+                    value_col: str = "value", window_s: int = 3600) -> Dataset:
+    """Tumbling-window aggregate: floor the timestamp to the window,
+    groupby (key, window) and aggregate sum/count/min/max.
+
+    Returns columns: ``<key_col>, window_start, n, total, vmin, vmax``.
+    """
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[ts_col].dt.floor(f"{window_s}s")
+        return pd.DataFrame({
+            key_col: df[key_col],
+            "window_start": w,
+            value_col: df[value_col],
+        })
+
+    b = events.map_batches(bucket, batch_format="pandas")
+    return b.groupby([key_col, "window_start"]).aggregate(
+        Count(alias_name="n"),
+        Sum(value_col, alias_name="total"),
+        Min(value_col, alias_name="vmin"),
+        Max(value_col, alias_name="vmax"),
+    )
+
+
+def session_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user_id",
+                   gap_s: int = 1800) -> Dataset:
+    """Session windows: per key, sort by ts and split where the gap to the
+    previous event exceeds ``gap_s``.  Implemented as
+    ``groupby(key).map_groups`` with a vectorized cumsum over the sorted
+    group (ordering assumption: all events of one key fit one group —
+    they were hash-partitioned there by the shuffle).
+
+    Returns one row per session: ``<key_col>, session_start, session_end,
+    n_events``.
+    """
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        gap = g[ts_col].diff().dt.total_seconds().fillna(float("inf"))
+        sid = (gap > gap_s).cumsum()
+        agg = g.groupby(sid).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        ).reset_index(drop=True)
+        agg.insert(0, key_col, g[key_col].iloc[0])
+        return agg
+
+    return events.groupby(key_col).map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,342 @@
+"""Vectorized KGTK value type system.
+
+Reimplements the semantics of the reference's per-cell classifier
+(/root/reference/kgtk/value/kgtkvalue.py:1718-1800 ``classify``/
+``validate`` and the type regexes built at :592-1373) as vectorized
+numpy/pandas kernels suitable for ``map_batches`` over Arrow blocks.
+
+Every cell is a string whose first character determines its type:
+
+  EMPTY      ""                       LIST    a|b|c (unescaped |)
+  STRING     "..."                    LQ      '...'@lang[-suffix]
+  NUMBER     1, -3.14e2, 0xff         QUANTITY 10m, -1.2e2[-1,1]kg.m/s2, +17Q42
+  COORDS     @LAT/LON                 DATE    ^ISO8601[/precision]
+  EXTENSION  !...                     BOOLEAN True/False
+  SYMBOL     anything else (Q42, foo)
+
+Classification precedence follows the reference: empty -> list ->
+string -> lq-string -> number/quantity -> coordinates -> date ->
+extension -> boolean -> symbol.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+DATA_TYPES = [
+    "empty",
+    "list",
+    "number",
+    "quantity",
+    "string",
+    "language_qualified_string",
+    "location_coordinates",
+    "date_and_times",
+    "extension",
+    "boolean",
+    "symbol",
+]
+
+_NUM = r"[+-]?(?:0[xX][0-9a-fA-F]+|0[oO][0-7]+|0[bB][01]+|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+_DEC = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+NUMBER_RE = re.compile(rf"^{_NUM}$")
+# quantity = number [low,high]? (SI-unit | Qnode)?  — at least one of
+# tolerance/units must be present, else it's a plain number.
+_TOL = rf"\[(?P<low>{_DEC}),(?P<high>{_DEC})\]"
+_SI = r"[A-Za-z][A-Za-z0-9._/^-]*"
+_QNODE = r"Q[0-9]+"
+QUANTITY_RE = re.compile(
+    rf"^(?P<number>{_NUM})(?:{_TOL})?(?:(?P<units_node>{_QNODE})|(?P<si_units>{_SI}))?$"
+)
+STRING_RE = re.compile(r'^"(?:[^"\\]|\\.)*"$', re.S)
+LQSTRING_RE = re.compile(
+    r"^'(?P<text>(?:[^'\\]|\\.)*)'@(?P<language>[a-zA-Z]{2,3}|mul|und)(?:-(?P<language_suffix>[-a-zA-Z0-9]+))?$",
+    re.S,
+)
+COORDS_RE = re.compile(rf"^@(?P<latitude>{_DEC})/(?P<longitude>{_DEC})$")
+DATE_RE = re.compile(
+    r"^\^(?P<year>[+-]?\d{3,4})(?:-?(?P<month>\d{2})(?:-?(?P<day>\d{2}))?)?"
+    r"(?:T(?P<hour>\d{2})(?::?(?P<minutes>\d{2})(?::?(?P<seconds>\d{2}))?)?"
+    r"(?P<zonestr>Z|[+-]\d{2}(?::?\d{2})?)?)?"
+    r"(?:/(?P<precision>\d{1,2}))?$"
+)
+_LIST_RE = re.compile(r"(?<!\\)\|")
+
+
+def _match_mask(s: pd.Series, pattern: re.Pattern) -> np.ndarray:
+    return s.str.match(pattern).fillna(False).to_numpy(dtype=bool)
+
+
+def classify(values) -> np.ndarray:
+    """Classify an array of KGTK value strings -> array of type names.
+
+    Vectorized equivalent of the reference's per-cell ``classify()``,
+    same precedence order.
+    """
+    s = pd.Series(np.asarray(values, dtype=object)).fillna("").astype(str)
+    n = len(s)
+    out = np.full(n, "symbol", dtype=object)
+    undecided = np.ones(n, dtype=bool)
+
+    def assign(mask: np.ndarray, t: str) -> None:
+        nonlocal undecided
+        m = mask & undecided
+        out[m] = t
+        undecided &= ~m
+
+    assign((s == "").to_numpy(), "empty")
+    assign(s.str.contains(_LIST_RE, regex=True).fillna(False).to_numpy(dtype=bool), "list")
+    first = s.str[0].fillna("").to_numpy(dtype=object)
+    assign((first == '"') & _match_mask(s, STRING_RE), "string")
+    assign((first == "'") & _match_mask(s, LQSTRING_RE), "language_qualified_string")
+    numberish = np.isin(first, list("+-.0123456789"))
+    assign(numberish & _match_mask(s, NUMBER_RE), "number")
+    # a bare number already matched; what's left matching the quantity
+    # grammar is a true quantity
+    assign(numberish & _match_mask(s, QUANTITY_RE), "quantity")
+    assign((first == "@") & _match_mask(s, COORDS_RE), "location_coordinates")
+    assign((first == "^") & _match_mask(s, DATE_RE), "date_and_times")
+    assign(first == "!", "extension")
+    assign(np.isin(s.to_numpy(dtype=object), ["True", "False"]), "boolean")
+    # remainder stays "symbol"
+    return out
+
+
+def validate(values) -> np.ndarray:
+    """True where the cell is a valid KGTK value.
+
+    Invalid cases are the sigil-typed strings that fail their type's
+    grammar (a cell starting with ``"`` that is not a proper string,
+    ``@`` not proper coordinates, ``^`` not a proper date, etc.) plus
+    out-of-range coordinates/dates. Symbols are valid unless they
+    contain whitespace or unescaped list separators.
+    """
+    s = pd.Series(np.asarray(values, dtype=object)).fillna("").astype(str)
+    types = classify(s.to_numpy())
+    ok = np.ones(len(s), dtype=bool)
+    first = s.str[0].fillna("").to_numpy(dtype=object)
+    sym = types == "symbol"
+    # sigil-typed but unparseable -> classified symbol with a sigil first char
+    bad_sigil = sym & np.isin(first, ['"', "'", "@", "^"])
+    ok &= ~bad_sigil
+    # symbols must not contain tabs/newlines
+    ok &= ~(sym & s.str.contains(r"[\t\n\r]", regex=True).fillna(False).to_numpy(dtype=bool))
+    # range checks on coordinates
+    coords = types == "location_coordinates"
+    if coords.any():
+        ext = s[coords].str.extract(COORDS_RE)
+        lat = pd.to_numeric(ext["latitude"], errors="coerce")
+        lon = pd.to_numeric(ext["longitude"], errors="coerce")
+        good = ((lat >= -90) & (lat <= 90) & (lon >= -180) & (lon <= 180)).to_numpy()
+        idx = np.where(coords)[0]
+        ok[idx] &= good
+    # range checks on dates (month<=13 allowed only as 00..12; day 00..31)
+    dates = types == "date_and_times"
+    if dates.any():
+        ext = s[dates].str.extract(DATE_RE)
+        month = pd.to_numeric(ext["month"], errors="coerce")
+        day = pd.to_numeric(ext["day"], errors="coerce")
+        hour = pd.to_numeric(ext["hour"], errors="coerce")
+        good = (
+            (month.isna() | ((month >= 0) & (month <= 12)))
+            & (day.isna() | ((day >= 0) & (day <= 31)))
+            & (hour.isna() | ((hour >= 0) & (hour <= 24)))
+        ).to_numpy()
+        idx = np.where(dates)[0]
+        ok[idx] &= good
+    # each element of a list must itself be valid (lists of lists impossible)
+    lists = types == "list"
+    if lists.any():
+        for i in np.where(lists)[0]:
+            parts = _LIST_RE.split(s.iloc[i])
+            ok[i] = bool(parts) and validate(np.array(parts, dtype=object)).all()
+    return ok
+
+
+def repair(values) -> np.ndarray:
+    """Apply the reference's default repairs vectorized:
+    month/day zero -> 01 in dates (kgtk/value/kgtkvalue.py:1529-1560),
+    longitude wrap to [-180,180], latitude clamp to [-90,90]
+    (kgtk/value/kgtkvalueoptions.py:89-105)."""
+    s = pd.Series(np.asarray(values, dtype=object)).fillna("").astype(str)
+    types = classify(s.to_numpy())
+    out = s.to_numpy(dtype=object).copy()
+
+    dates = types == "date_and_times"
+    if dates.any():
+        fixed = s[dates].str.replace(r"^(\^[+-]?\d{3,4})-00", r"\g<1>-01", regex=True)
+        fixed = fixed.str.replace(r"^(\^[+-]?\d{3,4}-\d{2})-00", r"\g<1>-01", regex=True)
+        out[np.where(dates)[0]] = fixed.to_numpy(dtype=object)
+
+    coords = np.isin(classify(out), ["location_coordinates"]) | (
+        pd.Series(out).str.match(r"^@[+-]?\d").fillna(False).to_numpy(dtype=bool)
+    )
+    if coords.any():
+        sub = pd.Series(out[coords]).str.extract(r"^@(?P<lat>[^/]+)/(?P<lon>.+)$")
+        lat = pd.to_numeric(sub["lat"], errors="coerce").clip(-90, 90)
+        lon = pd.to_numeric(sub["lon"], errors="coerce")
+        lon = ((lon + 180) % 360) - 180
+        okm = lat.notna() & lon.notna()
+        fixed = "@" + lat.map(lambda v: f"{v:.6f}".rstrip("0").rstrip(".") if v == v else "") + "/" + lon.map(
+            lambda v: f"{v:.6f}".rstrip("0").rstrip(".") if v == v else ""
+        )
+        vals = out[coords]
+        vals[okm.to_numpy()] = fixed[okm].to_numpy(dtype=object)
+        out[np.where(coords)[0]] = vals
+    return out
+
+
+# Field lists per data type, mirroring the reference's DATA_TYPE_FIELDS
+# (kgtk/value/kgtkvalue.py:240-272): these are the columns explode emits.
+DATA_TYPE_FIELDS: dict[str, list[str]] = {
+    "empty": [],
+    "list": [],
+    "number": ["number"],
+    "quantity": ["number", "low_tolerance", "high_tolerance", "si_units", "units_node"],
+    "string": ["text"],
+    "language_qualified_string": ["text", "language", "language_suffix"],
+    "location_coordinates": ["latitude", "longitude"],
+    "date_and_times": [
+        "year", "month", "day", "hour", "minutes", "seconds", "zonestr", "precision",
+    ],
+    "extension": [],
+    "boolean": ["truth"],
+    "symbol": ["symbol"],
+}
+ALL_FIELDS = [
+    "data_type", "valid", "number", "low_tolerance", "high_tolerance", "si_units",
+    "units_node", "text", "language", "language_suffix", "latitude", "longitude",
+    "year", "month", "day", "hour", "minutes", "seconds", "zonestr", "precision",
+    "truth", "symbol",
+]
+_NUMERIC_FIELDS = {
+    "number", "low_tolerance", "high_tolerance", "latitude", "longitude",
+    "year", "month", "day", "hour", "minutes", "seconds", "precision",
+}
+
+
+def explode_fields(values) -> pd.DataFrame:
+    """Decompose an array of KGTK values into typed field columns
+    (the reference's explode, kgtk/reshape/kgtkexplode.py)."""
+    s = pd.Series(np.asarray(values, dtype=object)).fillna("").astype(str).reset_index(drop=True)
+    types = classify(s.to_numpy())
+    valid = validate(s.to_numpy())
+    df = pd.DataFrame(index=s.index)
+    df["data_type"] = types
+    df["valid"] = valid
+
+    def put(mask: np.ndarray, ext: pd.DataFrame) -> None:
+        for col in ext.columns:
+            if col not in df.columns:
+                df[col] = pd.Series([None] * len(s), dtype=object)
+            df.loc[mask, col] = ext[col].to_numpy(dtype=object)
+
+    m = types == "number"
+    if m.any():
+        put(m, pd.DataFrame({"number": s[m].to_numpy(dtype=object)}, index=s.index[m]))
+    m = types == "quantity"
+    if m.any():
+        ext = s[m].str.extract(QUANTITY_RE)
+        put(m, ext[["number", "low", "high", "si_units", "units_node"]].rename(
+            columns={"low": "low_tolerance", "high": "high_tolerance"}))
+    m = types == "string"
+    if m.any():
+        put(m, pd.DataFrame({"text": s[m].str.slice(1, -1).to_numpy(dtype=object)},
+                            index=s.index[m]))
+    m = types == "language_qualified_string"
+    if m.any():
+        ext = s[m].str.extract(LQSTRING_RE)
+        put(m, ext[["text", "language", "language_suffix"]])
+    m = types == "location_coordinates"
+    if m.any():
+        put(m, s[m].str.extract(COORDS_RE)[["latitude", "longitude"]])
+    m = types == "date_and_times"
+    if m.any():
+        ext = s[m].str.extract(DATE_RE)
+        put(m, ext[["year", "month", "day", "hour", "minutes", "seconds", "zonestr",
+                    "precision"]])
+    m = types == "boolean"
+    if m.any():
+        put(m, pd.DataFrame({"truth": (s[m] == "True").to_numpy(dtype=object)},
+                            index=s.index[m]))
+    m = types == "symbol"
+    if m.any():
+        put(m, pd.DataFrame({"symbol": s[m].to_numpy(dtype=object)}, index=s.index[m]))
+
+    for col in ALL_FIELDS:
+        if col not in df.columns:
+            df[col] = pd.Series([None] * len(s), dtype=object)
+    for col in _NUMERIC_FIELDS:
+        df[col] = pd.to_numeric(df[col], errors="coerce")
+    return df[ALL_FIELDS]
+
+
+def implode_fields(df: pd.DataFrame) -> pd.Series:
+    """Rebuild KGTK value strings from exploded field columns
+    (inverse of explode; reference kgtk/reshape/kgtkimplode.py)."""
+    n = len(df)
+    out = pd.Series([""] * n, dtype=object, index=df.index)
+    t = df["data_type"].astype(str)
+
+    def numfmt(v) -> str:
+        if pd.isna(v):
+            return ""
+        f = float(v)
+        return str(int(f)) if f == int(f) else repr(f)
+
+    m = t == "number"
+    out[m] = df.loc[m, "number"].map(numfmt)
+    m = t == "quantity"
+    if m.any():
+        def q(row):
+            v = numfmt(row["number"])
+            if pd.notna(row.get("low_tolerance")) and pd.notna(row.get("high_tolerance")):
+                v += f"[{numfmt(row['low_tolerance'])},{numfmt(row['high_tolerance'])}]"
+            if isinstance(row.get("units_node"), str) and row["units_node"]:
+                v += row["units_node"]
+            elif isinstance(row.get("si_units"), str) and row["si_units"]:
+                v += row["si_units"]
+            return v
+        out[m] = df[m].apply(q, axis=1)
+    m = t == "string"
+    out[m] = '"' + df.loc[m, "text"].fillna("").astype(str) + '"'
+    m = t == "language_qualified_string"
+    if m.any():
+        suffix = df.loc[m, "language_suffix"]
+        suf = suffix.map(lambda x: f"-{x}" if isinstance(x, str) and x else "")
+        out[m] = ("'" + df.loc[m, "text"].fillna("").astype(str) + "'@"
+                  + df.loc[m, "language"].fillna("").astype(str) + suf)
+    m = t == "location_coordinates"
+    if m.any():
+        out[m] = ("@" + df.loc[m, "latitude"].map(numfmt) + "/"
+                  + df.loc[m, "longitude"].map(numfmt))
+    m = t == "date_and_times"
+    if m.any():
+        def d(row):
+            def i2(v):
+                return f"{int(v):02d}" if pd.notna(v) else None
+            v = "^" + f"{int(row['year']):04d}"
+            if i2(row.get("month")):
+                v += "-" + i2(row["month"])
+                if i2(row.get("day")):
+                    v += "-" + i2(row["day"])
+            if i2(row.get("hour")):
+                v += "T" + i2(row["hour"])
+                if i2(row.get("minutes")):
+                    v += ":" + i2(row["minutes"])
+                    if i2(row.get("seconds")):
+                        v += ":" + i2(row["seconds"])
+                z = row.get("zonestr")
+                if isinstance(z, str) and z:
+                    v += z
+            if pd.notna(row.get("precision")):
+                v += f"/{int(row['precision'])}"
+            return v
+        out[m] = df[m].apply(d, axis=1)
+    m = t == "boolean"
+    out[m] = df.loc[m, "truth"].map(lambda b: "True" if b else "False")
+    m = t == "symbol"
+    out[m] = df.loc[m, "symbol"].fillna("").astype(str)
+    return out

@@ -1,0 +1,201 @@
+"""Operator-semantics tests modeled on the reference's conformance corpus
+(FIXTURES.md F3-F10; /root/reference/kgtk/join/test/ fixture style —
+tiny tables in, order-insensitive expected tables out)."""
+import pandas as pd
+import pytest
+import ray.data
+
+import kgtk_ray.ops as O
+
+
+def edges(rows, columns=("node1", "label", "node2")):
+    return ray.data.from_pandas(pd.DataFrame(rows, columns=list(columns)))
+
+
+def rows(ds, sort_cols=None):
+    df = ds.to_pandas()
+    cols = sorted(df.columns)
+    df = df[cols].astype(str)
+    return sorted(map(tuple, df.to_numpy().tolist()))
+
+
+# F3-ish fixture (from the reference's ifexists-test1-file1 shape)
+EDGE_ROWS = [
+    ("john", "zipcode", "12345", "home", "10"),
+    ("john", "zipcode", "12346", "", ""),
+    ("peter", "zipcode", "12040", "home", ""),
+    ("peter", "zipcode", "12040", "cabin", ""),
+    ("peter", "zipcode", "12040", "work", "5"),
+    ("steve", "zipcode", "45601", "", "3"),
+    ("steve", "zipcode", "45601", "work", ""),
+]
+COLS = ("node1", "label", "node2", "location", "years")
+
+
+def edge_ds():
+    return edges(EDGE_ROWS, COLS)
+
+
+def test_filter():
+    out = O.kgtk_filter(edge_ds(), subj={"peter"})
+    assert out.count() == 3
+    out = O.kgtk_filter(edge_ds(), subj={"peter"}, obj={"12345"}, or_mode=True)
+    assert out.count() == 4
+    out = O.kgtk_filter(edge_ds(), pred={"zipcode"}, invert=True)
+    assert out.count() == 0
+
+
+def test_ifempty_ifnotempty():
+    assert O.ifempty(edge_ds(), ["location"]).count() == 2
+    assert O.ifnotempty(edge_ds(), ["location"]).count() == 5
+    assert O.ifempty(edge_ds(), ["location", "years"], all_are=True).count() == 1
+    assert O.ifnotempty(edge_ds(), ["location", "years"], all_are=False).count() == 6
+
+
+def test_compact_merges_sorted_unique_lists():
+    out = O.compact(edge_ds(), ["node1", "label", "node2"]).to_pandas()
+    peter = out[out.node1 == "peter"].iloc[0]
+    assert peter["location"] == "cabin|home|work"
+    assert peter["years"] == "5"
+    steve = out[out.node1 == "steve"].iloc[0]
+    assert steve["location"] == "work" and steve["years"] == "3"
+    assert len(out) == 4
+
+
+def test_compact_expands_input_lists():
+    ds = edges([("a", "p", "x", "u|v"), ("a", "p", "x", "v|w")],
+               ("node1", "label", "node2", "q"))
+    out = O.compact(ds, ["node1", "label", "node2"]).to_pandas()
+    assert out.iloc[0]["q"] == "u|v|w"
+
+
+def test_unique_counts():
+    out = rows(O.unique_counts(edge_ds(), "node1"))
+    assert out == sorted([("count", "john", "2"), ("count", "peter", "3"),
+                          ("count", "steve", "2")])
+
+
+def test_ifexists_semi_and_anti():
+    filt = edges([("peter", "zipcode", "12040"), ("john", "zipcode", "12345")])
+    assert O.ifexists(edge_ds(), filt).count() == 4
+    assert O.ifnotexists(edge_ds(), filt).count() == 3
+    # edge x node: input.node1 = filter.id
+    nodefile = ray.data.from_pandas(pd.DataFrame({"id": ["john"]}))
+    assert O.ifexists(edge_ds(), nodefile).count() == 2
+
+
+def test_kgtk_join_is_filtered_union():
+    left = edges([("a", "p", "1", "L"), ("b", "p", "2", "L")],
+                 ("node1", "label", "node2", "fromfile"))
+    right = edges([("b", "q", "3", "R"), ("c", "q", "4", "R")],
+                  ("node1", "label", "node2", "otherfile"))
+    inner = O.kgtk_join(left, right, join_on=["node1"]).to_pandas()
+    # inner: keys {b} -> rows from BOTH files with node1=b, merged layout
+    assert sorted(inner.node1) == ["b", "b"]
+    assert set(inner.columns) == {"node1", "label", "node2", "fromfile", "otherfile"}
+    l = O.kgtk_join(left, right, join_on=["node1"], left_join=True).to_pandas()
+    assert sorted(l.node1) == ["a", "b", "b"]
+    outer = O.kgtk_join(left, right, join_on=["node1"], left_join=True,
+                        right_join=True).to_pandas()
+    assert sorted(outer.node1) == ["a", "b", "b", "c"]
+
+
+def test_lift():
+    ds = edges([
+        ("Q1", "P1", "Q2"),
+        ("Q1", "label", "'Moe'@en"),
+        ("Q1", "label", "'Moe Howard'@en"),
+        ("Q2", "label", "'Larry'@en"),
+        ("P1", "label", "'brother of'@en"),
+    ])
+    out = O.lift(ds).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["node1;label"] == "'Moe Howard'@en|'Moe'@en"
+    assert r["label;label"] == "'brother of'@en"
+    assert r["node2;label"] == "'Larry'@en"
+
+
+def test_add_id_styles():
+    out = O.add_id(edge_ds(), style="node1-label-node2").to_pandas()
+    assert (out["id"] == out.node1 + "-" + out.label + "-" + out.node2).all()
+    out2 = O.add_id(edge_ds(), style="node1-label-num").to_pandas()
+    assert set(out2[out2.node1 == "peter"]["id"]) == {
+        "peter-zipcode-0000", "peter-zipcode-0001", "peter-zipcode-0002"}
+
+
+def test_expand_lists():
+    ds = edges([("a", "p", "x", "u|v|w"), ("b", "p", "y", "")],
+               ("node1", "label", "node2", "q"))
+    out = O.expand_lists(ds, ["q"]).to_pandas()
+    assert len(out) == 4
+    assert sorted(out[out.node1 == "a"]["q"]) == ["u", "v", "w"]
+
+
+def test_normalize_nodes():
+    nodefile = ray.data.from_pandas(pd.DataFrame({
+        "id": ["Q1", "Q2"], "type": ["item", ""], "alias": ["Moe", "Larry"]}))
+    out = rows(O.normalize_nodes(nodefile))
+    # rows() sorts columns alphabetically: (label, node1, node2)
+    assert out == sorted([("type", "Q1", "item"), ("alias", "Q1", "Moe"),
+                          ("alias", "Q2", "Larry")])
+
+
+def test_lower_labels_roundtrip():
+    ds = edges([("Q1", "P1", "Q2")])
+    lifted = O.lift(ds.union(edges([("Q1", "label", "'Moe'@en")])))
+    stripped, label_edges = O.lower_labels(lifted)
+    assert "node1;label" not in stripped.schema().names
+    le = label_edges.to_pandas()
+    assert ("Q1", "label", "'Moe'@en") in set(map(tuple, le.to_numpy()))
+
+
+def test_column_ops():
+    ds = edge_ds()
+    assert O.remove_columns(ds, ["years"]).schema().names == [
+        "node1", "label", "node2", "location"]
+    assert O.rename_columns(ds, {"location": "loc"}).schema().names == [
+        "node1", "label", "node2", "loc", "years"]
+    assert O.reorder_columns(ds, ["years", "node1"]).schema().names == [
+        "years", "node1", "label", "node2", "location"]
+
+
+def test_cat_alias_merge():
+    a = edges([("a", "p", "1")], ("from", "predicate", "to"))
+    b = edges([("b", "q", "2", "x")], ("node1", "label", "node2", "extra"))
+    out = O.cat(a, b).to_pandas()
+    assert set(out.columns) == {"node1", "label", "node2", "extra"}
+    assert sorted(out.node1) == ["a", "b"]
+    assert list(out[out.node1 == "a"]["extra"]) == [""]
+
+
+def test_dedup_exact():
+    ds = edges([("a", "p", "1"), ("a", "p", "1"), ("b", "p", "2")])
+    assert O.dedup_exact_edges(ds).count() == 2
+
+
+def test_sort_edges():
+    out = O.sort_edges(edge_ds(), ["node2"]).to_pandas()
+    assert list(out.node2) == sorted(out.node2)
+
+
+def test_validate_and_clean():
+    ds = edges([("a", "p", '"ok"'), ("b", "p", '"bad'), ("c", "p", "^1990-00-00")])
+    assert O.validate_edges(ds, ["node2"]).count() == 2  # bad string dropped
+    cleaned = O.clean_edges(ds, ["node2"]).to_pandas()
+    assert "^1990-01-01" in set(cleaned.node2)
+    assert len(cleaned) == 2
+
+
+def test_explode_implode_dataset():
+    ds = edges([("a", "p", "10m"), ("b", "p", "'hi'@en")])
+    ex = O.explode_node2(ds).to_pandas()
+    assert set(ex[ex.node1 == "a"]["node2;kgtk:data_type"]) == {"quantity"}
+    back = O.implode_node2(O.explode_node2(ds)).to_pandas()
+    assert sorted(back.node2) == ["'hi'@en", "10m"]
+
+
+def test_calc_percentage():
+    ds = edges([("a", "p", "1", "25", "100")], ("node1", "label", "node2", "v", "t"))
+    out = O.calc_percentage(ds, "v", "t").to_pandas()
+    assert out.iloc[0]["result"] == "25.00"
