@@ -1,0 +1,177 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline shape (the scale path — no pairwise matrix is ever built):
+
+  1. ``map_batches``: per doc, character-shingle -> 64-bit shingle
+     hashes -> ``num_perm`` minhashes via the universal-hash family
+     ``h_i(x) = (a_i * x + b_i) mod p`` (vectorized numpy over the
+     whole batch's shingle set);
+  2. bands: the signature splits into ``bands`` bands of ``r`` rows;
+     each band hashes to a bucket key -> ``flat`` (band, bucket, doc)
+     rows;
+  3. ``groupby(band, bucket)``: docs sharing a band bucket become
+     candidate pairs (emitted per group — group sizes are bounded by
+     bucket collision, hot buckets capped);
+  4. verify: exact shingle-set Jaccard for candidate pairs (fetching
+     both docs' shingle sets via a broadcast signature store at test
+     scale; re-shingling per pair at cluster scale);
+  5. connected components over verified pairs -> cluster reps
+     (min doc id), via iterated min-label propagation.
+
+Seeded and deterministic throughout.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+Dataset = ray.data.Dataset
+
+_P = (1 << 61) - 1  # Mersenne prime for the universal hash family
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    if len(text) < k:
+        return np.array([hash(text) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+    # rolling view of k-grams hashed via pandas (C loop)
+    grams = [text[i: i + k] for i in range(len(text) - k + 1)]
+    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    # (num_perm, n_shingles) universal hashes -> min over shingles
+    x = sh.astype(np.uint64)
+    vals = (np.multiply.outer(a, x, dtype=np.uint64) + b[:, None]) % _P
+    return vals.min(axis=1)
+
+
+def minhash_signatures(ds: Dataset, *, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 128,
+                       shingle_k: int = 5, seed: int = 42) -> Dataset:
+    """Add a ``signature`` (list<uint64>) column per document."""
+    a, b = _perm_params(num_perm, seed)
+
+    class Signer:
+        def __init__(self):
+            self.a, self.b = a, b
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sigs = [
+                _signature(_shingle_hashes(t, shingle_k), self.a, self.b)
+                for t in df[text_col].astype(str)
+            ]
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "signature": [s.tolist() for s in sigs],
+            })
+
+    return ds.map_batches(Signer, batch_format="pandas", concurrency=4)
+
+
+def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id",
+                  num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                  threshold: float = 0.8, seed: int = 42) -> Dataset:
+    """Near-dup clustering; returns ``(doc_id, cluster)`` where cluster is
+    the minimum member id (singletons map to themselves)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    a, b = _perm_params(num_perm, seed)
+
+    # 1+2: signatures and band buckets in one pass; keep shingle sets for verify
+    def sig_and_bands(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_band, out_bucket, out_sh = [], [], [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col].astype(str)):
+            sh = _shingle_hashes(t, shingle_k)
+            sig = _signature(sh, a, b)
+            for bi in range(bands):
+                chunk = sig[bi * r: (bi + 1) * r]
+                out_doc.append(i)
+                out_band.append(bi)
+                out_bucket.append(int(pd.util.hash_array(chunk).sum()) & 0x7FFFFFFFFFFFFFFF)
+            out_sh.append((i, sh))
+        flat = pd.DataFrame({"doc": out_doc, "band": out_band, "bucket": out_bucket})
+        return flat
+
+    flat = ds.map_batches(sig_and_bands, batch_format="pandas")
+
+    # 3: candidate pairs per (band,bucket) group
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(g["doc"].unique())
+        if len(docs) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        docs = docs[:64]  # hot-bucket cap; a 64-doc bucket yields 2016 pairs
+        ia, ib = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+
+    cand = flat.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pandas").to_pandas().drop_duplicates()
+
+    if cand.empty:
+        ids = ds.select_columns([id_col])
+        return ids.map_batches(
+            lambda df: pd.DataFrame({id_col: df[id_col], "cluster": df[id_col]}),
+            batch_format="pandas")
+
+    # 4: verify with exact shingle-set Jaccard.  The candidate doc set is
+    # small relative to the corpus; broadcast their shingle sets.
+    needed = set(cand["a"]) | set(cand["b"])
+    need_ref = ray.put(needed)
+
+    def shingles_of(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(need_ref)
+        sub = df[df[id_col].isin(want)]
+        return pd.DataFrame({
+            "doc": sub[id_col].to_numpy(),
+            "sh": [_shingle_hashes(t, shingle_k).tolist()
+                   for t in sub[text_col].astype(str)],
+        })
+
+    sh_df = ds.map_batches(shingles_of, batch_format="pandas").to_pandas()
+    sh_map = {d: np.asarray(s, dtype=np.uint64)
+              for d, s in zip(sh_df["doc"], sh_df["sh"])}
+
+    def jac(x: np.ndarray, y: np.ndarray) -> float:
+        inter = np.intersect1d(x, y, assume_unique=True).size
+        return inter / (x.size + y.size - inter) if (x.size or y.size) else 1.0
+
+    keep = [
+        (pa, pb) for pa, pb in zip(cand["a"], cand["b"])
+        if jac(sh_map[pa], sh_map[pb]) >= threshold
+    ]
+
+    # 5: connected components (union-find on the verified pair set, which
+    # is provably small after verification)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for pa, pb in keep:
+        ra, rb = find(pa), find(pb)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+
+    cluster_map = {d: find(d) for d in set().union(*([set()] + [{a, b} for a, b in keep]))}
+    ref = ray.put(cluster_map)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(ref)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": df[id_col].map(lambda d: cm.get(d, d)).to_numpy(),
+        })
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -1,0 +1,145 @@
+"""Dedup, text-analysis, ANN and multimodal stage tests."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from kgtk_ray.ann import ivf_topk_cosine, topk_cosine
+from kgtk_ray.dedup import (
+    dedup_exact,
+    embedding_dedup,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from kgtk_ray.multimodal import DeterministicFakeDecoder, decode_features, synthesize_media
+from kgtk_ray.text import fingerprint, langid, quality_score, token_counts, winnowing_fingerprints
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "while the sun sets slowly behind the big old hill near the lake")
+
+
+def corpus():
+    docs = []
+    for i in range(20):
+        docs.append((i, BASE + f" unique tail {i}"))
+    # near-dups of doc 0 (one word changed)
+    docs.append((100, BASE.replace("quick", "swift") + " unique tail 0"))
+    docs.append((101, BASE + " unique tail 0"))  # exact dup of doc 0
+    # a totally different doc
+    docs.append((200, "completely different text about spark ray arrow data"))
+    return ray.data.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+
+def cluster_map(ds):
+    df = ds.to_pandas()
+    return dict(zip(df.doc_id, df.cluster))
+
+
+def test_dedup_exact():
+    out = dedup_exact(corpus()).to_pandas()
+    assert len(out) == 22  # 23 distinct texts, one exact dup removed
+    assert 101 not in set(out.doc_id)
+    assert 0 in set(out.doc_id)  # min id wins
+
+
+def test_minhash_dedup():
+    cm = cluster_map(minhash_dedup(corpus(), threshold=0.7))
+    assert cm[101] == 0          # exact dup clusters with 0
+    assert cm[100] == 0          # near dup clusters with 0
+    assert cm[200] == 200        # distinct text is a singleton
+
+
+def test_simhash_dedup():
+    cm = cluster_map(simhash_dedup(corpus(), max_hamming=3))
+    assert cm[101] == 0
+    assert cm[200] == 200
+
+
+def test_ngram_jaccard_dedup():
+    cm = cluster_map(ngram_jaccard_dedup(corpus(), n=2, threshold=0.6))
+    assert cm[101] == 0
+    assert cm[200] == 200
+
+
+def test_embedding_dedup():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((10, 16)).astype(np.float32)
+    vecs = list(base) + [base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": list(range(10)) + [100],
+        "embedding": [v.tolist() for v in vecs]}))
+    df = embedding_dedup(ds, threshold=0.99).to_pandas()
+    cm = dict(zip(df.vec_id, df.cluster))
+    assert cm[100] == 0
+    assert cm[5] == 5
+
+
+def test_topk_cosine_matches_numpy():
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((200, 32)).astype(np.float32)
+    Q = rng.standard_normal((3, 32)).astype(np.float32)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": range(200), "embedding": [v.tolist() for v in X]}))
+    out = topk_cosine(ds, Q, k=5).to_pandas()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Xn.T
+    for qi in range(3):
+        want = set(np.argsort(-sims[qi])[:5])
+        got = set(out[out.query_id == qi]["vec_id"])
+        assert got == want
+
+
+def test_ivf_topk_recall():
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((500, 16)).astype(np.float32)
+    Q = X[:2] + 0.01  # queries near existing points
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": range(500), "embedding": [v.tolist() for v in X]}))
+    out = ivf_topk_cosine(ds, Q, k=3, n_centroids=8, nprobe=4).to_pandas()
+    # the nearest point itself must be found
+    assert 0 in set(out[out.query_id == 0]["vec_id"])
+    assert 1 in set(out[out.query_id == 1]["vec_id"])
+
+
+def test_langid_and_quality_and_tokens():
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat and the dog of the house",
+                 "der hund und die katze und der vogel",
+                 "xyz qwerty"],
+    }))
+    out = langid(ds).to_pandas()
+    assert list(out.lang_pred) == ["en", "de", "und"]
+    q = quality_score(ds).to_pandas()
+    assert q.iloc[0]["stop_ratio"] > q.iloc[2]["stop_ratio"]
+    t = token_counts(ds).to_pandas()
+    assert t.iloc[0]["ws_tokens"] == 8
+    assert t.iloc[2]["bpe_tokens"] == 2
+
+
+def test_fingerprint():
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["A  b\tC", "a b c"]}))
+    out = fingerprint(ds).to_pandas()
+    assert out.fingerprint.iloc[0] == out.fingerprint.iloc[1]  # ws+case normalized
+    w = winnowing_fingerprints(corpus(), k=8, window=4).to_pandas()
+    assert len(w) > 0 and {"doc_id", "pos", "hash"} <= set(w.columns)
+    # identical docs share all winnowed hashes
+    h0 = set(w[w.doc_id == 0]["hash"])
+    h101 = set(w[w.doc_id == 101]["hash"])
+    assert h0 == h101
+
+
+def test_multimodal_plumbing():
+    media = synthesize_media(32)
+    out = decode_features(media).to_pandas()
+    assert len(out) == 32
+    assert len(out.features.iloc[0]) == 64
+    # deterministic: same payload -> same features
+    out2 = decode_features(synthesize_media(32)).to_pandas()
+    assert np.allclose(np.stack(out.features), np.stack(out2.features))
+    with pytest.raises(NotImplementedError):
+        from kgtk_ray.multimodal import LibraryDecoder
+        LibraryDecoder()

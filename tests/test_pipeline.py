@@ -1,0 +1,110 @@
+"""End-to-end KG pipeline tests (FIXTURES.md F11): byte-identical
+extraction, golden-edge comparison on the documents corpus, P/R >= 0.95
+on the seeded entity corpus, resumable materialization."""
+import os
+
+import pandas as pd
+import pytest
+import ray.data
+
+from kgtk_ray.pipelines import (
+    DEFAULT_PATTERNS,
+    extract_text,
+    kg_pipeline,
+    kg_pipeline_from_pages,
+    materialize_edges,
+    pages_from_documents,
+    pending_partitions,
+    read_manifest,
+    synthetic_corpus,
+)
+from kgtk_ray.pipelines.corpus import BASE_TS
+from kgtk_ray.pipelines.extract import extract_html_text
+from kgtk_ray.pipelines.link import build_alias_map
+from kgtk_ray.pipelines.manifest import read_materialized
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extraction_byte_identical():
+    pages = pages_from_documents(SF)
+    out = extract_text(pages).to_pandas()
+    assert (out["extracted_text"] == out["text"]).all()
+
+
+def test_extract_handles_entities_and_no_article():
+    h = b"<html><body><p>a &amp; b</p><p>c</p></body></html>"
+    assert extract_html_text(h) == "a & b\nc"
+    assert extract_html_text(b"<html><body>plain text</body></html>") == "plain text"
+
+
+def reference_edges(sf_dir: str) -> pd.DataFrame:
+    """Single-process reference implementation of the documents pipeline
+    (the golden oracle for P/R)."""
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    rows = []
+    for _, r in df.iterrows():
+        d = f"D{r.doc_id}"
+        url = f"https://example.org/doc/{r.doc_id}"
+        rows.append((d, "published_by", r.source, url))
+        rows.append((d, "written_in", r.lang, url))
+        rows.append((d, "char_count", str(r.n_chars), url))
+    out = pd.DataFrame(rows, columns=["node1", "label", "node2", "url"])
+    out = out.drop_duplicates(["node1", "label", "node2"])
+    out["id"] = out.node1 + "-" + out.label + "-" + out.node2
+    return out.sort_values(["node1", "label", "node2"]).reset_index(drop=True)
+
+
+def test_kg_pipeline_matches_reference():
+    got = kg_pipeline(SF).to_pandas()
+    want = reference_edges(SF)
+    got_set = set(map(tuple, got[["node1", "label", "node2"]].to_numpy()))
+    want_set = set(map(tuple, want[["node1", "label", "node2"]].to_numpy()))
+    assert got_set == want_set
+    # ids are content-derived, provenance merged
+    g = got.set_index(["node1", "label", "node2"])
+    w = want.set_index(["node1", "label", "node2"])
+    assert (g["id"] == w["id"]).all()
+    assert (g["url"] == w["url"]).all()
+    # sorted by node1
+    assert list(got["node1"]) == sorted(got["node1"])
+
+
+def test_synthetic_corpus_precision_recall():
+    pages, aliases, golden = synthetic_corpus(300, n_entities=100, seed=7)
+    out = kg_pipeline_from_pages(pages, aliases, DEFAULT_PATTERNS,
+                                 check_extraction=True).to_pandas()
+    got = set(map(tuple, out[["node1", "label", "node2"]].to_numpy()))
+    want = set(map(tuple, golden.to_numpy()))
+    tp = len(got & want)
+    precision = tp / max(1, len(got))
+    recall = tp / max(1, len(want))
+    assert precision >= 0.95, f"precision {precision}: extra={list(got - want)[:5]}"
+    assert recall >= 0.95, f"recall {recall}: missing={list(want - got)[:5]}"
+
+
+def test_materialize_resume(tmp_path):
+    out_dir = str(tmp_path / "edges")
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node1": [f"Q{i}" for i in range(100)],
+        "label": "p",
+        "node2": [f"V{i}" for i in range(100)],
+    }))
+    recs = materialize_edges(ds, out_dir, num_partitions=8)
+    assert len(recs) == 8
+    assert sum(r["rows"] for r in recs) == 100
+    assert pending_partitions(out_dir, 8) == []
+    # resume: nothing left to do
+    assert materialize_edges(ds, out_dir, num_partitions=8) == []
+    # simulate a partial run: drop two manifest lines -> only those redo
+    manifest = read_manifest(out_dir)
+    with open(os.path.join(out_dir, "manifest.jsonl"), "w") as f:
+        import json
+        for rec in manifest[:6]:
+            f.write(json.dumps(rec) + "\n")
+    redo = materialize_edges(ds, out_dir, num_partitions=8)
+    assert {r["part"] for r in redo} == {m["part"] for m in manifest[6:]}
+    # full read-back
+    back = read_materialized(out_dir).to_pandas()
+    assert len(back) == 100
