@@ -1,44 +1,779 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 (plus the training-data extensions); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query, with
+matching column names.  Ray is initialised by the driver before this
+module is imported — nothing here calls ``ray.init``/``ray.shutdown``.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# derived edge tables (the same derivations are inlined in the oracle SQL)
+# ---------------------------------------------------------------------------
+
+def _edges_lineitem(sf: str) -> "rd.Dataset":
+    """lineitem -> edge file: O<orderkey> --has_part--> P<partkey>
+    with supp + ln qualifier columns (ln makes rows unique for the
+    deterministic sequence-id test)."""
+    li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_linenumber"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node1": "O" + df.l_orderkey.astype(str),
+            "label": "has_part",
+            "node2": "P" + df.l_partkey.astype(str),
+            "supp": "S" + df.l_suppkey.astype(str),
+            "ln": df.l_linenumber.astype(str),
+        })
+
+    return li.map_batches(f, batch_format="pandas")
+
+
+def _edges_nation(sf: str) -> "rd.Dataset":
+    n = rd.read_parquet(f"{sf}/nation.parquet")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node1": "N" + df.n_nationkey.astype(str),
+            "label": "in_region",
+            "node2": "R" + df.n_regionkey.astype(str),
+            "n_name": df.n_name.astype(str),
+        })
+
+    return n.map_batches(f, batch_format="pandas")
+
+
+def _edges_supplier(sf: str) -> "rd.Dataset":
+    s = rd.read_parquet(f"{sf}/supplier.parquet")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node1": "N" + df.s_nationkey.astype(str),
+            "label": "has_supplier",
+            "node2": "S" + df.s_suppkey.astype(str),
+            "s_name": df.s_name.astype(str),
+        })
+
+    return s.map_batches(f, batch_format="pandas")
+
+
+def _edges_orders(sf: str) -> "rd.Dataset":
+    o = rd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node1": "C" + df.o_custkey.astype(str),
+            "label": "placed",
+            "node2": "O" + df.o_orderkey.astype(str),
+            "status": np.where(df.o_orderstatus == "O", "", df.o_orderstatus),
+        })
+
+    return o.map_batches(f, batch_format="pandas")
+
+
+_EDGE_SQL_LI = (
+    "SELECT 'O'||CAST(l_orderkey AS VARCHAR) AS node1, 'has_part' AS label, "
+    "'P'||CAST(l_partkey AS VARCHAR) AS node2, "
+    "'S'||CAST(l_suppkey AS VARCHAR) AS supp, "
+    "CAST(l_linenumber AS VARCHAR) AS ln FROM lineitem"
+)
+_EDGE_SQL_NATION = (
+    "SELECT 'N'||CAST(n_nationkey AS VARCHAR) AS node1, 'in_region' AS label, "
+    "'R'||CAST(n_regionkey AS VARCHAR) AS node2, n_name FROM nation"
+)
+_EDGE_SQL_SUPP = (
+    "SELECT 'N'||CAST(s_nationkey AS VARCHAR) AS node1, 'has_supplier' AS label, "
+    "'S'||CAST(s_suppkey AS VARCHAR) AS node2, s_name FROM supplier"
+)
+_EDGE_SQL_ORDERS = (
+    "SELECT 'C'||CAST(o_custkey AS VARCHAR) AS node1, 'placed' AS label, "
+    "'O'||CAST(o_orderkey AS VARCHAR) AS node2, "
+    "CASE WHEN o_orderstatus='O' THEN '' ELSE o_orderstatus END AS status "
+    "FROM orders"
+)
+
+
+def _round_cols(ds, cols: list[str], nd: int = 6):
+    """Round half-away-from-zero (DuckDB's ROUND semantics; numpy's
+    default round is half-even, which diverges on exact midpoints)."""
+    scale = 10.0 ** nd
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in cols:
+            x = df[c].astype(float).to_numpy()
+            df[c] = np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+def _q_kg_pipeline(sf: str):
+    from kgtk_ray.pipelines import kg_pipeline
+    return kg_pipeline(sf, check_extraction=True)
+
+
+def _q_filter(sf: str):
+    from kgtk_ray.ops import kgtk_filter
+    return kgtk_filter(_edges_lineitem(sf), subj={"O1", "O2", "O3", "O32", "O33"})
+
+
+def _q_ifempty(sf: str):
+    from kgtk_ray.ops import ifempty
+    return ifempty(_edges_orders(sf), ["status"])
+
+
+def _q_ifnotempty(sf: str):
+    from kgtk_ray.ops import ifnotempty
+    return ifnotempty(_edges_orders(sf), ["status"])
+
+
+def _q_compact(sf: str):
+    from kgtk_ray.ops import compact
+    ds = _edges_lineitem(sf).drop_columns(["ln"])
+    return compact(ds, ["node1", "label", "node2"])
+
+
+def _q_unique(sf: str):
+    from kgtk_ray.ops import unique_counts
+    return unique_counts(_edges_lineitem(sf), "node1")
+
+
+def _q_ifexists(sf: str):
+    from kgtk_ray.ops import ifexists
+    cust = rd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    rich = cust.map_batches(
+        lambda df: pd.DataFrame({"id": "C" + df[df.c_acctbal > 5000]
+                                 .c_custkey.astype(str)}),
+        batch_format="pandas")
+    return ifexists(_edges_orders(sf), rich)
+
+
+def _q_ifnotexists(sf: str):
+    from kgtk_ray.ops import ifnotexists
+    cust = rd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    rich = cust.map_batches(
+        lambda df: pd.DataFrame({"id": "C" + df[df.c_acctbal > 5000]
+                                 .c_custkey.astype(str)}),
+        batch_format="pandas")
+    return ifnotexists(_edges_orders(sf), rich)
+
+
+def _q_join(sf: str):
+    from kgtk_ray.ops import kgtk_join
+    return kgtk_join(_edges_nation(sf), _edges_supplier(sf), join_on=["node1"])
+
+
+def _q_lift(sf: str):
+    from kgtk_ray.ops import lift
+    nat = rd.read_parquet(f"{sf}/nation.parquet")
+    reg = rd.read_parquet(f"{sf}/region.parquet")
+    nlab = nat.map_batches(lambda df: pd.DataFrame({
+        "node1": "N" + df.n_nationkey.astype(str), "label": "label",
+        "node2": "'" + df.n_name.astype(str).str.strip() + "'@en"}),
+        batch_format="pandas")
+    rlab = reg.map_batches(lambda df: pd.DataFrame({
+        "node1": "R" + df.r_regionkey.astype(str), "label": "label",
+        "node2": "'" + df.r_name.astype(str).str.strip() + "'@en"}),
+        batch_format="pandas")
+    labels = nlab.union(rlab)
+    return lift(_edges_nation(sf).drop_columns(["n_name"]), labels)
+
+
+def _q_add_id(sf: str):
+    from kgtk_ray.ops import add_id
+    return add_id(_edges_nation(sf).drop_columns(["n_name"]),
+                  style="node1-label-node2")
+
+
+def _q_add_id_num(sf: str):
+    from kgtk_ray.ops import add_id
+    return add_id(_edges_lineitem(sf), style="node1-label-num")
+
+
+def _q_expand(sf: str):
+    from kgtk_ray.ops import expand_lists
+    nat = _edges_nation(sf)
+    withlist = nat.map_batches(lambda df: pd.DataFrame({
+        "node1": df.node1, "label": df.label, "node2": df.node2,
+        "q": df.n_name.astype(str).str.strip() + "|" + df.node1}),
+        batch_format="pandas")
+    return expand_lists(withlist, ["q"])
+
+
+def _q_normalize_nodes(sf: str):
+    from kgtk_ray.ops import normalize_nodes
+    cust = rd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment", "c_nationkey"])
+    nodes = cust.map_batches(lambda df: pd.DataFrame({
+        "id": "C" + df.c_custkey.astype(str),
+        "segment": df.c_mktsegment.astype(str),
+        "nation": "N" + df.c_nationkey.astype(str)}),
+        batch_format="pandas")
+    return normalize_nodes(nodes)
+
+
+def _part_values(sf: str):
+    part = rd.read_parquet(f"{sf}/part.parquet",
+                           columns=["p_partkey", "p_size", "p_brand"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.p_size % 5
+        node2 = np.select(
+            [k == 0, k == 1, k == 2, k == 3],
+            [df.p_size.astype(str),
+             '"part ' + df.p_partkey.astype(str) + '"',
+             df.p_size.astype(str) + "mm",
+             "^19" + (df.p_size % 90 + 10).astype(str) + "-01-01"],
+            default=df.p_brand.astype(str).str.replace(" ", "", regex=False),
+        )
+        return pd.DataFrame({"node1": "P" + df.p_partkey.astype(str),
+                             "label": "value", "node2": node2})
+
+    return part.map_batches(f, batch_format="pandas")
+
+
+def _q_explode(sf: str):
+    from kgtk_ray.ops import explode_node2
+    ex = explode_node2(_part_values(sf), fields=["data_type", "number"])
+    return ex.map_batches(
+        lambda df: df[["node1", "node2", "node2;kgtk:data_type",
+                       "node2;kgtk:number"]],
+        batch_format="pandas")
+
+
+def _q_clean_repair(sf: str):
+    from kgtk_ray.ops import clean_edges
+    part = rd.read_parquet(f"{sf}/part.parquet", columns=["p_partkey", "p_size"])
+    vals = part.map_batches(lambda df: pd.DataFrame({
+        "node1": "P" + df.p_partkey.astype(str), "label": "born",
+        "node2": "^" + (1900 + df.p_size).astype(str) + "-00-00"}),
+        batch_format="pandas")
+    return clean_edges(vals, ["node2"])
+
+
+def _q_calc(sf: str):
+    from kgtk_ray.ops import calc_percentage
+    li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    ds = li.map_batches(lambda df: pd.DataFrame({
+        "node1": "O" + df.l_orderkey.astype(str),
+        "ln": df.l_linenumber.astype(str),
+        "v": df.l_quantity, "t": 50.0}),
+        batch_format="pandas")
+    return calc_percentage(ds, "v", "t")
+
+
+def _q_cat(sf: str):
+    from kgtk_ray.ops import cat
+    nat = _edges_nation(sf).map_batches(
+        lambda df: df.rename(columns={"node1": "from", "label": "predicate",
+                                      "node2": "to"}),
+        batch_format="pandas")
+    return cat(nat, _edges_supplier(sf))
+
+
+def _q_sort(sf: str):
+    from kgtk_ray.ops import sort_edges
+    return sort_edges(_edges_nation(sf), ["node1"])
+
+
+def _q_dedup_exact(sf: str):
+    from kgtk_ray.dedup import dedup_exact
+    docs = rd.read_parquet(f"{sf}/documents.parquet")
+    return dedup_exact(docs)
+
+
+def _q_degrees(sf: str):
+    from kgtk_ray.ops import degrees
+    return degrees(_edges_lineitem(sf), direction="out")
+
+
+def _q_reachable(sf: str):
+    from kgtk_ray.ops import reachable_nodes
+    sup_nat = _edges_supplier(sf).map_batches(
+        lambda df: pd.DataFrame({"node1": df.node2, "label": "in_nation",
+                                 "node2": df.node1}),
+        batch_format="pandas")
+    edges = sup_nat.union(_edges_nation(sf).drop_columns(["n_name"]))
+    return reachable_nodes(edges, ["S1", "S2", "S3"])
+
+
+def _q_connected_components(sf: str):
+    from kgtk_ray.ops import connected_components
+    return connected_components(_edges_nation(sf).drop_columns(["n_name"]))
+
+
+def _q_tumbling(sf: str):
+    from kgtk_ray.ops import tumbling_window
+    ev = rd.read_parquet(f"{sf}/events.parquet")
+    out = tumbling_window(ev, window_s=3600)
+    return _round_cols(out, ["total", "vmin", "vmax"], 4)
+
+
+def _q_sessions(sf: str):
+    from kgtk_ray.ops.window import session_window
+    ev = rd.read_parquet(f"{sf}/events.parquet")
+    return session_window(ev, gap_s=1800)
+
+
+def _q_agg_pricing(sf: str):
+    from ray.data.aggregate import Count, Mean, Sum
+    li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+        return df
+
+    out = li.map_batches(revenue, batch_format="pandas").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(out, ["sum_qty", "sum_revenue", "avg_disc"], 4)
+
+
+def _q_langid(sf: str):
+    from kgtk_ray.text import langid
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return langid(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_quality(sf: str):
+    from kgtk_ray.text import quality_score
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    out = quality_score(docs).select_columns(
+        ["doc_id", "n_tokens", "punct_ratio", "stop_ratio", "quality"])
+    return _round_cols(out, ["punct_ratio", "stop_ratio", "quality"], 6)
+
+
+def _q_tokens(sf: str):
+    from kgtk_ray.text import token_counts
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return token_counts(docs).select_columns(["doc_id", "ws_tokens", "bpe_tokens"])
+
+
+def _q_fingerprint(sf: str):
+    from kgtk_ray.text import fingerprint
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_topk_cosine(sf: str):
+    from kgtk_ray.ann import topk_cosine
+    import pyarrow.parquet as pq
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    qt = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    Q = np.stack(qt.embedding.to_numpy()).astype(np.float64)
+    out = topk_cosine(emb, Q, k=10)
+    return _round_cols(out.select_columns(["query_id", "vec_id", "score"]),
+                       ["score"], 6)
+
+
+# ---- rows-only checks (approximate / not SQL-expressible) ----
+
+def _q_minhash(sf: str):
+    from kgtk_ray.dedup import minhash_dedup
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(docs, threshold=0.8)
+
+
+def _q_simhash(sf: str):
+    from kgtk_ray.dedup import simhash_dedup
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(docs, max_hamming=3)
+
+
+def _q_ngram_dedup(sf: str):
+    from kgtk_ray.dedup import ngram_jaccard_dedup
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(docs, n=3, threshold=0.8)
+
+
+def _q_embedding_dedup(sf: str):
+    from kgtk_ray.dedup import embedding_dedup
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    return embedding_dedup(emb, threshold=0.98)
+
+
+def _q_ivf_ann(sf: str):
+    from kgtk_ray.ann import ivf_topk_cosine
+    import pyarrow.parquet as pq
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    qt = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    Q = np.stack(qt.embedding.to_numpy()).astype(np.float64)
+    return ivf_topk_cosine(emb, Q, k=10, n_centroids=16, nprobe=4)
+
+
+def _q_winnowing(sf: str):
+    from kgtk_ray.text import winnowing_fingerprints
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return winnowing_fingerprints(docs)
+
+
+def _q_pagerank(sf: str):
+    from kgtk_ray.ops.graph import pagerank
+    return pagerank(_edges_nation(sf).drop_columns(["n_name"]), iters=5)
+
+
+def _q_multimodal(sf: str):
+    from kgtk_ray.multimodal import decode_features, synthesize_media
+    media = synthesize_media(256)
+    out = decode_features(media)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"media_id": df["media_id"],
+                                 "f0": [v[0] for v in df["features"]]}),
+        batch_format="pandas")
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from kgtk_ray.pipelines import kg_pipeline
+    return kg_pipeline("/root/testdata/sf0.001", check_extraction=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_pipeline": _q_kg_pipeline,
+        "filter": _q_filter,
+        "ifempty": _q_ifempty,
+        "ifnotempty": _q_ifnotempty,
+        "compact": _q_compact,
+        "unique": _q_unique,
+        "ifexists": _q_ifexists,
+        "ifnotexists": _q_ifnotexists,
+        "kgtk_join": _q_join,
+        "lift": _q_lift,
+        "add_id": _q_add_id,
+        "add_id_num": _q_add_id_num,
+        "expand": _q_expand,
+        "normalize_nodes": _q_normalize_nodes,
+        "explode": _q_explode,
+        "clean_repair": _q_clean_repair,
+        "calc": _q_calc,
+        "cat": _q_cat,
+        "sort": _q_sort,
+        "dedup_exact": _q_dedup_exact,
+        "degrees": _q_degrees,
+        "reachable": _q_reachable,
+        "connected_components": _q_connected_components,
+        "tumbling_window": _q_tumbling,
+        "session_window": _q_sessions,
+        "agg_pricing": _q_agg_pricing,
+        "langid": _q_langid,
+        "quality": _q_quality,
+        "token_counts": _q_tokens,
+        "fingerprint": _q_fingerprint,
+        "topk_cosine": _q_topk_cosine,
+        # approximate / stateful: rows-only checks
+        "minhash_dedup": _q_minhash,
+        "simhash_dedup": _q_simhash,
+        "ngram_dedup": _q_ngram_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "ivf_ann": _q_ivf_ann,
+        "winnowing": _q_winnowing,
+        "pagerank": _q_pagerank,
+        "multimodal_features": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_cnt = " + ".join(
+        f"len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x='{w}'))"
+        for w in ["the", "a", "and", "of", "to"])
+    lang_score = {
+        code: " + ".join(
+            f"len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x='{w}'))"
+            for w in words)
+        for code, words in [("en", ["the", "and", "of"]),
+                            ("de", ["der", "und", "die"]),
+                            ("fr", ["le", "et", "les"]),
+                            ("es", ["el", "y", "los"]),
+                            ("zh", ["de5", "shi4", "le5"])]
+    }
+    return {
+        "kg_pipeline": """
+            WITH e AS (
+              SELECT 'D'||CAST(doc_id AS VARCHAR) AS node1, 'published_by' AS label,
+                     source AS node2, 'https://example.org/doc/'||CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+              UNION ALL
+              SELECT 'D'||CAST(doc_id AS VARCHAR), 'written_in', lang,
+                     'https://example.org/doc/'||CAST(doc_id AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'D'||CAST(doc_id AS VARCHAR), 'char_count', CAST(n_chars AS VARCHAR),
+                     'https://example.org/doc/'||CAST(doc_id AS VARCHAR)
+              FROM documents)
+            SELECT node1||'-'||label||'-'||node2 AS id, node1, label, node2, url FROM e
+        """,
+        "filter": f"""
+            SELECT * FROM ({_EDGE_SQL_LI})
+            WHERE node1 IN ('O1','O2','O3','O32','O33')
+        """,
+        "ifempty": f"SELECT * FROM ({_EDGE_SQL_ORDERS}) WHERE status = ''",
+        "ifnotempty": f"SELECT * FROM ({_EDGE_SQL_ORDERS}) WHERE status <> ''",
+        "compact": f"""
+            SELECT node1, label, node2,
+                   string_agg(DISTINCT supp, '|' ORDER BY supp) AS supp
+            FROM ({_EDGE_SQL_LI}) GROUP BY node1, label, node2
+        """,
+        "unique": f"""
+            SELECT node1, 'count' AS label, CAST(COUNT(*) AS VARCHAR) AS node2
+            FROM ({_EDGE_SQL_LI}) GROUP BY node1
+        """,
+        "ifexists": f"""
+            SELECT * FROM ({_EDGE_SQL_ORDERS}) e
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_acctbal > 5000
+                            AND 'C'||CAST(c.c_custkey AS VARCHAR) = e.node1)
+        """,
+        "ifnotexists": f"""
+            SELECT * FROM ({_EDGE_SQL_ORDERS}) e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_acctbal > 5000
+                                AND 'C'||CAST(c.c_custkey AS VARCHAR) = e.node1)
+        """,
+        "kgtk_join": f"""
+            WITH l AS ({_EDGE_SQL_NATION}), r AS ({_EDGE_SQL_SUPP}),
+                 k AS (SELECT node1 FROM l INTERSECT SELECT node1 FROM r)
+            SELECT node1, label, node2, n_name, '' AS s_name FROM l
+              WHERE node1 IN (SELECT node1 FROM k)
+            UNION ALL
+            SELECT node1, label, node2, '' AS n_name, s_name FROM r
+              WHERE node1 IN (SELECT node1 FROM k)
+        """,
+        "lift": f"""
+            WITH lab AS (
+              SELECT 'N'||CAST(n_nationkey AS VARCHAR) AS node1,
+                     ''''||trim(n_name)||'''@en' AS lbl FROM nation
+              UNION ALL
+              SELECT 'R'||CAST(r_regionkey AS VARCHAR),
+                     ''''||trim(r_name)||'''@en' FROM region)
+            SELECT e.node1, e.label, e.node2,
+                   COALESCE(l1.lbl, '') AS "node1;label",
+                   '' AS "label;label",
+                   COALESCE(l2.lbl, '') AS "node2;label"
+            FROM (SELECT node1, label, node2 FROM ({_EDGE_SQL_NATION})) e
+            LEFT JOIN lab l1 ON l1.node1 = e.node1
+            LEFT JOIN lab l2 ON l2.node1 = e.node2
+        """,
+        "add_id": f"""
+            SELECT node1||'-'||label||'-'||node2 AS id, node1, label, node2
+            FROM (SELECT node1, label, node2 FROM ({_EDGE_SQL_NATION}))
+        """,
+        "add_id_num": f"""
+            SELECT node1||'-'||label||'-'||lpad(CAST(
+                     row_number() OVER (PARTITION BY node1, label
+                                        ORDER BY node2, supp, ln) - 1
+                   AS VARCHAR), 4, '0') AS id,
+                   node1, label, node2, supp, ln
+            FROM ({_EDGE_SQL_LI})
+        """,
+        "expand": f"""
+            SELECT node1, label, node2, u.q
+            FROM (SELECT node1, label, node2,
+                         trim(n_name)||'|'||node1 AS lst
+                  FROM ({_EDGE_SQL_NATION})) t,
+                 UNNEST(string_split(t.lst, '|')) AS u(q)
+        """,
+        "normalize_nodes": """
+            SELECT 'C'||CAST(c_custkey AS VARCHAR) AS node1,
+                   'segment' AS label, c_mktsegment AS node2 FROM customer
+            UNION ALL
+            SELECT 'C'||CAST(c_custkey AS VARCHAR), 'nation',
+                   'N'||CAST(c_nationkey AS VARCHAR) FROM customer
+        """,
+        "explode": """
+            SELECT 'P'||CAST(p_partkey AS VARCHAR) AS node1,
+                   CASE p_size % 5
+                     WHEN 0 THEN CAST(p_size AS VARCHAR)
+                     WHEN 1 THEN '"part '||CAST(p_partkey AS VARCHAR)||'"'
+                     WHEN 2 THEN CAST(p_size AS VARCHAR)||'mm'
+                     WHEN 3 THEN '^19'||CAST(p_size % 90 + 10 AS VARCHAR)||'-01-01'
+                     ELSE replace(p_brand, ' ', '')
+                   END AS node2,
+                   CASE p_size % 5
+                     WHEN 0 THEN 'number' WHEN 1 THEN 'string'
+                     WHEN 2 THEN 'quantity' WHEN 3 THEN 'date_and_times'
+                     ELSE 'symbol'
+                   END AS "node2;kgtk:data_type",
+                   CASE WHEN p_size % 5 IN (0, 2) THEN CAST(p_size AS DOUBLE)
+                        ELSE NULL END AS "node2;kgtk:number"
+            FROM part
+        """,
+        "clean_repair": """
+            SELECT 'P'||CAST(p_partkey AS VARCHAR) AS node1, 'born' AS label,
+                   '^'||CAST(1900 + p_size AS VARCHAR)||'-01-01' AS node2
+            FROM part
+        """,
+        "calc": """
+            SELECT 'O'||CAST(l_orderkey AS VARCHAR) AS node1,
+                   CAST(l_linenumber AS VARCHAR) AS ln,
+                   l_quantity AS v, 50.0 AS t,
+                   printf('%5.2f', 100.0 * l_quantity / 50.0) AS result
+            FROM lineitem
+        """,
+        "cat": f"""
+            SELECT node1, label, node2, n_name, '' AS s_name
+            FROM ({_EDGE_SQL_NATION})
+            UNION ALL
+            SELECT node1, label, node2, '' AS n_name, s_name
+            FROM ({_EDGE_SQL_SUPP})
+        """,
+        "sort": _EDGE_SQL_NATION,
+        "dedup_exact": """
+            SELECT * FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "degrees": f"""
+            SELECT node1, 'outdegree' AS label,
+                   CAST(COUNT(*) AS VARCHAR) AS node2
+            FROM ({_EDGE_SQL_LI}) GROUP BY node1
+        """,
+        "reachable": f"""
+            WITH RECURSIVE e AS (
+              SELECT node2 AS node1, node1 AS node2 FROM ({_EDGE_SQL_SUPP})
+              UNION ALL
+              SELECT node1, node2 FROM ({_EDGE_SQL_NATION})),
+            r(root, node) AS (
+              SELECT node1, node2 FROM e WHERE node1 IN ('S1','S2','S3')
+              UNION
+              SELECT r.root, e.node2 FROM r JOIN e ON e.node1 = r.node)
+            SELECT root AS node1, 'reachable' AS label, node AS node2 FROM r
+        """,
+        "connected_components": f"""
+            WITH e AS ({_EDGE_SQL_NATION}),
+                 rep AS (SELECT node2 AS region,
+                                LEAST(MIN(node1), node2) AS rep
+                         FROM e GROUP BY node2)
+            SELECT e.node1 AS node1, 'connected_component' AS label,
+                   rep.rep AS node2
+            FROM (SELECT DISTINCT node1, node2 FROM e) e
+            JOIN rep ON rep.region = e.node2
+            UNION
+            SELECT region, 'connected_component', rep FROM rep
+        """,
+        "tumbling_window": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n,
+                   round(SUM(value), 4) AS total,
+                   round(MIN(value), 4) AS vmin,
+                   round(MAX(value), 4) AS vmax
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "session_window": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               IS NULL
+                          OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            y AS (SELECT user_id, ts,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+                  FROM x)
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM y GROUP BY user_id, sid
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 4) AS sum_qty,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+                   round(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "langid": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN GREATEST({lang_score['en']}, {lang_score['de']},
+                                   {lang_score['fr']}, {lang_score['es']},
+                                   {lang_score['zh']}) = 0 THEN 'und'
+                     WHEN {lang_score['en']} >= GREATEST({lang_score['de']},
+                          {lang_score['fr']}, {lang_score['es']},
+                          {lang_score['zh']}) THEN 'en'
+                     WHEN {lang_score['de']} >= GREATEST({lang_score['fr']},
+                          {lang_score['es']}, {lang_score['zh']}) THEN 'de'
+                     WHEN {lang_score['fr']} >= GREATEST({lang_score['es']},
+                          {lang_score['zh']}) THEN 'fr'
+                     WHEN {lang_score['es']} >= {lang_score['zh']} THEN 'es'
+                     ELSE 'zh'
+                   END AS lang_pred
+            FROM documents
+        """,
+        "quality": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     {stop_cnt} AS n_stop
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   round(CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1), 6)
+                     AS punct_ratio,
+                   round(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6)
+                     AS stop_ratio,
+                   round(
+                     LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + GREATEST(LEAST(1.0 - 5.0 * CAST(n_punct AS DOUBLE)
+                                      / GREATEST(n_chars, 1), 1.0), 0.0) * 0.3
+                     + LEAST(5.0 * CAST(n_stop AS DOUBLE)
+                             / GREATEST(n_tokens, 1), 1.0) * 0.3, 6) AS quality
+            FROM m
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                     AS fingerprint
+            FROM documents
+        """,
+        "topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id < 5),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS score
+                       FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id, round(score, 6) AS score FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id) <= 10
+        """,
+    }

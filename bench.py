@@ -1,0 +1,161 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_wall", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <dir>, "num_cpus": N,
+   "triples": T, "triples_per_sec": R}
+
+Headline = the flagship KG-construction pipeline (read pages ->
+extract -> triples -> link -> canonicalize -> write parquet) over a
+page corpus derived from $GRAFT_SF_DIR/documents.parquet, replicated
+``GRAFT_PAGE_REP`` times (default 10) into /tmp parquet ONCE (untimed,
+reused across runs and parallelism levels so both levels read the same
+bytes).
+
+``--scaling`` runs bench.py twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 and reports the throughput scaling efficiency
+(the sandbox substitute for the N vs 4N-node cluster criterion).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGE_REP = int(os.environ.get("GRAFT_PAGE_REP", "10"))
+
+
+def corpus_dir() -> str:
+    tag = SF_DIR.strip("/").replace("/", "_")
+    return f"/tmp/graft_pages_{tag}_rep{PAGE_REP}"
+
+
+def ensure_corpus() -> str:
+    """Generate the replicated page corpus once (untimed)."""
+    out = corpus_dir()
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from kgtk_ray.pipelines.corpus import _expected_text, _page_html, BASE_TS
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    os.makedirs(out, exist_ok=True)
+    for r in range(PAGE_REP):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + r * 1_000_000
+        rows = {
+            "url": "https://example.org/doc/" + d["doc_id"].astype(str),
+            "warc_ts": BASE_TS + pd.to_timedelta(d["doc_id"], unit="s"),
+            "html": [_page_html(i, t, l, s, n).encode()
+                     for i, t, l, s, n in zip(d.doc_id, d.text, d.lang,
+                                              d.source, d.n_chars)],
+            "text": [_expected_text(i, t, l, s, n)
+                     for i, t, l, s, n in zip(d.doc_id, d.text, d.lang,
+                                              d.source, d.n_chars)],
+            "lang": d["lang"].astype(str),
+        }
+        pd.DataFrame(rows).to_parquet(os.path.join(out, f"part-{r:03d}.parquet"),
+                                      index=False)
+    open(marker, "w").close()
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    pages_path = ensure_corpus()
+    # warm the page cache so both parallelism levels measure compute+shuffle
+    rd.read_parquet(pages_path).count()
+
+    results: dict[str, float] = {}
+
+    # ---- headline: flagship KG pipeline -> parquet sink ----
+    from kgtk_ray.pipelines import kg_pipeline_from_pages
+    from kgtk_ray.pipelines.kg import doc_alias_map
+    from kgtk_ray.pipelines.triples import DOC_PATTERNS
+
+    alias = doc_alias_map(SF_DIR)
+    out_dir = f"/tmp/bench_kg_out_{NUM_CPUS}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    pages = rd.read_parquet(pages_path)
+    edges = kg_pipeline_from_pages(pages, alias, DOC_PATTERNS,
+                                   concurrency=max(2, NUM_CPUS // 4))
+    edges.write_parquet(out_dir)
+    headline = time.time() - t0
+    results["kg_pipeline"] = round(headline, 3)
+    n_triples = rd.read_parquet(out_dir).count()
+
+    # ---- operator benchmarks over sf tables ----
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        results[name] = round(time.time() - t, 3)
+
+    import __ray_entry__ as E
+
+    timed("compact", lambda: E._q_compact(SF_DIR).count())
+    timed("agg_pricing", lambda: E._q_agg_pricing(SF_DIR).count())
+    timed("tumbling_window", lambda: E._q_tumbling(SF_DIR).count())
+    timed("minhash_dedup", lambda: E._q_minhash(SF_DIR).count())
+    timed("topk_cosine", lambda: E._q_topk_cosine(SF_DIR).count())
+    timed("langid", lambda: E._q_langid(SF_DIR).count())
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_wall",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "page_rep": PAGE_REP,
+        "triples": int(n_triples),
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_corpus()
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR, "page_rep": PAGE_REP,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -29,12 +29,12 @@ def topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
     """Returns (query_id, vec_id, score) rows: top-``k`` corpus vectors
     per query by cosine similarity.  Deterministic tie-break: higher
     score first, then lower vec_id."""
-    Q = _norm_rows(np.asarray(queries, dtype=np.float32))
+    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
     qref = ray.put(Q)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         Qm = ray.get(qref)
-        X = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float32))
+        X = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
         sims = Qm @ X.T  # (n_q, n_batch)
         ids = df[id_col].to_numpy()
         n_take = min(k, sims.shape[1])
@@ -78,14 +78,14 @@ def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
                 C[c] = _norm_rows(S[m].mean(axis=0, keepdims=True))[0]
     cref = ray.put(C)
 
-    Q = _norm_rows(np.asarray(queries, dtype=np.float32))
+    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
     qref = ray.put((Q, {int(q): set(map(int, probe[q])) for q in range(len(Q))}))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         Cm = ray.get(cref)
         Qm, probes = ray.get(qref)
-        X = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float32))
+        X = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
         bucket = (X @ Cm.T).argmax(axis=1)
         ids = df[id_col].to_numpy()
         frames = []

@@ -98,6 +98,8 @@ def reachable_nodes(edges: Dataset, roots: Sequence[str], *,
                                  "node": m["node2"].astype(str)})
 
         nxt = eds.map_batches(step, batch_format="pandas").to_pandas()
+        if nxt.empty:
+            break
         nxt = nxt.drop_duplicates()
         new = nxt.merge(visited, on=["root", "node"], how="left", indicator=True)
         new = new[new["_merge"] == "left_only"][["root", "node"]]
