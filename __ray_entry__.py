@@ -395,6 +395,147 @@ def _q_topk_cosine(sf: str):
                        ["score"], 6)
 
 
+_EX_NS = {"http://example.org/": "ex"}
+
+
+def _nt_lines(sf: str):
+    """Deterministic N-triples lines derived from nation (same derivation
+    inlined in the oracle SQL)."""
+    n = rd.read_parquet(f"{sf}/nation.parquet")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        base = "<http://example.org/"
+        reg = (base + "N" + df.n_nationkey.astype(str) + "> "
+               + base + "in_region> "
+               + base + "R" + df.n_regionkey.astype(str) + "> .")
+        name = (base + "N" + df.n_nationkey.astype(str) + "> "
+                + base + "name> \"" + df.n_name.astype(str).str.strip()
+                + "\" .")
+        return pd.DataFrame({"line": pd.concat([reg, name], ignore_index=True)})
+
+    return n.map_batches(f, batch_format="pandas")
+
+
+def _q_import_ntriples(sf: str):
+    from kgtk_ray.io import import_ntriples
+    return import_ntriples(_nt_lines(sf), namespaces=_EX_NS)
+
+
+def _q_generate_ntriples(sf: str):
+    from kgtk_ray.io import generate_ntriples
+    return generate_ntriples(_edges_nation(sf).drop_columns(["n_name"]),
+                             namespaces=_EX_NS)
+
+
+def _reified_orders(sf: str):
+    o = rd.read_parquet(f"{sf}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        st = "ST" + df.o_orderkey.astype(str)
+        frames = [
+            pd.DataFrame({"node1": st, "label": "rdf:type",
+                          "node2": "rdf:Statement"}),
+            pd.DataFrame({"node1": st, "label": "rdf:subject",
+                          "node2": "C" + df.o_custkey.astype(str)}),
+            pd.DataFrame({"node1": st, "label": "rdf:predicate",
+                          "node2": "placed"}),
+            pd.DataFrame({"node1": st, "label": "rdf:object",
+                          "node2": "O" + df.o_orderkey.astype(str)}),
+            pd.DataFrame({"node1": st, "label": "status",
+                          "node2": df.o_orderstatus.astype(str)}),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    return o.map_batches(f, batch_format="pandas")
+
+
+def _q_unreify(sf: str):
+    from kgtk_ray.ops import unreify_rdf_statements
+    return unreify_rdf_statements(_reified_orders(sf))
+
+
+def _q_validate_properties(sf: str):
+    from kgtk_ray.ops import validate_properties
+    edges = _edges_nation(sf).drop_columns(["n_name"]).union(
+        _edges_supplier(sf).drop_columns(["s_name"]))
+    patterns = pd.DataFrame({
+        "prop": ["in_region", "in_region", "has_supplier"],
+        "kind": ["node1_pattern", "node2_pattern", "maxoccurs"],
+        "value": [r"^N\d+$", r"^R[0-3]$", "3"],
+    })
+    return validate_properties(edges, patterns)
+
+
+def _q_paths(sf: str):
+    from kgtk_ray.ops import paths
+    sup_nat = _edges_supplier(sf).map_batches(
+        lambda df: pd.DataFrame({"node1": df.node2, "label": "in_nation",
+                                 "node2": df.node1}),
+        batch_format="pandas")
+    edges = sup_nat.union(_edges_nation(sf).drop_columns(["n_name"]))
+    return paths(edges, ["S1", "S2", "S3"],
+                 ["R0", "R1", "R2", "R3", "R4"], max_hops=2)
+
+
+def _q_export_neo4j(sf: str):
+    from kgtk_ray.io import export_neo4j
+    return export_neo4j(_edges_nation(sf).drop_columns(["n_name"]))
+
+
+def _q_export_entities(sf: str):
+    from kgtk_ray.io import export_entities_json
+    return export_entities_json(_edges_supplier(sf).drop_columns(["s_name"]))
+
+
+def _q_lower(sf: str):
+    from kgtk_ray.ops import lower_labels, dedup_exact_edges
+    lifted = _q_lift(sf)
+    _, labels = lower_labels(lifted)
+    return dedup_exact_edges(labels)
+
+
+def _q_implode(sf: str):
+    from kgtk_ray.ops import explode_node2, implode_node2
+    ex = explode_node2(_part_values(sf))
+    out = implode_node2(ex)
+    return out.select_columns(["node1", "label", "node2"])
+
+
+def _q_every_nth(sf: str):
+    from kgtk_ray.ops import every_nth
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source", "lang"])
+    return every_nth(docs, 10, key="doc_id")
+
+
+def _q_tail(sf: str):
+    from kgtk_ray.ops import tail
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source", "lang"])
+    return tail(docs, 100, key="doc_id")
+
+
+def _q_text_normalize(sf: str):
+    from kgtk_ray.text import normalize_text
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(docs).select_columns(["doc_id", "text_norm"])
+
+
+def _q_text_embedding(sf: str):
+    from kgtk_ray.pipelines.embed import text_embedding
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    out = text_embedding(docs, concurrency=(1, 4), batch_size=512)
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        v = np.stack([np.asarray(x) for x in df["embedding"]])
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "e0": v[:, 0].round(6), "e1": v[:, 1].round(6)})
+
+    return out.map_batches(flat, batch_format="pandas")
+
+
 # ---- rows-only checks (approximate / not SQL-expressible) ----
 
 def _q_minhash(sf: str):
@@ -491,7 +632,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_tokens,
         "fingerprint": _q_fingerprint,
         "topk_cosine": _q_topk_cosine,
+        "import_ntriples": _q_import_ntriples,
+        "generate_ntriples": _q_generate_ntriples,
+        "unreify_rdf": _q_unreify,
+        "validate_properties": _q_validate_properties,
+        "paths": _q_paths,
+        "export_neo4j": _q_export_neo4j,
+        "export_entities": _q_export_entities,
+        "lower": _q_lower,
+        "implode": _q_implode,
+        "every_nth": _q_every_nth,
+        "tail": _q_tail,
+        "text_normalize": _q_text_normalize,
         # approximate / stateful: rows-only checks
+        "text_embedding": _q_text_embedding,
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
         "ngram_dedup": _q_ngram_dedup,
@@ -762,6 +916,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
                      AS fingerprint
+            FROM documents
+        """,
+        "import_ntriples": """
+            SELECT 'ex:N'||CAST(n_nationkey AS VARCHAR) AS node1,
+                   'ex:in_region' AS label,
+                   'ex:R'||CAST(n_regionkey AS VARCHAR) AS node2 FROM nation
+            UNION ALL
+            SELECT 'ex:N'||CAST(n_nationkey AS VARCHAR), 'ex:name',
+                   '"'||trim(n_name)||'"' FROM nation
+        """,
+        "generate_ntriples": """
+            SELECT '<http://example.org/N'||CAST(n_nationkey AS VARCHAR)
+                   ||'> <http://example.org/in_region> <http://example.org/R'
+                   ||CAST(n_regionkey AS VARCHAR)||'> .' AS line
+            FROM nation
+        """,
+        "unreify_rdf": """
+            SELECT 'C'||CAST(o_custkey AS VARCHAR) AS node1,
+                   'placed' AS label,
+                   'O'||CAST(o_orderkey AS VARCHAR) AS node2,
+                   'ST'||CAST(o_orderkey AS VARCHAR) AS id
+            FROM orders
+            UNION ALL
+            SELECT 'ST'||CAST(o_orderkey AS VARCHAR), 'status',
+                   o_orderstatus, '' FROM orders
+        """,
+        "validate_properties": f"""
+            WITH e AS (
+              SELECT node1, label, node2
+              FROM ({_EDGE_SQL_NATION})
+              UNION ALL
+              SELECT node1, label, node2 FROM ({_EDGE_SQL_SUPP})),
+            cnt AS (SELECT node1, COUNT(*) AS c FROM e
+                    WHERE label = 'has_supplier' GROUP BY node1)
+            SELECT node1, label, node2 FROM e
+            WHERE (label = 'in_region'
+                   AND regexp_full_match(node1, 'N\\d+')
+                   AND regexp_full_match(node2, 'R[0-3]'))
+               OR (label = 'has_supplier'
+                   AND node1 IN (SELECT node1 FROM cnt WHERE c <= 3))
+        """,
+        "paths": """
+            SELECT 'S'||CAST(s_suppkey AS VARCHAR) AS node1,
+                   'path' AS label,
+                   'R'||CAST(n_regionkey AS VARCHAR) AS node2,
+                   'S'||CAST(s_suppkey AS VARCHAR)
+                     ||'->N'||CAST(s_nationkey AS VARCHAR)
+                     ||'->R'||CAST(n_regionkey AS VARCHAR) AS path,
+                   CAST(2 AS BIGINT) AS hops
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            WHERE s_suppkey IN (1, 2, 3)
+        """,
+        "export_neo4j": f"""
+            SELECT 'MATCH (a:Node {{id: '''||node1||'''}}), (b:Node {{id: '''
+                   ||node2||'''}}) CREATE (a)-[:'
+                   ||upper(regexp_replace(label, '[^A-Za-z0-9_]', '_', 'g'))
+                   ||']->(b);' AS cypher
+            FROM (SELECT node1, label, node2 FROM ({_EDGE_SQL_NATION}))
+        """,
+        "export_entities": f"""
+            SELECT node1 AS qnode,
+                   '{{"claims": {{"has_supplier": ["'
+                   || string_agg(node2, '", "' ORDER BY node2)
+                   || '"]}}, "id": "'||node1||'"}}' AS doc
+            FROM ({_EDGE_SQL_SUPP}) GROUP BY node1
+        """,
+        "lower": """
+            SELECT 'N'||CAST(n_nationkey AS VARCHAR) AS node1,
+                   'label' AS label,
+                   ''''||trim(n_name)||'''@en' AS node2 FROM nation
+            UNION ALL
+            SELECT DISTINCT 'R'||CAST(r_regionkey AS VARCHAR), 'label',
+                   ''''||trim(r_name)||'''@en'
+            FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nation)
+        """,
+        "implode": """
+            SELECT 'P'||CAST(p_partkey AS VARCHAR) AS node1,
+                   'value' AS label,
+                   CASE p_size % 5
+                     WHEN 0 THEN CAST(p_size AS VARCHAR)
+                     WHEN 1 THEN '"part '||CAST(p_partkey AS VARCHAR)||'"'
+                     WHEN 2 THEN CAST(p_size AS VARCHAR)||'mm'
+                     WHEN 3 THEN '^19'||CAST(p_size % 90 + 10 AS VARCHAR)||'-01-01'
+                     ELSE replace(p_brand, ' ', '')
+                   END AS node2
+            FROM part
+        """,
+        "every_nth": """
+            SELECT doc_id, source, lang FROM documents WHERE doc_id % 10 = 0
+        """,
+        "tail": """
+            SELECT doc_id, source, lang FROM documents
+            ORDER BY doc_id DESC LIMIT 100
+        """,
+        "text_normalize": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                     regexp_replace(text,
+                       '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', ' ', 'g'),
+                     '\\s+', ' ', 'g'))) AS text_norm
             FROM documents
         """,
         "topk_cosine": """

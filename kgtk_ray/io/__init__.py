@@ -1,8 +1,26 @@
 from .kgtk_tsv import read_kgtk_tsv, write_kgtk_tsv, read_edges_parquet, write_edges_parquet
+from .rdf import import_ntriples, generate_ntriples
+from .formats import (
+    to_markdown,
+    write_jsonl,
+    export_neo4j,
+    export_neo4j_nodes,
+    export_entities_json,
+)
+from .importers import edges_from_table, import_conceptnet_like
 
 __all__ = [
     "read_kgtk_tsv",
     "write_kgtk_tsv",
     "read_edges_parquet",
     "write_edges_parquet",
+    "import_ntriples",
+    "generate_ntriples",
+    "to_markdown",
+    "write_jsonl",
+    "export_neo4j",
+    "export_neo4j_nodes",
+    "export_entities_json",
+    "edges_from_table",
+    "import_conceptnet_like",
 ]

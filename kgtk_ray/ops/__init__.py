@@ -23,8 +23,17 @@ from .shuffle import (
     dedup_exact_edges,
 )
 from .validate import validate_edges, clean_edges, explode_node2, implode_node2
-from .graph import degrees, graph_statistics, reachable_nodes, connected_components
+from .graph import (
+    degrees,
+    graph_statistics,
+    reachable_nodes,
+    connected_components,
+    paths,
+)
 from .window import tumbling_window
+from .unreify import unreify_rdf_statements
+from .propvalidate import validate_properties
+from .sample import every_nth, record_limit, tail, initial_skip
 
 __all__ = [
     "kgtk_filter", "ifempty", "ifnotempty", "calc_percentage", "expand_lists",
@@ -32,5 +41,7 @@ __all__ = [
     "reorder_columns", "cat", "compact", "unique_counts", "ifexists", "ifnotexists",
     "kgtk_join", "lift", "sort_edges", "dedup_exact_edges", "validate_edges",
     "clean_edges", "explode_node2", "implode_node2", "degrees", "graph_statistics",
-    "reachable_nodes", "connected_components", "tumbling_window",
+    "reachable_nodes", "connected_components", "paths", "tumbling_window",
+    "unreify_rdf_statements", "validate_properties", "every_nth", "record_limit",
+    "tail", "initial_skip",
 ]

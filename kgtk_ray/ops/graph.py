@@ -116,6 +116,60 @@ def reachable_nodes(edges: Dataset, roots: Sequence[str], *,
     return ray.data.from_pandas(res.reset_index(drop=True))
 
 
+def paths(edges: Dataset, sources: Sequence[str], targets: Sequence[str], *,
+          max_hops: int = 4) -> Dataset:
+    """All simple paths of length <= max_hops from sources to targets
+    (reference kgtk/cli/paths.py — graph-tool ``all_paths`` in memory).
+
+    Implementation mirrors :func:`reachable_nodes`: the (small) path
+    frontier is broadcast each round and extended by a vectorized merge
+    against the (stationary) edge dataset.  Returns
+    ``(node1=source, label="path", node2=target, path="a->b->c", hops)``.
+    Cycles are cut by refusing to revisit a node already on the path.
+    """
+    eds = edges.select_columns(["node1", "node2"]).materialize()
+    tset = set(map(str, targets))
+
+    frontier = pd.DataFrame({"src": list(map(str, sources))})
+    frontier["node"] = frontier["src"]
+    frontier["path"] = frontier["src"]
+    found = []
+    for hop in range(1, max_hops + 1):
+        ref = ray.put(frontier)
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            fr = ray.get(ref)
+            m = df.merge(fr, left_on="node1", right_on="node")
+            if m.empty:
+                return pd.DataFrame({"src": [], "node": [], "path": []})
+            # simple paths only: drop extensions that revisit a node
+            keep = [n2 not in p.split("->")
+                    for n2, p in zip(m["node2"], m["path"])]
+            m = m[keep]
+            return pd.DataFrame({"src": m["src"].astype(str),
+                                 "node": m["node2"].astype(str),
+                                 "path": m["path"] + "->" + m["node2"]})
+
+        nxt = eds.map_batches(step, batch_format="pandas").to_pandas()
+        if nxt.empty:
+            break
+        nxt = nxt.drop_duplicates()
+        hit = nxt[nxt["node"].isin(tset)].copy()
+        if not hit.empty:
+            hit["hops"] = hop
+            found.append(hit)
+        frontier = nxt
+    if not found:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node1": pd.Series([], dtype=str), "label": pd.Series([], dtype=str),
+             "node2": pd.Series([], dtype=str), "path": pd.Series([], dtype=str),
+             "hops": pd.Series([], dtype="int64")}))
+    f = pd.concat(found, ignore_index=True)
+    out = pd.DataFrame({"node1": f["src"], "label": "path", "node2": f["node"],
+                        "path": f["path"], "hops": f["hops"].astype("int64")})
+    return ray.data.from_pandas(out.drop_duplicates().reset_index(drop=True))
+
+
 def connected_components(edges: Dataset, *, max_iters: int = 50) -> Dataset:
     """Undirected connected components via distributed min-label
     propagation (reference uses graph-tool label_components,

@@ -1,0 +1,97 @@
+"""Text embedding as an actor-pool stage — the canonical stateful
+``map_batches`` case (reference: kgtk/gt/embedding_utils.py loads a
+SentenceTransformer once per process, :40, scores with pyrallel
+multiprocessing, :14; plus a Redis result cache, :42-51).
+
+Here the "model" is loaded once per actor in ``__init__`` and applied
+per batch in ``__call__``; no external cache — recompute is
+deterministic and the object store holds intermediate blocks.
+sentence-transformers is not available in this container, so the real
+model load is gated behind an import-try and falls back to a
+deterministic hashing projection (stable across processes/runs), which
+keeps the Ray-side plumbing — actor pool, batch size, schema — real and
+testable.
+
+Sentence construction from entity properties follows the reference's
+``attribute_to_sentence`` (kgtk/gt/embedding_utils.py:506): label,
+"is a" + isa values, description.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+Dataset = ray.data.Dataset
+
+EMBED_DIM = 64
+
+
+class SentenceEmbedder:
+    """Actor-pool embedder: model in __init__, vectorized batches in
+    __call__."""
+
+    def __init__(self, model_name: str = "bert-base-nli-mean-tokens",
+                 dim: int = EMBED_DIM):
+        self.dim = dim
+        self.model = None
+        try:  # real model when the library exists (not in this container)
+            from sentence_transformers import SentenceTransformer  # type: ignore
+            self.model = SentenceTransformer(model_name)
+        except ImportError:
+            # deterministic fallback: feature-hash token counts into
+            # `dim` buckets, l2-normalize.  Stable across runs/processes.
+            self.model = None
+
+    def _fake_embed(self, texts: pd.Series) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for tok in str(t).lower().split():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "little")
+                out[i, h % self.dim] += 1.0 + (h >> 32) % 7 * 0.1
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["sentence"] if "sentence" in df else df["text"]
+        if self.model is not None:
+            vecs = self.model.encode(list(texts.astype(str)))
+            vecs = np.asarray(vecs, dtype=np.float32)
+        else:
+            vecs = self._fake_embed(texts.astype(str))
+        df = df.copy()
+        df["embedding"] = list(vecs)
+        return df
+
+
+def attribute_to_sentence(df: pd.DataFrame) -> pd.Series:
+    """Entity properties -> one sentence (reference
+    kgtk/gt/embedding_utils.py:506 attribute_to_sentence):
+    "<label>, <description>, is a <isa1>, <isa2>"."""
+    parts = df.get("label_text", pd.Series("", index=df.index)).astype(str)
+    desc = df.get("description", pd.Series("", index=df.index)).astype(str)
+    isa = df.get("isa", pd.Series("", index=df.index)).astype(str)
+    s = parts
+    s = s.where(desc == "", s + ", " + desc)
+    s = s.where(isa == "", s + ", is a " + isa.str.replace("|", ", ", regex=False))
+    return s.str.strip(", ")
+
+
+def text_embedding(ds: Dataset, *, text_col: str = "text",
+                   concurrency: tuple[int, int] | int = (1, 8),
+                   batch_size: int = 1024) -> Dataset:
+    """Embed a text column via the actor pool.  ``batch_size`` trades
+    per-call overhead against worker heap (vectors are dim×4 bytes/row)."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sentence"] = df[text_col].astype(str)
+        return df
+
+    return (ds.map_batches(prep, batch_format="pandas")
+            .map_batches(SentenceEmbedder, batch_format="pandas",
+                         concurrency=concurrency, batch_size=batch_size))

@@ -2,6 +2,13 @@ from .langid import langid
 from .quality import quality_score
 from .tokens import token_counts
 from .fingerprint import fingerprint, winnowing_fingerprints
+from .normalize import (
+    normalize_text,
+    normalize_text_series,
+    normalize_whitespace_series,
+    normalize_punctuation_series,
+)
 
 __all__ = ["langid", "quality_score", "token_counts", "fingerprint",
-           "winnowing_fingerprints"]
+           "winnowing_fingerprints", "normalize_text", "normalize_text_series",
+           "normalize_whitespace_series", "normalize_punctuation_series"]

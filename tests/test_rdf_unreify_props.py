@@ -1,0 +1,218 @@
+"""Tests for RDF import/export, unreify, property validation, paths,
+sampling, export formats, normalizers, and embedding plumbing
+(reference semantics cites in each module's docstring)."""
+import json
+
+import pandas as pd
+import pytest
+import ray.data
+
+import kgtk_ray.ops as O
+from kgtk_ray.io import (
+    import_ntriples, generate_ntriples, export_neo4j, export_neo4j_nodes,
+    export_entities_json, to_markdown, edges_from_table,
+)
+from kgtk_ray.text import normalize_text
+from kgtk_ray.pipelines.embed import text_embedding
+
+
+def edges(rows, columns=("node1", "label", "node2")):
+    return ray.data.from_pandas(pd.DataFrame(rows, columns=list(columns)))
+
+
+def rows(ds):
+    df = ds.to_pandas()
+    df = df[sorted(df.columns)].astype(str)
+    return sorted(map(tuple, df.to_numpy().tolist()))
+
+
+# ---------------------------------------------------------------- ntriples
+
+NT_LINES = [
+    '<http://example.org/Q1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example.org/Person> .',
+    '<http://example.org/Q1> <http://schema.org/name> "Alice" .',
+    '<http://example.org/Q1> <http://schema.org/name> "Alicia"@es .',
+    '<http://example.org/Q1> <http://schema.org/age> "42"^^<http://www.w3.org/2001/XMLSchema#int> .',
+    '<http://example.org/Q1> <http://schema.org/alive> "true"^^<http://www.w3.org/2001/XMLSchema#boolean> .',
+    '<http://example.org/Q1> <http://schema.org/born> "1984-01-02T00:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> .',
+    '_:b0 <http://schema.org/knows> <http://example.org/Q1> .',
+    'malformed line no triple',
+]
+
+
+def test_import_ntriples():
+    ns = {"http://example.org/": "ex",
+          "http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf",
+          "http://schema.org/": "schema"}
+    lines = ray.data.from_pandas(pd.DataFrame({"line": NT_LINES}))
+    out = import_ntriples(lines, namespaces=ns).to_pandas()
+    got = set(map(tuple, out.to_numpy().tolist()))
+    assert ("ex:Q1", "rdf:type", "ex:Person") in got
+    assert ("ex:Q1", "schema:name", '"Alice"') in got
+    assert ("ex:Q1", "schema:name", "'Alicia'@es") in got
+    assert ("ex:Q1", "schema:age", "42") in got
+    assert ("ex:Q1", "schema:alive", "True") in got
+    assert ("ex:Q1", "schema:born", "^1984-01-02T00:00:00Z") in got
+    assert ("_:b0", "schema:knows", "ex:Q1") in got
+    assert len(got) == 7  # malformed line dropped
+
+
+def test_generate_ntriples_roundtrip():
+    ns = {"http://example.org/": "ex", "http://schema.org/": "schema"}
+    e = edges([("ex:Q1", "schema:age", "42"),
+               ("ex:Q1", "schema:name", '"Alice"')])
+    lines = generate_ntriples(e, namespaces=ns).to_pandas()["line"]
+    assert '<http://example.org/Q1> <http://schema.org/age> "42"^^<http://www.w3.org/2001/XMLSchema#decimal> .' in set(lines)
+    assert '<http://example.org/Q1> <http://schema.org/name> "Alice" .' in set(lines)
+
+
+# ----------------------------------------------------------------- unreify
+
+def test_unreify_rdf_statements():
+    e = edges([
+        ("S1", "rdf:type", "rdf:Statement"),
+        ("S1", "rdf:subject", "Q1"),
+        ("S1", "rdf:predicate", "P31"),
+        ("S1", "rdf:object", "Q5"),
+        ("S1", "refers_to", "REF9"),
+        ("Q7", "P31", "Q5"),
+    ])
+    out = rows(O.unreify_rdf_statements(e))
+    # sorted-column tuple order: (id, label, node1, node2)
+    assert ("S1", "P31", "Q1", "Q5") in out          # collapsed direct edge
+    assert ("", "refers_to", "S1", "REF9") in out    # qualifier keeps stmt node
+    assert ("", "P31", "Q7", "Q5") in out            # untouched passthrough
+    assert len(out) == 3
+
+
+def test_unreify_multiple_objects_cross_product():
+    e = edges([
+        ("S1", "rdf:type", "rdf:Statement"),
+        ("S1", "rdf:subject", "Q1"),
+        ("S1", "rdf:predicate", "P31"),
+        ("S1", "rdf:object", "Q5"),
+        ("S1", "rdf:object", "Q6"),
+    ])
+    out = rows(O.unreify_rdf_statements(e))
+    assert ("S1", "P31", "Q1", "Q5") in out
+    assert ("S1", "P31", "Q1", "Q6") in out
+
+
+# ---------------------------------------------------------- validate-props
+
+def _patterns():
+    return pd.DataFrame({
+        "prop": ["in_region", "in_region", "age", "age"],
+        "kind": ["node1_pattern", "node2_pattern", "node2_type", "maxoccurs"],
+        "value": ["^N\\d+$", "^R\\d+$", "number", "1"],
+    })
+
+
+def test_validate_properties_patterns():
+    e = edges([
+        ("N1", "in_region", "R1"),
+        ("X1", "in_region", "R1"),     # bad node1
+        ("N2", "in_region", "Z9"),     # bad node2
+        ("N1", "age", "42"),
+        ("N2", "age", "forty"),        # bad type
+    ])
+    good = rows(O.validate_properties(e, _patterns()))
+    # sorted-column tuple order: (label, node1, node2)
+    assert ("in_region", "N1", "R1") in good
+    assert ("age", "N1", "42") in good
+    assert len(good) == 2
+    bad = O.validate_properties(e, _patterns(), emit="reject").to_pandas()
+    assert set(bad["reason"]) == {"node1_pattern", "node2_pattern", "node2_type"}
+
+
+def test_validate_properties_cardinality():
+    e = edges([
+        ("N1", "age", "1"),
+        ("N1", "age", "2"),   # maxoccurs=1 violated for N1
+        ("N2", "age", "3"),
+    ])
+    good = O.validate_properties(e, _patterns()).to_pandas()
+    assert set(good["node1"]) == {"N2"}
+
+
+# -------------------------------------------------------------------- paths
+
+def test_paths():
+    e = edges([("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c"),
+               ("c", "r", "a")])
+    out = O.paths(e, ["a"], ["c"], max_hops=3).to_pandas()
+    ps = set(out["path"])
+    assert "a->c" in ps
+    assert "a->b->c" in ps
+    assert all(h <= 3 for h in out["hops"])
+    # no cyclic revisits
+    assert not any(p.split("->").count("a") > 1 for p in ps)
+
+
+# ----------------------------------------------------------------- sampling
+
+def test_sampling():
+    ds = ray.data.from_pandas(pd.DataFrame({"k": range(100), "v": range(100)}))
+    assert O.every_nth(ds, 10, key="k").count() == 10
+    assert O.record_limit(ds, 7).count() == 7
+    t = O.tail(ds, 5, key="k").to_pandas()
+    assert set(t["k"]) == {95, 96, 97, 98, 99}
+    s = O.initial_skip(ds, 95, key="k").to_pandas()
+    assert set(s["k"]) == {95, 96, 97, 98, 99}
+
+
+# ------------------------------------------------------------------ formats
+
+def test_export_neo4j():
+    e = edges([("a", "knows well", "b")])
+    c = export_neo4j(e).to_pandas()["cypher"].iloc[0]
+    assert "KNOWS_WELL" in c and "{id: 'a'}" in c and "{id: 'b'}" in c
+    nodes = set(export_neo4j_nodes(e).to_pandas()["cypher"])
+    assert len(nodes) == 2
+
+
+def test_export_entities_json():
+    e = edges([("Q1", "P31", "Q5"), ("Q1", "P31", "Q4"), ("Q2", "P31", "Q5")])
+    out = export_entities_json(e).to_pandas().set_index("qnode")
+    doc = json.loads(out.loc["Q1", "doc"])
+    assert doc["claims"]["P31"] == ["Q4", "Q5"]
+
+
+def test_to_markdown():
+    e = edges([("a", "r", "b")])
+    md = to_markdown(e)
+    assert md.splitlines()[0].startswith("| ")
+    assert "| a | r | b |" in md
+
+
+def test_edges_from_table():
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"start": ["x"], "rel": ["related"], "end": ["y"], "w": [3]}))
+    out = edges_from_table(ds, node1_col="start", label_col="rel",
+                           node2_col="end", extra={"weight": "w"})
+    # sorted-column tuple order: (label, node1, node2, weight)
+    assert rows(out) == [("related", "x", "y", "3")]
+
+
+# --------------------------------------------------------------- normalize
+
+def test_normalize_text():
+    ds = ray.data.from_pandas(pd.DataFrame({"text": ["  Héllo,   World!  "]}))
+    out = normalize_text(ds).to_pandas()["text_norm"].iloc[0]
+    assert out == "héllo world"
+    ws = normalize_text(ds, mode="whitespace").to_pandas()["text_norm"].iloc[0]
+    assert ws == "Héllo, World!"
+
+
+# --------------------------------------------------------------- embedding
+
+def test_text_embedding_deterministic():
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"text": ["alpha beta", "alpha beta", "gamma delta"]}))
+    out = text_embedding(ds, concurrency=(1, 2), batch_size=2).to_pandas()
+    import numpy as np
+    v = [np.asarray(x) for x in out["embedding"]]
+    assert v[0].shape == (64,)
+    assert np.allclose(v[0], v[1])       # same text -> same vector
+    assert not np.allclose(v[0], v[2])
+    assert abs(np.linalg.norm(v[0]) - 1.0) < 1e-5
