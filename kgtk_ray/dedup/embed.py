@@ -42,18 +42,23 @@ def embedding_dedup(ds: Dataset, *, vec_col: str = "embedding",
 
     flat = ds.map_batches(bucketize, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc").sort_values("doc").head(64)
-        if len(g) < 2:
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # bucketed self-merge + one einsum for every candidate cosine
+        d = (df.drop_duplicates(["table", "bucket", "doc"])
+             .sort_values("doc", kind="mergesort"))
+        d = d[d.groupby(["table", "bucket"], sort=False).cumcount() < 64]
+        m = d.merge(d, on=["table", "bucket"])
+        m = m[m["doc_x"] < m["doc_y"]]
+        if not len(m):
             return pd.DataFrame({"a": [], "b": [], "cos": []})
-        X = np.stack(g["vec"].to_numpy())
-        sims = X @ X.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        docs = g["doc"].to_numpy()
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib], "cos": sims[ia, ib]})
+        A = np.stack(m["vec_x"].to_numpy())
+        B = np.stack(m["vec_y"].to_numpy())
+        cos = np.einsum("ij,ij->i", A, B)
+        return pd.DataFrame({"a": m["doc_x"].to_numpy(),
+                             "b": m["doc_y"].to_numpy(), "cos": cos})
 
-    cand = flat.groupby(["table", "bucket"]).map_groups(
-        pairs, batch_format="pandas").to_pandas()
+    from ..ops._bucket import bucketed_group_apply
+    cand = bucketed_group_apply(flat, ["table", "bucket"], pairs).to_pandas()
     cand = cand.drop_duplicates(["a", "b"])
     cand = cand[cand["cos"] >= threshold]
 

@@ -29,9 +29,12 @@ def dedup_exact(ds: Dataset, *, text_col: str = "text",
         df["__h__"] = _hash_col(df, text_col)
         return df.sort_values(id_col, kind="mergesort").drop_duplicates("__h__")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per bucket: min-id row per hash
+        return (df.sort_values(id_col, kind="mergesort")
+                .drop_duplicates("__h__", keep="first"))
 
-    out = ds.map_batches(local, batch_format="pandas").groupby(
-        "__h__").map_groups(first, batch_format="pandas")
+    from ..ops._bucket import bucketed_group_apply
+    out = bucketed_group_apply(
+        ds.map_batches(local, batch_format="pandas"), ["__h__"], first)
     return out.drop_columns(["__h__"])

@@ -103,17 +103,22 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 
     flat = ds.map_batches(sig_and_bands, batch_format="pandas")
 
-    # 3: candidate pairs per (band,bucket) group
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc"].unique())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        docs = docs[:64]  # hot-bucket cap; a 64-doc bucket yields 2016 pairs
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+    # 3: candidate pairs per (band,bucket) group — bucketed self-merge
+    # (one vectorized pandas merge per hash bucket; LSH buckets are
+    # mostly singletons, so per-group UDF dispatch would dominate)
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.drop_duplicates(["band", "bucket", "doc"])
+             .sort_values("doc", kind="mergesort"))
+        # hot-bucket cap: first 64 docs per LSH bucket (2016 pairs max)
+        d = d[d.groupby(["band", "bucket"], sort=False).cumcount() < 64]
+        m = d.merge(d, on=["band", "bucket"])
+        m = m[m["doc_x"] < m["doc_y"]]
+        return pd.DataFrame({"a": m["doc_x"].to_numpy(),
+                             "b": m["doc_y"].to_numpy()})
 
-    cand = flat.groupby(["band", "bucket"]).map_groups(
-        pairs, batch_format="pandas").to_pandas().drop_duplicates()
+    from ..ops._bucket import bucketed_group_apply
+    cand = bucketed_group_apply(flat, ["band", "bucket"],
+                                pairs).to_pandas().drop_duplicates()
 
     if cand.empty:
         ids = ds.select_columns([id_col])

@@ -65,18 +65,22 @@ def simhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 
     flat = ds.map_batches(fp_and_chunks, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc").sort_values("doc").head(64)
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "fa": [], "fb": []})
-        docs = g["doc"].to_numpy()
-        fps = g["fp"].to_numpy(dtype=np.uint64)
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib],
-                             "fa": fps[ia], "fb": fps[ib]})
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # bucketed self-merge: one vectorized pass over all (chunk,val)
+        # groups in the hash bucket
+        d = (df.drop_duplicates(["chunk", "val", "doc"])
+             .sort_values("doc", kind="mergesort"))
+        d = d[d.groupby(["chunk", "val"], sort=False).cumcount() < 64]
+        m = d.merge(d, on=["chunk", "val"])
+        m = m[m["doc_x"] < m["doc_y"]]
+        return pd.DataFrame({"a": m["doc_x"].to_numpy(),
+                             "b": m["doc_y"].to_numpy(),
+                             "fa": m["fp_x"].to_numpy(dtype=np.uint64),
+                             "fb": m["fp_y"].to_numpy(dtype=np.uint64)})
 
-    cand = flat.groupby(["chunk", "val"]).map_groups(
-        pairs, batch_format="pandas").to_pandas().drop_duplicates(["a", "b"])
+    from ..ops._bucket import bucketed_group_apply
+    cand = bucketed_group_apply(flat, ["chunk", "val"],
+                                pairs).to_pandas().drop_duplicates(["a", "b"])
 
     if len(cand):
         d = _hamming(cand["fa"].to_numpy(dtype=np.uint64),

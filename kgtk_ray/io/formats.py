@@ -67,9 +67,10 @@ def export_neo4j_nodes(edges: Dataset, *, node_label: str = "Node") -> Dataset:
         vals = pd.concat([df["node1"], df["node2"]]).astype(str).drop_duplicates()
         return pd.DataFrame({"node": vals})
 
-    uniq = (edges.map_batches(nodes, batch_format="pandas")
-            .groupby("node").map_groups(lambda df: df.head(1),
-                                        batch_format="pandas"))
+    from ..ops._bucket import bucketed_group_apply
+    uniq = bucketed_group_apply(
+        edges.map_batches(nodes, batch_format="pandas"), ["node"],
+        lambda df: df.drop_duplicates("node"))
 
     def render(df: pd.DataFrame) -> pd.DataFrame:
         n = df["node"].astype(str).str.replace("'", "\\'", regex=False)
@@ -91,13 +92,17 @@ def export_entities_json(edges: Dataset, *, qual_columns: tuple = ()) -> Dataset
     """
 
     def build(df: pd.DataFrame) -> pd.DataFrame:
-        qnode = str(df["node1"].iloc[0])
-        claims: dict[str, list[str]] = {}
-        for lab, val in zip(df["label"].astype(str), df["node2"].astype(str)):
-            claims.setdefault(lab, []).append(val)
-        doc = {"id": qnode,
-               "claims": {k: sorted(v) for k, v in sorted(claims.items())}}
-        return pd.DataFrame({"qnode": [qnode],
-                             "doc": [json.dumps(doc, sort_keys=True)]})
+        """Vectorized per bucket: group claim values at C speed, then one
+        json.dumps per entity (the irreducible Python part)."""
+        g = (df.sort_values(["node1", "label", "node2"], kind="mergesort")
+             .groupby(["node1", "label"], sort=False)["node2"]
+             .agg(list).reset_index())
+        docs = []
+        for qnode, sub in g.groupby("node1", sort=False):
+            claims = dict(zip(sub["label"], sub["node2"]))
+            docs.append((qnode, json.dumps({"id": qnode, "claims": claims},
+                                           sort_keys=True)))
+        return pd.DataFrame(docs, columns=["qnode", "doc"])
 
-    return edges.groupby("node1").map_groups(build, batch_format="pandas")
+    from ..ops._bucket import bucketed_group_apply
+    return bucketed_group_apply(edges, ["node1"], build)

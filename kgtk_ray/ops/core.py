@@ -233,19 +233,25 @@ def add_id(ds: Dataset, *, style: str = "node1-label-node2",
             "node1", "label", "node2"]
 
         def g(df: pd.DataFrame) -> pd.DataFrame:
+            # vectorized per-bucket ranking: sort by (keys, rest) and use
+            # groupby-cumcount for the within-key sequence number —
+            # deterministic regardless of block order.
             rest = [c for c in df.columns if c not in keys]
-            df = df.sort_values(rest or keys, kind="mergesort").reset_index(drop=True)
+            df = (df.sort_values(keys + rest, kind="mergesort")
+                  .reset_index(drop=True))
+            rank = df.groupby(keys, sort=False).cumcount()
             prefix = df[keys[0]].astype(str)
             for k in keys[1:]:
                 prefix = prefix + "-" + df[k].astype(str)
-            new = prefix + "-" + pd.Series(np.arange(len(df)), dtype=str).str.zfill(4)
+            new = prefix + "-" + rank.astype(str).str.zfill(4)
             if id_col in df.columns:
                 df[id_col] = new.values
             else:
                 df.insert(0, id_col, new.values)
             return df
 
-        return ds.groupby(keys).map_groups(g, batch_format="pandas")
+        from ._bucket import bucketed_group_apply
+        return bucketed_group_apply(ds, keys, g)
 
     raise ValueError(f"unknown id style: {style}")
 

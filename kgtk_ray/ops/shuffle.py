@@ -64,16 +64,51 @@ def compact(
     keys = list(key_columns) if key_columns else _default_edge_keys(ds.schema().names)
 
     def merge_df(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-batch combiner.  Singleton keys skip the grouped merge;
+        their cells are normalized (sorted-unique ``|`` lists) only when
+        they actually contain a ``|`` — the rare case."""
         rest = [c for c in df.columns if c not in keys]
         if not rest:
             return df.drop_duplicates()
-        agg = {c: merge_list_series for c in rest}
-        out = df.groupby(keys, as_index=False, sort=False).agg(agg)
-        return out
+        dup = df.duplicated(keys, keep=False)
+        uniq = df[~dup].copy()
+        for c in rest:
+            col = uniq[c]
+            m = col.notna() & col.astype(str).str.contains("|", regex=False)
+            if m.any():
+                uniq.loc[m, c] = col[m].map(
+                    lambda v: merge_list_series(pd.Series([v])))
+        dups = df[dup]
+        if not len(dups):
+            return uniq
+        merged = dups.groupby(keys, as_index=False, sort=False).agg(
+            {c: merge_list_series for c in rest})
+        return pd.concat([uniq, merged], ignore_index=True)
 
-    # phase 1: per-batch combiner; phase 2: global grouped merge
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-bucket merge.  After phase 1 every surviving
+        row is already cell-normalized, so keys unique within the bucket
+        pass through untouched; only genuinely duplicated keys pay the
+        grouped merge."""
+        rest = [c for c in df.columns if c not in keys]
+        if not rest:
+            return df.drop_duplicates()
+        dup = df.duplicated(keys, keep=False)
+        uniq = df[~dup]
+        dups = df[dup]
+        if not len(dups):
+            return uniq
+        merged = dups.groupby(keys, as_index=False, sort=False).agg(
+            {c: merge_list_series for c in rest})
+        return pd.concat([uniq, merged], ignore_index=True)
+
+    # phase 1: per-batch combiner (normalizes every cell and collapses
+    # hot keys to <=1 row per batch — the skew guard); phase 2: bucketed
+    # shuffle, one vectorized merge per bucket instead of one UDF call
+    # per distinct (node1,label,node2).
+    from ._bucket import bucketed_group_apply
     partial = ds.map_batches(merge_df, batch_format="pandas")
-    return partial.groupby(keys).map_groups(merge_df, batch_format="pandas")
+    return bucketed_group_apply(partial, keys, merge_bucket)
 
 
 def unique_counts(
@@ -271,11 +306,20 @@ def lift(
         batch_format="pandas",
     )
     # distributed merge of multi-labels, then driver-side dict (small)
-    merged = lbl_rows.groupby("node1").map_groups(
-        lambda g: pd.DataFrame({"node1": [g["node1"].iloc[0]],
-                                "node2": [merge_list_series(g["node2"])]}),
-        batch_format="pandas",
-    )
+    from ._bucket import bucketed_group_apply
+
+    def merge_labels(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df.duplicated("node1", keep=False)
+        uniq = df[~dup]
+        dups = df[dup]
+        if len(dups):
+            m = dups.groupby("node1", as_index=False, sort=False).agg(
+                {"node2": merge_list_series})
+            return pd.concat([uniq, m], ignore_index=True)
+        return uniq
+
+    merged = bucketed_group_apply(lbl_rows, ["node1"], merge_labels,
+                                  num_buckets=16)
     label_map = dict(zip(*(lambda d: (d["node1"], d["node2"]))(merged.to_pandas())))
     ref = ray.put(label_map)
 
@@ -311,9 +355,11 @@ def dedup_exact_edges(ds: Dataset, key_columns: Sequence[str] | None = None) -> 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=keys)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        rest = [c for c in g.columns if c not in keys]
-        return g.sort_values(rest or keys, kind="mergesort").head(1)
+    def first_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        rest = [c for c in df.columns if c not in keys]
+        return (df.sort_values(rest or keys, kind="mergesort")
+                .drop_duplicates(subset=keys, keep="first"))
 
-    return ds.map_batches(local, batch_format="pandas").groupby(keys).map_groups(
-        first, batch_format="pandas")
+    from ._bucket import bucketed_group_apply
+    return bucketed_group_apply(
+        ds.map_batches(local, batch_format="pandas"), keys, first_per_key)

@@ -19,8 +19,6 @@ so groups stay small and skew-free at any corpus size.
 """
 from __future__ import annotations
 
-import itertools
-
 import pandas as pd
 import ray.data
 
@@ -39,21 +37,34 @@ def unreify_rdf_statements(
     """One shuffle on node1; statement groups collapse, everything else
     passes through unchanged."""
 
-    def collapse(df: pd.DataFrame) -> pd.DataFrame:
-        is_trigger = (df["label"] == trigger_label) & (df["node2"] == trigger_node2)
-        if not is_trigger.any():
-            out = df[["node1", "label", "node2"]].copy()
-            out["id"] = ""
-            return out
-        stmt = str(df["node1"].iloc[0])
-        subs = sorted(df.loc[df["label"] == subject_label, "node2"].unique())
-        preds = sorted(df.loc[df["label"] == predicate_label, "node2"].unique())
-        objs = sorted(df.loc[df["label"] == object_label, "node2"].unique())
-        rows = [(s, p, o, stmt)
-                for s, p, o in itertools.product(subs, preds, objs)]
-        core = {trigger_label, subject_label, predicate_label, object_label}
-        quals = df[~df["label"].isin(core)]
-        rows += [(stmt, l, v, "") for l, v in zip(quals["label"], quals["node2"])]
-        return pd.DataFrame(rows, columns=["node1", "label", "node2", "id"])
+    core = {trigger_label, subject_label, predicate_label, object_label}
 
-    return edges.groupby("node1").map_groups(collapse, batch_format="pandas")
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized over every statement group in the bucket: the
+        subject×predicate×object cross-product is two pandas merges on
+        the statement id; everything else is boolean masking."""
+        trig = (df["label"] == trigger_label) & (df["node2"] == trigger_node2)
+        stmt_ids = df.loc[trig, "node1"].unique()
+        is_stmt = df["node1"].isin(stmt_ids)
+
+        through = df.loc[~is_stmt, ["node1", "label", "node2"]].copy()
+        through["id"] = ""
+
+        sdf = df[is_stmt]
+
+        def vals(lab: str, out: str) -> pd.DataFrame:
+            v = sdf.loc[sdf["label"] == lab, ["node1", "node2"]]
+            return v.drop_duplicates().rename(columns={"node2": out})
+
+        direct = (vals(subject_label, "s")
+                  .merge(vals(predicate_label, "p"), on="node1")
+                  .merge(vals(object_label, "o"), on="node1"))
+        direct = pd.DataFrame({"node1": direct["s"], "label": direct["p"],
+                               "node2": direct["o"], "id": direct["node1"]})
+
+        quals = sdf.loc[~sdf["label"].isin(core), ["node1", "label", "node2"]].copy()
+        quals["id"] = ""
+        return pd.concat([direct, quals, through], ignore_index=True)
+
+    from ._bucket import bucketed_group_apply
+    return bucketed_group_apply(edges, ["node1"], collapse)

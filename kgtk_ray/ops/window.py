@@ -48,16 +48,19 @@ def session_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user_
     Returns one row per session: ``<key_col>, session_start, session_end,
     n_events``.
     """
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        gap = g[ts_col].diff().dt.total_seconds().fillna(float("inf"))
-        sid = (gap > gap_s).cumsum()
-        agg = g.groupby(sid).agg(
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL keys in the bucket: sort (key, ts), per-key
+        # diff via groupby, session id = cumsum of gap breaks
+        df = df.sort_values([key_col, ts_col], kind="mergesort")
+        gap = df.groupby(key_col, sort=False)[ts_col].diff().dt.total_seconds()
+        brk = gap.isna() | (gap > gap_s)
+        sid = brk.cumsum()  # strictly increasing across keys: safe global id
+        agg = df.groupby([key_col, sid], sort=False).agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
             n_events=(ts_col, "size"),
-        ).reset_index(drop=True)
-        agg.insert(0, key_col, g[key_col].iloc[0])
-        return agg
+        ).reset_index(level=0).reset_index(drop=True)
+        return agg[[key_col, "session_start", "session_end", "n_events"]]
 
-    return events.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    from ._bucket import bucketed_group_apply
+    return bucketed_group_apply(events, [key_col], sessions, num_buckets=32)
