@@ -536,6 +536,61 @@ def _q_text_embedding(sf: str):
     return out.map_batches(flat, batch_format="pandas")
 
 
+def _q_import_wikidata(sf: str):
+    from kgtk_ray.io import import_wikidata, split_wikidata
+    import json as _json
+    n = rd.read_parquet(f"{sf}/nation.parquet")
+
+    def to_json(df: pd.DataFrame) -> pd.DataFrame:
+        lines = []
+        for nk, name, rk in zip(df.n_nationkey, df.n_name, df.n_regionkey):
+            lines.append(_json.dumps({
+                "id": f"Q{nk}",
+                "labels": {"en": {"value": str(name).strip()}},
+                "claims": {
+                    "P1": [{"id": f"Q{nk}$c1",
+                            "mainsnak": {"datavalue": {
+                                "type": "wikibase-entityid",
+                                "value": {"id": f"R{rk}"}}}}],
+                    "P2": [{"mainsnak": {"datavalue": {
+                        "type": "quantity",
+                        "value": {"amount": f"+{nk}", "unit": "1"}}}}],
+                },
+            }))
+        return pd.DataFrame({"line": lines})
+
+    _, edges, _ = split_wikidata(import_wikidata(n.map_batches(
+        to_json, batch_format="pandas")))
+    return edges
+
+
+def _q_unreify_values(sf: str):
+    from kgtk_ray.ops import unreify_values
+    part = rd.read_parquet(f"{sf}/part.parquet",
+                           columns=["p_partkey", "p_size"])
+
+    def reify(df: pd.DataFrame) -> pd.DataFrame:
+        v = "V" + df.p_partkey.astype(str)
+        return pd.concat([
+            pd.DataFrame({"node1": v, "label": "rdf:type",
+                          "node2": "wikibase:QuantityValue"}),
+            pd.DataFrame({"node1": v, "label": "amount",
+                          "node2": df.p_size.astype(str)}),
+            pd.DataFrame({"node1": "P" + df.p_partkey.astype(str),
+                          "label": "size", "node2": v}),
+        ], ignore_index=True)
+
+    return unreify_values(
+        part.map_batches(reify, batch_format="pandas"),
+        trigger_label="rdf:type", trigger_node2="wikibase:QuantityValue",
+        value_label="amount", new_label="size")
+
+
+def _q_hits(sf: str):
+    from kgtk_ray.ops import hits
+    return hits(_edges_nation(sf).drop_columns(["n_name"]), iters=5)
+
+
 # ---- rows-only checks (approximate / not SQL-expressible) ----
 
 def _q_minhash(sf: str):
@@ -644,7 +699,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "every_nth": _q_every_nth,
         "tail": _q_tail,
         "text_normalize": _q_text_normalize,
+        "import_wikidata": _q_import_wikidata,
+        "unreify_values": _q_unreify_values,
         # approximate / stateful: rows-only checks
+        "hits": _q_hits,
         "text_embedding": _q_text_embedding,
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
@@ -1017,6 +1075,22 @@ def oracle_sql() -> dict[str, str]:
                        '[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', ' ', 'g'),
                      '\\s+', ' ', 'g'))) AS text_norm
             FROM documents
+        """,
+        "import_wikidata": """
+            SELECT 'Q'||CAST(n_nationkey AS VARCHAR)||'-c1' AS id,
+                   'Q'||CAST(n_nationkey AS VARCHAR) AS node1,
+                   'P1' AS label,
+                   'R'||CAST(n_regionkey AS VARCHAR) AS node2 FROM nation
+            UNION ALL
+            SELECT 'Q'||CAST(n_nationkey AS VARCHAR)||'-P2-'
+                     ||CAST(n_nationkey AS VARCHAR),
+                   'Q'||CAST(n_nationkey AS VARCHAR), 'P2',
+                   CAST(n_nationkey AS VARCHAR) FROM nation
+        """,
+        "unreify_values": """
+            SELECT 'P'||CAST(p_partkey AS VARCHAR) AS node1,
+                   'size' AS label, CAST(p_size AS VARCHAR) AS node2
+            FROM part
         """,
         "topk_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -8,6 +8,7 @@ from .formats import (
     export_entities_json,
 )
 from .importers import edges_from_table, import_conceptnet_like
+from .wikidata import import_wikidata, split_wikidata
 
 __all__ = [
     "read_kgtk_tsv",
@@ -23,4 +24,6 @@ __all__ = [
     "export_entities_json",
     "edges_from_table",
     "import_conceptnet_like",
+    "import_wikidata",
+    "split_wikidata",
 ]

@@ -29,9 +29,10 @@ from .graph import (
     reachable_nodes,
     connected_components,
     paths,
+    hits,
 )
 from .window import tumbling_window
-from .unreify import unreify_rdf_statements
+from .unreify import unreify_rdf_statements, unreify_values
 from .propvalidate import validate_properties
 from .sample import every_nth, record_limit, tail, initial_skip
 
@@ -42,6 +43,6 @@ __all__ = [
     "kgtk_join", "lift", "sort_edges", "dedup_exact_edges", "validate_edges",
     "clean_edges", "explode_node2", "implode_node2", "degrees", "graph_statistics",
     "reachable_nodes", "connected_components", "paths", "tumbling_window",
-    "unreify_rdf_statements", "validate_properties", "every_nth", "record_limit",
+    "unreify_rdf_statements", "unreify_values", "hits", "validate_properties", "every_nth", "record_limit",
     "tail", "initial_skip",
 ]

@@ -68,3 +68,73 @@ def unreify_rdf_statements(
 
     from ._bucket import bucketed_group_apply
     return bucketed_group_apply(edges, ["node1"], collapse)
+
+
+def unreify_values(
+    edges: Dataset,
+    *,
+    trigger_label: str,
+    trigger_node2: str,
+    value_label: str,
+    new_label: str | None = None,
+) -> Dataset:
+    """Unreify value nodes (reference /root/reference/kgtk/unreify/
+    kgtkunreifyvalues.py: a node carrying ``trigger_label trigger_node2``
+    plus a ``value_label`` edge collapses into direct edges
+    ``(referrer, new_label, value)`` for every edge that pointed AT the
+    value node; its remaining edges become qualifiers).
+
+    Needs the value node's inbound edges grouped with its outbound ones:
+    one bucketed shuffle keyed on the value-node id (inbound rows are
+    re-keyed by node2 first).
+    """
+    import ray
+
+    out_label = new_label if new_label is not None else value_label
+
+    # pass 1: the value-node id set (distinct trigger subjects).  This is
+    # broadcast via ray.put — the reified-node set of a partition window
+    # is assumed broadcastable (same assumption as the reference, which
+    # buffers whole groups in memory); a join-based variant would key the
+    # referring edges on node2 instead.
+    trig = edges.map_batches(
+        lambda df: df.loc[(df["label"] == trigger_label)
+                          & (df["node2"] == trigger_node2), ["node1"]],
+        batch_format="pandas")
+    vids = set(trig.to_pandas()["node1"].astype(str))
+    vref = ray.put(vids)
+
+    # pass 2: re-key referring edges by the value node they point at so
+    # one bucketed shuffle co-locates them with the value node's own
+    # edges (its value_label edge in particular).
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vref)
+        df = df.copy()
+        inbound = df["node2"].astype(str).isin(v) & ~df["node1"].astype(str).isin(v)
+        df["__in__"] = inbound
+        df["__k__"] = df["node1"].astype(str).where(~inbound,
+                                                    df["node2"].astype(str))
+        return df
+
+    both = edges.map_batches(tag, batch_format="pandas")
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vref)
+        is_v = df["node1"].astype(str).isin(v)
+        through = df.loc[~df["__in__"] & ~is_v, ["node1", "label", "node2"]]
+        vals = (df.loc[is_v & ~df["__in__"] & (df["label"] == value_label),
+                       ["node1", "node2"]]
+                .rename(columns={"node1": "__v__", "node2": "val"}))
+        inbound = (df.loc[df["__in__"], ["node1", "label", "node2"]]
+                   .rename(columns={"node2": "__v__"}))
+        direct = inbound.merge(vals, on="__v__")
+        direct = pd.DataFrame({"node1": direct["node1"],
+                               "label": out_label,
+                               "node2": direct["val"]})
+        quals = df.loc[is_v & ~df["__in__"]
+                       & ~df["label"].isin({trigger_label, value_label}),
+                       ["node1", "label", "node2"]]
+        return pd.concat([direct, quals, through], ignore_index=True)
+
+    from ._bucket import bucketed_group_apply
+    return bucketed_group_apply(both, ["__k__"], collapse)
