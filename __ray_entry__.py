@@ -337,7 +337,7 @@ def _q_sessions(sf: str):
 
 
 def _q_agg_pricing(sf: str):
-    from ray.data.aggregate import Count, Mean, Sum
+    from kgtk_ray.ops.agg import grouped_aggregate
     li = rd.read_parquet(f"{sf}/lineitem.parquet",
                          columns=["l_returnflag", "l_linestatus", "l_quantity",
                                   "l_extendedprice", "l_discount"])
@@ -347,13 +347,14 @@ def _q_agg_pricing(sf: str):
         df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
         return df
 
-    out = li.map_batches(revenue, batch_format="pandas").groupby(
-        ["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="n"),
-    )
+    out = grouped_aggregate(
+        li.map_batches(revenue, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"], {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_revenue": ("revenue", "sum"),
+            "avg_disc": ("l_discount", "mean"),
+            "n": (None, "count"),
+        }, num_buckets=8)
     return _round_cols(out, ["sum_qty", "sum_revenue", "avg_disc"], 4)
 
 

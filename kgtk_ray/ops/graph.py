@@ -17,7 +17,8 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+
+from .agg import grouped_aggregate
 
 Dataset = ray.data.Dataset
 
@@ -32,8 +33,9 @@ def degrees(edges: Dataset, *, direction: str = "out") -> Dataset:
         vc = df[col].astype(str).value_counts()
         return pd.DataFrame({"node1": vc.index.astype(str), "n": vc.to_numpy()})
 
-    counts = edges.map_batches(partial, batch_format="pandas").groupby(
-        "node1").aggregate(Sum("n", alias_name="degree"))
+    counts = grouped_aggregate(
+        edges.map_batches(partial, batch_format="pandas"),
+        ["node1"], {"degree": ("n", "sum")})
 
     def fmt(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -118,10 +118,10 @@ def validate_properties(
             g = sub.groupby(["node1", "label"], as_index=False).size()
             return g.rename(columns={"size": "c"})
 
-        from ray.data.aggregate import Sum
-        counts = (checked.map_batches(partial, batch_format="pandas")
-                  .groupby(["node1", "label"])
-                  .aggregate(Sum("c", alias_name="n")))
+        from .agg import grouped_aggregate
+        counts = grouped_aggregate(
+            checked.map_batches(partial, batch_format="pandas"),
+            ["node1", "label"], {"n": ("c", "sum")})
         cdf = counts.to_pandas()
         bad_keys: set[tuple[str, str]] = set()
         for prop, r in card.items():

@@ -130,9 +130,9 @@ def unique_counts(
         return pd.DataFrame({"node1": vc.index.astype(str), "n": vc.to_numpy()})
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    from .agg import grouped_aggregate
 
-    counts = partials.groupby("node1").aggregate(Sum("n", alias_name="count"))
+    counts = grouped_aggregate(partials, ["node1"], {"count": ("n", "sum")})
 
     if not as_edges:
         return counts

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .agg import grouped_aggregate
 
 Dataset = ray.data.Dataset
 
@@ -16,7 +17,9 @@ Dataset = ray.data.Dataset
 def tumbling_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user_id",
                     value_col: str = "value", window_s: int = 3600) -> Dataset:
     """Tumbling-window aggregate: floor the timestamp to the window,
-    groupby (key, window) and aggregate sum/count/min/max.
+    then a two-phase grouped aggregate on (key, window) — the partial
+    collapses each batch before the shuffle, so a hot key never
+    concentrates raw events on one reducer.
 
     Returns columns: ``<key_col>, window_start, n, total, vmin, vmax``.
     """
@@ -29,12 +32,12 @@ def tumbling_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user
         })
 
     b = events.map_batches(bucket, batch_format="pandas")
-    return b.groupby([key_col, "window_start"]).aggregate(
-        Count(alias_name="n"),
-        Sum(value_col, alias_name="total"),
-        Min(value_col, alias_name="vmin"),
-        Max(value_col, alias_name="vmax"),
-    )
+    return grouped_aggregate(b, [key_col, "window_start"], {
+        "n": (None, "count"),
+        "total": (value_col, "sum"),
+        "vmin": (value_col, "min"),
+        "vmax": (value_col, "max"),
+    })
 
 
 def session_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user_id",
