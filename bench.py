@@ -101,13 +101,20 @@ def run_bench() -> dict:
         edges.write_parquet(out_dir)
 
     # untimed warm-up: starts Ray worker processes and caches imports so
-    # the timed run measures steady-state throughput (the quantity that
-    # matters for a long-running 100 TB job), not cold-start latency
+    # the timed runs measure steady-state throughput (the quantity that
+    # matters for a long-running 100 TB job), not cold-start latency.
+    # Headline = median of 3 timed runs: single-node wall time for this
+    # job swings with page-cache flushes of the parquet sink, and the
+    # median is the stable estimator of steady state.
     run_headline()
-    t0 = time.time()
-    run_headline()
-    headline = time.time() - t0
-    results["kg_pipeline"] = round(headline, 3)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        run_headline()
+        runs.append(round(time.time() - t0, 3))
+    headline = sorted(runs)[1]
+    results["kg_pipeline"] = headline
+    results["kg_pipeline_runs"] = runs
     n_triples = rd.read_parquet(out_dir).count()
 
     # ---- operator benchmarks over sf tables ----
