@@ -649,6 +649,28 @@ def _q_multimodal(sf: str):
         batch_format="pandas")
 
 
+def _q_graph_statistics(sf: str):
+    from kgtk_ray.ops import graph_statistics
+    edges = _edges_nation(sf).drop_columns(["n_name"]).union(
+        _edges_supplier(sf).drop_columns(["s_name"]))
+    stats = graph_statistics(edges)
+    out = pd.DataFrame([{
+        "num_edges": stats["num_edges"],
+        "num_nodes": stats["num_nodes"],
+        "mean_out_degree": round(stats["mean_out_degree"], 6),
+        "max_out_degree": stats["max_out_degree"],
+    }])
+    return out
+
+
+def _q_column_ops(sf: str):
+    from kgtk_ray.ops import remove_columns, rename_columns, reorder_columns
+    e = _edges_supplier(sf)
+    e = remove_columns(e, ["s_name"])
+    e = rename_columns(e, {"node2": "supplier"})
+    return reorder_columns(e, ["supplier", "label", "node1"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from kgtk_ray.pipelines import kg_pipeline
@@ -702,6 +724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "import_wikidata": _q_import_wikidata,
         "unreify_values": _q_unreify_values,
+        "graph_statistics": _q_graph_statistics,
+        "column_ops": _q_column_ops,
         # approximate / stateful: rows-only checks
         "hits": _q_hits,
         "text_embedding": _q_text_embedding,
@@ -1104,5 +1128,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(score, 6) AS score FROM s
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY score DESC, vec_id) <= 10
+        """,
+        "graph_statistics": f"""
+            WITH e AS ({_EDGE_SQL_NATION} UNION ALL {_EDGE_SQL_SUPP}),
+                 deg AS (SELECT node1, count(*) AS d FROM e GROUP BY node1),
+                 n AS (SELECT node1 AS v FROM e UNION SELECT node2 FROM e)
+            SELECT (SELECT count(*) FROM e) AS num_edges,
+                   (SELECT count(*) FROM n) AS num_nodes,
+                   round((SELECT avg(d) FROM deg), 6) AS mean_out_degree,
+                   (SELECT max(d) FROM deg) AS max_out_degree
+        """,
+        "column_ops": f"""
+            SELECT node2 AS supplier, label, node1
+            FROM ({_EDGE_SQL_SUPP})
         """,
     }
