@@ -38,7 +38,7 @@ def doc_alias_map(sf_dir: str) -> dict[str, str]:
 
 def kg_pipeline_from_pages(pages: Dataset, alias_map: dict[str, str] | pd.DataFrame,
                            patterns=DOC_PATTERNS, *, concurrency=2,
-                           link_columns=None,
+                           link_columns=None, link_batch_size: int = 8192,
                            check_extraction: bool = False) -> Dataset:
     """pages(url, warc_ts, html, text, lang) -> canonical edge Dataset."""
     extracted = extract_text(pages)
@@ -57,7 +57,8 @@ def kg_pipeline_from_pages(pages: Dataset, alias_map: dict[str, str] | pd.DataFr
         # patterns need both endpoints linked
         link_columns = ("node2",) if patterns is DOC_PATTERNS else ("node1", "node2")
     linked = link_entities(triples, alias_map, columns=link_columns,
-                           concurrency=concurrency)
+                           concurrency=concurrency,
+                           batch_size=link_batch_size)
     # provenance (url) rides along as a qualifier column and is merged
     # into a sorted-unique | list by compact
     return canonicalize(linked)
