@@ -30,8 +30,11 @@ def degrees(edges: Dataset, *, direction: str = "out") -> Dataset:
     col = "node1" if direction == "out" else "node2"
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df[col].astype(str).value_counts()
-        return pd.DataFrame({"node1": vc.index.astype(str), "n": vc.to_numpy()})
+        c = df[col]
+        if c.dtype != object:
+            c = c.astype(str)
+        vc = c.value_counts()
+        return pd.DataFrame({"node1": vc.index, "n": vc.to_numpy()})
 
     counts = grouped_aggregate(
         edges.map_batches(partial, batch_format="pandas"),

@@ -126,8 +126,11 @@ def unique_counts(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if where_col is not None:
             df = df[df[where_col].isin(set(where_values or []))]
-        vc = df[column].astype(str).value_counts()
-        return pd.DataFrame({"node1": vc.index.astype(str), "n": vc.to_numpy()})
+        col = df[column]
+        if col.dtype != object:  # already-string columns skip the copy
+            col = col.astype(str)
+        vc = col.value_counts()
+        return pd.DataFrame({"node1": vc.index, "n": vc.to_numpy()})
 
     partials = ds.map_batches(partial, batch_format="pandas")
     from .agg import grouped_aggregate
