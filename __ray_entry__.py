@@ -649,6 +649,24 @@ def _q_multimodal(sf: str):
         batch_format="pandas")
 
 
+def _q_generate_mediawiki(sf: str):
+    from kgtk_ray.io import generate_mediawiki_jsons
+    n = rd.read_parquet(f"{sf}/nation.parquet")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n1 = "N" + df.n_nationkey.astype(str)
+        return pd.concat([
+            pd.DataFrame({"node1": n1, "label": "in_region",
+                          "node2": "R" + df.n_regionkey.astype(str)}),
+            pd.DataFrame({"node1": n1, "label": "label",
+                          "node2": df.n_name.astype(str).str.strip()}),
+            pd.DataFrame({"node1": ["in_region"], "label": ["data_type"],
+                          "node2": ["item"]}),
+        ], ignore_index=True)
+
+    return generate_mediawiki_jsons(n.map_batches(f, batch_format="pandas"))
+
+
 def _q_graph_statistics(sf: str):
     from kgtk_ray.ops import graph_statistics
     edges = _edges_nation(sf).drop_columns(["n_name"]).union(
@@ -737,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing": _q_winnowing,
         "pagerank": _q_pagerank,
         "multimodal_features": _q_multimodal,
+        "generate_mediawiki": _q_generate_mediawiki,
     }
 
 

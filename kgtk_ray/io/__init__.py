@@ -6,6 +6,7 @@ from .formats import (
     export_neo4j,
     export_neo4j_nodes,
     export_entities_json,
+    generate_mediawiki_jsons,
 )
 from .importers import edges_from_table, import_conceptnet_like
 from .wikidata import import_wikidata, split_wikidata
@@ -22,6 +23,7 @@ __all__ = [
     "export_neo4j",
     "export_neo4j_nodes",
     "export_entities_json",
+    "generate_mediawiki_jsons",
     "edges_from_table",
     "import_conceptnet_like",
     "import_wikidata",

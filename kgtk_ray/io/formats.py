@@ -106,3 +106,90 @@ def export_entities_json(edges: Dataset, *, qual_columns: tuple = ()) -> Dataset
 
     from ..ops._bucket import bucketed_group_apply
     return bucketed_group_apply(edges, ["node1"], build)
+
+
+# SQID-UI datatype aliases, as in the reference's JsonGenerator
+# (/root/reference/kgtk/generator.py:529-556)
+_MEDIAWIKI_DATATYPES = {
+    "item": "wikibase-item", "WikibaseItem": "wikibase-item",
+    "property": "wikibase-item", "WikibaseProperty": "wikibase-item",
+    "time": "time", "Time": "time",
+    "globe-coordinate": "globe-coordinate",
+    "GlobeCoordinate": "globe-coordinate",
+    "quantity": "quantity", "Quantity": "quantity",
+    "monolingualtext": "monolingualtext",
+    "Monolingualtext": "monolingualtext",
+    "string": "string", "String": "string",
+    "external-identifier": "external-id", "ExternalId": "external-id",
+    "url": "url", "Url": "url",
+}
+
+
+def generate_mediawiki_jsons(
+    edges: Dataset,
+    *,
+    label_props: tuple = ("label",),
+    description_props: tuple = ("description",),
+    alias_props: tuple = ("alias",),
+    data_type_prop: str = "data_type",
+) -> Dataset:
+    """KGTK edges -> mediawiki-API-shaped entity JSON (reference
+    `generate-mediawiki-jsons`: JsonGenerator,
+    /root/reference/kgtk/generator.py:521-640 + cli/generate_mediawiki_jsons.py).
+
+    Per entity (node1): ``labels`` / ``descriptions`` / ``aliases``
+    sections from the configured properties, everything else under
+    ``claims`` with the property's datatype resolved from
+    ``data_type`` declaration edges (collected in a first small pass
+    and broadcast — the reference preloads them from its prop file,
+    generator.py:222-239).  Output ``(qnode, doc)`` rows; the render
+    is deterministic (sorted keys / sorted values).
+    """
+    import ray
+
+    dt_rows = edges.map_batches(
+        lambda df: df.loc[df["label"] == data_type_prop, ["node1", "node2"]],
+        batch_format="pandas").to_pandas()
+    prop_types = {
+        p: _MEDIAWIKI_DATATYPES.get(t, "string")
+        for p, t in zip(dt_rows["node1"], dt_rows["node2"])
+    }
+    ref = ray.put(prop_types)
+    lbl, desc, ali = set(label_props), set(description_props), set(alias_props)
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        ptypes = ray.get(ref)
+        df = df[df["label"] != data_type_prop]
+        g = (df.sort_values(["node1", "label", "node2"], kind="mergesort")
+             .groupby(["node1", "label"], sort=False)["node2"]
+             .agg(list).reset_index())
+        docs = []
+        for qnode, sub in g.groupby("node1", sort=False):
+            doc: dict = {"id": qnode, "type": "item", "labels": {},
+                         "descriptions": {}, "aliases": {}, "claims": {}}
+            for prop, values in zip(sub["label"], sub["node2"]):
+                if prop in lbl:
+                    doc["labels"]["en"] = {"language": "en",
+                                           "value": values[0]}
+                elif prop in desc:
+                    doc["descriptions"]["en"] = {"language": "en",
+                                                 "value": values[0]}
+                elif prop in ali:
+                    doc["aliases"]["en"] = [
+                        {"language": "en", "value": v} for v in values]
+                else:
+                    doc["claims"][prop] = [{
+                        "mainsnak": {
+                            "snaktype": "value",
+                            "property": prop,
+                            "datatype": ptypes.get(prop, "string"),
+                            "datavalue": {"value": v},
+                        },
+                        "type": "statement",
+                        "rank": "normal",
+                    } for v in values]
+            docs.append((qnode, json.dumps(doc, sort_keys=True)))
+        return pd.DataFrame(docs, columns=["qnode", "doc"])
+
+    from ..ops._bucket import bucketed_group_apply
+    return bucketed_group_apply(edges, ["node1"], build)

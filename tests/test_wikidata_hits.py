@@ -88,3 +88,25 @@ def test_hits():
     assert hub["h"] > 0.99
     assert abs(auth["a1"] - auth["a2"]) < 1e-9
     assert auth["h"] == 0.0 and hub["a1"] == 0.0
+
+
+def test_generate_mediawiki_jsons():
+    import json
+    import pandas as pd
+    import ray.data as rd
+    from kgtk_ray.io import generate_mediawiki_jsons
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "node1": ["Q1", "Q1", "Q1", "Q1", "P1"],
+        "label": ["label", "alias", "P1", "P1", "data_type"],
+        "node2": ["'Item one'@en", "one", "Q2", "Q3", "item"],
+    }))
+    out = generate_mediawiki_jsons(edges).to_pandas()
+    docs = {q: json.loads(d) for q, d in zip(out.qnode, out.doc)}
+    assert set(docs) == {"Q1"}
+    d = docs["Q1"]
+    assert d["labels"]["en"]["value"] == "'Item one'@en"
+    assert [a["value"] for a in d["aliases"]["en"]] == ["one"]
+    claims = d["claims"]["P1"]
+    assert [c["mainsnak"]["datavalue"]["value"] for c in claims] == ["Q2", "Q3"]
+    assert all(c["mainsnak"]["datatype"] == "wikibase-item" for c in claims)
