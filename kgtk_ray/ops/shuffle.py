@@ -292,15 +292,23 @@ def lift(
     lift_columns: Sequence[str] = ("node1", "label", "node2"),
     suffix: str = ";label",
     remove_label_rows: bool = True,
+    broadcast_limit: int = BROADCAST_LIMIT,
 ) -> Dataset:
     """Attach entity labels as new columns ``node1;label``, ``label;label``,
     ``node2;label`` (reference kgtk/lift/kgtklift.py; label map built from
     rows whose ``label`` column == "label", multiple labels merged into a
-    sorted-unique ``|`` list, :228-241).
+    sorted-unique ``|`` list, :228-241; the reference holds the whole map
+    in one process's memory — ":2-8 imposes a limit").
 
-    The label map is reduced distributedly (groupby + merge), then
-    broadcast once via ``ray.put`` and looked up with a vectorized pandas
-    ``map`` per batch — the lookup side never re-shuffles the input.
+    The label map is reduced distributedly (groupby + merge).  Two scale
+    paths, chosen by map size:
+
+    * ≤ ``broadcast_limit`` distinct keys: broadcast once via ``ray.put``
+      and look up with a vectorized pandas ``map`` per batch — the input
+      never re-shuffles;
+    * larger (Wikidata-scale label sets): one hash-partitioned
+      ``Dataset.join`` per lifted column against the merged label table —
+      the input shuffles, the broadcast never materializes on one node.
     """
     label_source = labels if labels is not None else ds
 
@@ -308,7 +316,7 @@ def lift(
         lambda df: df.loc[df["label"] == label_value, ["node1", "node2"]],
         batch_format="pandas",
     )
-    # distributed merge of multi-labels, then driver-side dict (small)
+    # distributed merge of multi-labels (stays a Dataset)
     from ._bucket import bucketed_group_apply
 
     def merge_labels(df: pd.DataFrame) -> pd.DataFrame:
@@ -323,22 +331,52 @@ def lift(
 
     merged = bucketed_group_apply(lbl_rows, ["node1"], merge_labels,
                                   num_buckets=16)
-    label_map = dict(zip(*(lambda d: (d["node1"], d["node2"]))(merged.to_pandas())))
-    ref = ray.put(label_map)
-
     out_cols = list(lift_columns)
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        lm = ray.get(ref)
+    def drop_label_rows(df: pd.DataFrame) -> pd.DataFrame:
         if remove_label_rows and labels is None and "label" in df.columns:
             df = df[df["label"] != label_value]
-        df = df.copy()
-        for c in out_cols:
-            if c in df.columns:
-                df[c + suffix] = df[c].map(lm).fillna("")
         return df
 
-    return ds.map_batches(f, batch_format="pandas")
+    n_labels = merged.count()
+    if n_labels <= broadcast_limit:
+        label_map = dict(zip(*(lambda d: (d["node1"], d["node2"]))(
+            merged.to_pandas())))
+        ref = ray.put(label_map)
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            lm = ray.get(ref)
+            df = drop_label_rows(df).copy()
+            for c in out_cols:
+                if c in df.columns:
+                    df[c + suffix] = df[c].map(lm).fillna("")
+            return df
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    # join path: materialize the merged label table once, join per column
+    merged = merged.materialize()
+    out = ds.map_batches(drop_label_rows, batch_format="pandas")
+    n_parts = max(2, min(64, n_labels // 1_000_000 + 2))
+    present = [c for c in out_cols if c in ds.schema().names]
+    for c in present:
+        lifted_name = c + suffix
+        rhs = merged.map_batches(
+            lambda t, new=lifted_name: pa.table(
+                {"__lift_key__": pc.cast(t["node1"], pa.string()),
+                 new: pc.cast(t["node2"], pa.string())}),
+            batch_format="pyarrow")
+        lhs = out.map_batches(
+            lambda df, col=c: df.assign(
+                __lift_key__=df[col].fillna("").astype(str)),
+            batch_format="pandas")
+        out = lhs.join(rhs, "left_outer", num_partitions=n_parts,
+                       on=("__lift_key__",)).drop_columns(["__lift_key__"])
+        out = out.map_batches(
+            lambda df, new=lifted_name: df.assign(
+                **{new: df[new].fillna("")}),
+            batch_format="pandas")
+    return out
 
 
 def sort_edges(ds: Dataset, columns: Sequence[str] = ("node1", "label", "node2"),

@@ -116,6 +116,23 @@ def test_lift():
     assert r["node2;label"] == "'Larry'@en"
 
 
+def test_lift_join_path_matches_broadcast():
+    ds = edges([
+        ("Q1", "P1", "Q2"),
+        ("Q3", "P1", "Q1"),
+        ("Q1", "label", "'Moe'@en"),
+        ("Q1", "label", "'Moe Howard'@en"),
+        ("Q2", "label", "'Larry'@en"),
+        ("P1", "label", "'brother of'@en"),
+    ])
+    want = (O.lift(ds).to_pandas()
+            .sort_values("node1").reset_index(drop=True))
+    got = (O.lift(ds, broadcast_limit=0).to_pandas()
+           .sort_values("node1").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
 def test_add_id_styles():
     out = O.add_id(edge_ds(), style="node1-label-node2").to_pandas()
     assert (out["id"] == out.node1 + "-" + out.label + "-" + out.node2).all()
