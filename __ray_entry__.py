@@ -330,6 +330,13 @@ def _q_tumbling(sf: str):
     return _round_cols(out, ["total", "vmin", "vmax"], 4)
 
 
+def _q_sliding(sf: str):
+    from kgtk_ray.ops.window import sliding_window
+    ev = rd.read_parquet(f"{sf}/events.parquet")
+    out = sliding_window(ev, window_s=3600, slide_s=1800)
+    return _round_cols(out, ["total", "vmin", "vmax"], 4)
+
+
 def _q_sessions(sf: str):
     from kgtk_ray.ops.window import session_window
     ev = rd.read_parquet(f"{sf}/events.parquet")
@@ -721,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reachable": _q_reachable,
         "connected_components": _q_connected_components,
         "tumbling_window": _q_tumbling,
+        "sliding_window": _q_sliding,
         "session_window": _q_sessions,
         "agg_pricing": _q_agg_pricing,
         "langid": _q_langid,
@@ -943,6 +951,19 @@ def oracle_sql() -> dict[str, str]:
                    round(MIN(value), 4) AS vmin,
                    round(MAX(value), 4) AS vmax
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "sliding_window": """
+            WITH e AS (
+              SELECT user_id, value,
+                     time_bucket(INTERVAL 1800 SECOND, ts)
+                       - j * INTERVAL 1800 SECOND AS window_start
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j))
+            SELECT user_id, window_start,
+                   COUNT(*) AS n,
+                   round(SUM(value), 4) AS total,
+                   round(MIN(value), 4) AS vmin,
+                   round(MAX(value), 4) AS vmax
+            FROM e GROUP BY user_id, window_start
         """,
         "session_window": """
             WITH x AS (

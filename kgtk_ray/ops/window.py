@@ -40,6 +40,42 @@ def tumbling_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user
     })
 
 
+def sliding_window(events: Dataset, *, ts_col: str = "ts",
+                   key_col: str = "user_id", value_col: str = "value",
+                   window_s: int = 3600, slide_s: int = 1800) -> Dataset:
+    """Sliding (overlapping) window aggregate: each event lands in
+    ``window_s / slide_s`` windows.  Vectorized: the batch is replicated
+    once per overlap position with shifted window starts (no per-row
+    Python), then the same two-phase grouped aggregate as tumbling.
+
+    Returns columns: ``<key_col>, window_start, n, total, vmin, vmax``.
+    """
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    k = window_s // slide_s
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        # every event is in exactly k windows: starts floor(ts/slide)-j*slide
+        base = df[ts_col].dt.floor(f"{slide_s}s")
+        frames = [
+            pd.DataFrame({
+                key_col: df[key_col],
+                "window_start": base - pd.to_timedelta(j * slide_s, unit="s"),
+                value_col: df[value_col],
+            })
+            for j in range(k)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    b = events.map_batches(assign, batch_format="pandas")
+    return grouped_aggregate(b, [key_col, "window_start"], {
+        "n": (None, "count"),
+        "total": (value_col, "sum"),
+        "vmin": (value_col, "min"),
+        "vmax": (value_col, "max"),
+    })
+
+
 def session_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user_id",
                    gap_s: int = 1800) -> Dataset:
     """Session windows: per key, sort by ts and split where the gap to the
