@@ -242,7 +242,7 @@ def _part_values(sf: str):
             [k == 0, k == 1, k == 2, k == 3],
             [df.p_size.astype(str),
              '"part ' + df.p_partkey.astype(str) + '"',
-             df.p_size.astype(str) + "mm",
+             df.p_size.astype(str) + "m",
              "^19" + (df.p_size % 90 + 10).astype(str) + "-01-01"],
             default=df.p_brand.astype(str).str.replace(" ", "", regex=False),
         )
@@ -879,7 +879,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE p_size % 5
                      WHEN 0 THEN CAST(p_size AS VARCHAR)
                      WHEN 1 THEN '"part '||CAST(p_partkey AS VARCHAR)||'"'
-                     WHEN 2 THEN CAST(p_size AS VARCHAR)||'mm'
+                     WHEN 2 THEN CAST(p_size AS VARCHAR)||'m'
                      WHEN 3 THEN '^19'||CAST(p_size % 90 + 10 AS VARCHAR)||'-01-01'
                      ELSE replace(p_brand, ' ', '')
                    END AS node2,
@@ -1120,7 +1120,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE p_size % 5
                      WHEN 0 THEN CAST(p_size AS VARCHAR)
                      WHEN 1 THEN '"part '||CAST(p_partkey AS VARCHAR)||'"'
-                     WHEN 2 THEN CAST(p_size AS VARCHAR)||'mm'
+                     WHEN 2 THEN CAST(p_size AS VARCHAR)||'m'
                      WHEN 3 THEN '^19'||CAST(p_size % 90 + 10 AS VARCHAR)||'-01-01'
                      ELSE replace(p_brand, ' ', '')
                    END AS node2

@@ -39,16 +39,29 @@ DATA_TYPES = [
     "symbol",
 ]
 
-_NUM = r"[+-]?(?:0[xX][0-9a-fA-F]+|0[oO][0-7]+|0[bB][01]+|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+# Strict number grammar mirroring the reference's number_re
+# (kgtk/value/kgtkvalue.py:592-643): Python decimal int (with ``_``
+# separators and [lL] suffix), float, imaginary.  Hex/octal/binary are
+# intentionally ABSENT: the reference's bin/oct/hex integer patterns
+# contain a quoting typo (`(":_?...` at :604-610) so they never match
+# its strict number_re either — such values classify as quantity and
+# fail quantity validation, and we reproduce that observable behavior.
+_DIGITPART = r"\d(?:_?\d)*"
+_POINTFLOAT = rf"(?:(?:{_DIGITPART})?\.{_DIGITPART}|{_DIGITPART}\.)"
+_EXPFLOAT = rf"(?:{_DIGITPART}|{_POINTFLOAT})[eE][+-]?{_DIGITPART}"
+_FLOAT = rf"(?:{_POINTFLOAT}|{_EXPFLOAT})"
+_NUMERIC = rf"[+-]?(?:{_DIGITPART}[lL]?|{_FLOAT}|(?:{_FLOAT}|{_DIGITPART})[jJ])"
+NUMBER_RE = re.compile(rf"^{_NUMERIC}$")
 _DEC = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
-NUMBER_RE = re.compile(rf"^{_NUM}$")
-# quantity = number [low,high]? (SI-unit | Qnode)?  — at least one of
-# tolerance/units must be present, else it's a plain number.
+# quantity = number [low,high]? (SI-unit | Qnode)?
 _TOL = rf"\[(?P<low>{_DEC}),(?P<high>{_DEC})\]"
-_SI = r"[A-Za-z][A-Za-z0-9._/^-]*"
-_QNODE = r"Q[0-9]+"
+# SI units exactly as the reference enumerates them
+# (kgtk/value/kgtkvalue.py:650-658: unit list, powers -1|2|3, ./ combiner)
+_SI_UNIT = r"(?:m|kg|s|C|K|mol|cd|F|M|A|N|ohms|V|J|Hz|lx|H|Wb|W|Pa)"
+_SI = rf"{_SI_UNIT}(?:-1|2|3)?(?:[./]{_SI_UNIT}(?:-1|2|3)?)*"
+_QNODE = r"Q[1-9][0-9]*"
 QUANTITY_RE = re.compile(
-    rf"^(?P<number>{_NUM})(?:{_TOL})?(?:(?P<units_node>{_QNODE})|(?P<si_units>{_SI}))?$"
+    rf"^(?P<number>{_NUMERIC})(?:{_TOL})?(?:(?P<units_node>{_QNODE})|(?P<si_units>{_SI}))?$"
 )
 STRING_RE = re.compile(r'^"(?:[^"\\]|\\.)*"$', re.S)
 LQSTRING_RE = re.compile(
@@ -86,18 +99,22 @@ def classify(values) -> np.ndarray:
         out[m] = t
         undecided &= ~m
 
+    # Sigil dispatch, as in the reference: classify() decides the type
+    # from the first character alone (is_string :984-997 etc.); whether
+    # the value is VALID for that type is validate()'s job.  The only
+    # content-sensitive split is number-vs-quantity (:1732-1737 — a
+    # number_or_quantity that fails the strict number grammar is a
+    # quantity).
     assign((s == "").to_numpy(), "empty")
     assign(s.str.contains(_LIST_RE, regex=True).fillna(False).to_numpy(dtype=bool), "list")
     first = s.str[0].fillna("").to_numpy(dtype=object)
-    assign((first == '"') & _match_mask(s, STRING_RE), "string")
-    assign((first == "'") & _match_mask(s, LQSTRING_RE), "language_qualified_string")
+    assign(first == '"', "string")
+    assign(first == "'", "language_qualified_string")
     numberish = np.isin(first, list("+-.0123456789"))
     assign(numberish & _match_mask(s, NUMBER_RE), "number")
-    # a bare number already matched; what's left matching the quantity
-    # grammar is a true quantity
-    assign(numberish & _match_mask(s, QUANTITY_RE), "quantity")
-    assign((first == "@") & _match_mask(s, COORDS_RE), "location_coordinates")
-    assign((first == "^") & _match_mask(s, DATE_RE), "date_and_times")
+    assign(numberish, "quantity")
+    assign(first == "@", "location_coordinates")
+    assign(first == "^", "date_and_times")
     assign(first == "!", "extension")
     assign(np.isin(s.to_numpy(dtype=object), ["True", "False"]), "boolean")
     # remainder stays "symbol"
@@ -116,25 +133,31 @@ def validate(values) -> np.ndarray:
     s = pd.Series(np.asarray(values, dtype=object)).fillna("").astype(str)
     types = classify(s.to_numpy())
     ok = np.ones(len(s), dtype=bool)
-    first = s.str[0].fillna("").to_numpy(dtype=object)
     sym = types == "symbol"
-    # sigil-typed but unparseable -> classified symbol with a sigil first char
-    bad_sigil = sym & np.isin(first, ['"', "'", "@", "^"])
-    ok &= ~bad_sigil
+    # sigil-classified values must satisfy their type's grammar
+    for t, rx in (("string", STRING_RE),
+                  ("language_qualified_string", LQSTRING_RE),
+                  ("quantity", QUANTITY_RE)):
+        m = types == t
+        if m.any():
+            ok &= ~(m & ~_match_mask(s, rx))
     # symbols must not contain tabs/newlines
     ok &= ~(sym & s.str.contains(r"[\t\n\r]", regex=True).fillna(False).to_numpy(dtype=bool))
-    # range checks on coordinates
+    # grammar + range checks on coordinates
     coords = types == "location_coordinates"
     if coords.any():
+        ok &= ~(coords & ~_match_mask(s, COORDS_RE))
         ext = s[coords].str.extract(COORDS_RE)
         lat = pd.to_numeric(ext["latitude"], errors="coerce")
         lon = pd.to_numeric(ext["longitude"], errors="coerce")
-        good = ((lat >= -90) & (lat <= 90) & (lon >= -180) & (lon <= 180)).to_numpy()
+        good = ((lat >= -90) & (lat <= 90) & (lon >= -180) & (lon <= 180)
+                ).fillna(False).to_numpy()
         idx = np.where(coords)[0]
         ok[idx] &= good
-    # range checks on dates (month<=13 allowed only as 00..12; day 00..31)
+    # grammar + range checks on dates (month 00..12; day 00..31)
     dates = types == "date_and_times"
     if dates.any():
+        ok &= ~(dates & ~_match_mask(s, DATE_RE))
         ext = s[dates].str.extract(DATE_RE)
         month = pd.to_numeric(ext["month"], errors="coerce")
         day = pd.to_numeric(ext["day"], errors="coerce")

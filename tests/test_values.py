@@ -11,7 +11,7 @@ CASES = [
     ("1", "number", True),
     ("42", "number", True),
     ("3.14e-10", "number", True),
-    ("0xff", "number", True),
+    ("0xff", "quantity", False),  # reference: strict number grammar excludes hex -> quantity, invalid
     ("+17", "number", True),
     (".5", "number", True),
     ("10m", "quantity", True),
@@ -31,9 +31,11 @@ CASES = [
     ("Q42", "symbol", True),
     ("!ext", "extension", True),
     ("hello_world", "symbol", True),
-    ('"unterminated', "symbol", False),   # bad sigil -> invalid
-    ("@not/coords", "symbol", False),
-    ("^junk", "symbol", False),
+    # sigil dispatch (reference classify is first-char only;
+    # validity is a separate check)
+    ('"unterminated', "string", False),
+    ("@not/coords", "location_coordinates", False),
+    ("^junk", "date_and_times", False),
 ]
 
 
