@@ -154,17 +154,24 @@ def validate(values) -> np.ndarray:
                 ).fillna(False).to_numpy()
         idx = np.where(coords)[0]
         ok[idx] &= good
-    # grammar + range checks on dates (month 00..12; day 00..31)
+    # extensions are reserved and always invalid
+    # (kgtk/value/kgtkvalue.py:1695-1707)
+    ok &= ~(types == "extension")
+    # grammar + range checks on dates: strict defaults of
+    # KgtkValueOptions — month/day zero invalid (repairable), year in
+    # [1583, 2100] (kgtk/value/kgtkvalueoptions.py:32,79-85)
     dates = types == "date_and_times"
     if dates.any():
         ok &= ~(dates & ~_match_mask(s, DATE_RE))
         ext = s[dates].str.extract(DATE_RE)
+        year = pd.to_numeric(ext["year"], errors="coerce")
         month = pd.to_numeric(ext["month"], errors="coerce")
         day = pd.to_numeric(ext["day"], errors="coerce")
         hour = pd.to_numeric(ext["hour"], errors="coerce")
         good = (
-            (month.isna() | ((month >= 0) & (month <= 12)))
-            & (day.isna() | ((day >= 0) & (day <= 31)))
+            (year.isna() | ((year >= 1583) & (year <= 2100)))
+            & (month.isna() | ((month >= 1) & (month <= 12)))
+            & (day.isna() | ((day >= 1) & (day <= 31)))
             & (hour.isna() | ((hour >= 0) & (hour <= 24)))
         ).to_numpy()
         idx = np.where(dates)[0]

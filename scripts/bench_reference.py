@@ -32,15 +32,26 @@ def make_shims() -> None:
     open(f"{SHIM}/sh.py", "w").write(
         "class ErrorReturnCode(Exception): pass\n"
         "class SignalException_SIGPIPE(Exception): pass\n")
+    # pycountry's full ISO-639 table is not in this container; the shim
+    # accepts any syntactic 2/3-letter code (so language-code TABLE
+    # membership is out of scope for parity runs — both engines then
+    # validate codes syntactically)
     open(f"{SHIM}/iso639.py", "w").write(
         "def find(code=None, language=None):\n"
         "    return {'iso639_1': code, 'name': 'x'} if code else None\n"
-        "languages = None\n"
+        "class _Langs:\n"
+        "    def get(self, **kw):\n"
+        "        raise KeyError(kw)\n"
+        "languages = _Langs()\n"
         "def is_valid639_1(c): return True\n"
         "def is_valid639_2(c): return True\n")
     open(f"{SHIM}/pycountry.py", "w").write(
+        "class _Lang:\n"
+        "    name = 'x'\n"
         "class _DB:\n"
-        "    def get(self, **kw): return None\n"
+        "    def get(self, **kw):\n"
+        "        v = next(iter(kw.values()), '')\n"
+        "        return _Lang() if isinstance(v, str) and v.isalpha() else None\n"
         "    def lookup(self, *a): return None\n"
         "languages = _DB(); countries = _DB()\n")
 

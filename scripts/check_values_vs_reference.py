@@ -45,6 +45,24 @@ VALUES = [
 ]
 
 
+def fuzz_values(n: int, seed: int = 7) -> list[str]:
+    """Deterministic random KGTK-ish values exercising every sigil."""
+    import random
+    rng = random.Random(seed)
+    sigils = ['"', "'", "@", "^", "!", "", "+", "-", "."]
+    alphabet = 'abcXYZ019 .|\\/@^"\'-+_[],eE'
+    out = []
+    for _ in range(n):
+        body = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        out.append(rng.choice(sigils) + body)
+        if rng.random() < 0.3:
+            num = f"{rng.choice(['', '+', '-'])}{rng.randint(0, 999)}"
+            unit = rng.choice(["", "m", "kg.m/s2", "mm", "Q42", "Q0",
+                               f"[{rng.randint(-5, 0)},{rng.randint(0, 5)}]m"])
+            out.append(num + unit)
+    return out
+
+
 def main() -> int:
     make_shims()
     sys.path.insert(0, SHIM)
@@ -52,24 +70,27 @@ def main() -> int:
     from kgtk.value.kgtkvalue import KgtkValue
     from kgtk.value.kgtkvalueoptions import KgtkValueOptions
 
-    from kgtk_ray.values import classify
+    from kgtk_ray.values import classify, validate
 
+    corpus = VALUES + fuzz_values(2000)
     opts = KgtkValueOptions()
-    ref_types = []
-    for v in VALUES:
+    ref_types, ref_valid = [], []
+    for v in corpus:
         kv = KgtkValue(v, options=opts)
         ref_types.append(kv.classify().name.lower())
+        ref_valid.append(bool(KgtkValue(v, options=opts).validate()))
 
-    ours = classify(VALUES)
-    bad = []
-    for v, r, o in zip(VALUES, ref_types, ours):
-        if r != o:
-            bad.append((v, r, o))
-    n = len(VALUES)
-    print(f"values: {n}  agree: {n - len(bad)}  disagree: {len(bad)}")
-    for v, r, o in bad:
+    ours_t = classify(corpus)
+    ours_v = validate(corpus)
+    bad_t = [(v, r, o) for v, r, o in zip(corpus, ref_types, ours_t) if r != o]
+    bad_v = [(v, r, bool(o)) for v, r, o in zip(corpus, ref_valid, ours_v)
+             if r != bool(o)]
+    n = len(corpus)
+    print(f"classify: {n}  agree: {n - len(bad_t)}  disagree: {len(bad_t)}")
+    print(f"validate: {n}  agree: {n - len(bad_v)}  disagree: {len(bad_v)}")
+    for v, r, o in (bad_t + bad_v)[:40]:
         print(f"  {v!r}: reference={r} ours={o}")
-    return 1 if bad else 0
+    return 1 if (bad_t or bad_v) else 0
 
 
 if __name__ == "__main__":

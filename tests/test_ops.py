@@ -198,7 +198,9 @@ def test_sort_edges():
 
 def test_validate_and_clean():
     ds = edges([("a", "p", '"ok"'), ("b", "p", '"bad'), ("c", "p", "^1990-00-00")])
-    assert O.validate_edges(ds, ["node2"]).count() == 2  # bad string dropped
+    # month-zero date is invalid under the strict defaults (but
+    # repairable); the unterminated string is invalid and unrepairable
+    assert O.validate_edges(ds, ["node2"]).count() == 1
     cleaned = O.clean_edges(ds, ["node2"]).to_pandas()
     assert "^1990-01-01" in set(cleaned.node2)
     assert len(cleaned) == 2

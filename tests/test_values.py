@@ -24,12 +24,14 @@ CASES = [
     ("@043.26193/010.92708", "location_coordinates", True),
     ("@91.0/200.0", "location_coordinates", False),
     ("^2020-02-24T17:05:30", "date_and_times", True),
-    ("^1839-00-00T00:00:00Z/9", "date_and_times", True),
+    # month zero invalid (repairable), year<1583 out of range,
+    # extensions reserved-invalid: KgtkValueOptions strict defaults
+    ("^1839-00-00T00:00:00Z/9", "date_and_times", False),
     ("^2020-13-45", "date_and_times", False),
     ("True", "boolean", True),
     ("False", "boolean", True),
     ("Q42", "symbol", True),
-    ("!ext", "extension", True),
+    ("!ext", "extension", False),
     ("hello_world", "symbol", True),
     # sigil dispatch (reference classify is first-char only;
     # validity is a separate check)
