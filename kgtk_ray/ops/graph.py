@@ -175,13 +175,20 @@ def paths(edges: Dataset, sources: Sequence[str], targets: Sequence[str], *,
     return ray.data.from_pandas(out.drop_duplicates().reset_index(drop=True))
 
 
-def connected_components(edges: Dataset, *, max_iters: int = 50) -> Dataset:
+def connected_components(edges: Dataset, *, max_iters: int = 50,
+                         method: str = "lowest") -> Dataset:
     """Undirected connected components via distributed min-label
     propagation (reference uses graph-tool label_components,
     kgtk/gt/connected_components.py).  Returns ``(node1=node,
-    label="connected_component", node2=component-representative)`` where the
-    representative is the lexicographic minimum member ("lowest" naming
-    method of the reference).
+    label="connected_component", node2=cluster-name)``.
+
+    ``method`` selects the cluster-naming rule (reference ``Method``
+    enum, kgtk/gt/connected_components.py:21-37): ``lowest`` (default;
+    lexicographic minimum member), ``highest``, ``first`` (first member
+    in node order), ``shortest``/``longest`` member name (ties broken
+    lexicographically), ``cat`` (all members joined with ``+``),
+    ``hash`` (deterministic hash of the member set), ``numbered``
+    (dense 0..k-1 index by lowest member), ``prefixed`` (``CC<number>``).
 
     Each iteration: labels(node->comp) joined to both edge endpoints,
     candidate = min(comp of self, comp of neighbors), groupby-min.
@@ -221,9 +228,42 @@ def connected_components(edges: Dataset, *, max_iters: int = 50) -> Dataset:
         if changed == 0:
             break
 
+    if method != "lowest":
+        labels_df = _name_clusters(labels_df, method)
     out = pd.DataFrame({"node1": labels_df["node"], "label": "connected_component",
                         "node2": labels_df["comp"]})
     return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+def _name_clusters(labels_df: pd.DataFrame, method: str) -> pd.DataFrame:
+    """Rename ``comp`` (currently the lowest member) per the naming rule.
+    Runs on the label table (one row per node — small relative to the
+    edge set; the propagation loop already materialized it)."""
+    g = labels_df.groupby("comp", sort=True)["node"]
+    if method == "highest":
+        names = g.max()
+    elif method == "first":
+        names = g.first()
+    elif method == "shortest":
+        names = g.apply(lambda s: min(sorted(s), key=len))
+    elif method == "longest":
+        names = g.apply(lambda s: max(sorted(s), key=len))
+    elif method == "cat":
+        names = g.apply(lambda s: "+".join(sorted(s)))
+    elif method == "hash":
+        names = g.apply(lambda s: hex(
+            int(np.bitwise_xor.reduce(
+                pd.util.hash_array(np.sort(s.to_numpy(dtype=object)))))
+            & 0xFFFFFFFF))
+    elif method in ("numbered", "prefixed"):
+        idx = {c: i for i, c in enumerate(sorted(g.groups))}
+        prefix = "CC" if method == "prefixed" else ""
+        names = pd.Series({c: f"{prefix}{i}" for c, i in idx.items()})
+    else:
+        raise ValueError(f"unknown naming method {method!r}")
+    out = labels_df.copy()
+    out["comp"] = out["comp"].map(names)
+    return out
 
 
 def hits(edges: Dataset, *, iters: int = 10) -> Dataset:

@@ -44,13 +44,21 @@ def validate_edges(ds: Dataset, columns: Sequence[str] = ("node1", "label", "nod
     return ds.map_batches(f, batch_format="pandas")
 
 
-def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",)) -> Dataset:
+def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",),
+                *, with_rejects: bool = False):
     """validate + repair + keep-valid (the reference's clean-data:
     repairs month/day-zero dates and out-of-range coordinates, then
-    excludes rows that remain invalid)."""
+    excludes rows that remain invalid).
+
+    With ``with_rejects=True`` returns ``(clean, rejects)`` — the
+    reference's reject-file routing (kgtk/io/kgtkreader.py:769-783) as
+    a second Dataset instead of process death.  Each branch is an
+    independent lazy pipeline over the input; consume both from a
+    materialized upstream if the input is expensive to recompute.
+    """
     cols = list(columns)
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def split(df: pd.DataFrame, keep_valid: bool) -> pd.DataFrame:
         df = df.copy()
         ok = None
         for c in cols:
@@ -58,9 +66,13 @@ def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",)) -> Dataset:
             df[c] = repaired
             v = V.validate(repaired)
             ok = v if ok is None else (ok & v)
-        return df[ok]
+        return df[ok] if keep_valid else df[~ok]
 
-    return ds.map_batches(f, batch_format="pandas")
+    clean = ds.map_batches(lambda df: split(df, True), batch_format="pandas")
+    if not with_rejects:
+        return clean
+    rejects = ds.map_batches(lambda df: split(df, False), batch_format="pandas")
+    return clean, rejects
 
 
 def explode_node2(ds: Dataset, column: str = "node2",

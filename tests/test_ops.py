@@ -218,3 +218,29 @@ def test_calc_percentage():
     ds = edges([("a", "p", "1", "25", "100")], ("node1", "label", "node2", "v", "t"))
     out = O.calc_percentage(ds, "v", "t").to_pandas()
     assert out.iloc[0]["result"] == "25.00"
+
+
+def test_connected_components_naming_methods():
+    ds = edges([("a", "p", "b"), ("b", "p", "c"), ("x", "p", "yy")])
+    def comp_map(method):
+        out = O.connected_components(ds, method=method).to_pandas()
+        return dict(zip(out.node1, out.node2))
+    assert comp_map("lowest") == {"a": "a", "b": "a", "c": "a",
+                                  "x": "x", "yy": "x"}
+    assert comp_map("highest")["a"] == "c"
+    assert comp_map("cat")["x"] == "x+yy"
+    assert comp_map("longest")["x"] == "yy"
+    pref = comp_map("prefixed")
+    assert pref["a"] == "CC0" and pref["x"] == "CC1"
+    h = comp_map("hash")
+    assert h["a"] == h["b"] != h["x"]
+
+
+def test_clean_edges_rejects_stream():
+    ds = edges([("a", "p", '"ok"'), ("b", "p", '"bad'),
+                ("c", "p", "^1990-00-00")])
+    clean, rejects = O.clean_edges(ds, ["node2"], with_rejects=True)
+    c = clean.to_pandas()
+    r = rejects.to_pandas()
+    assert set(c.node1) == {"a", "c"}          # date repaired then valid
+    assert set(r.node1) == {"b"}               # unrepairable string
