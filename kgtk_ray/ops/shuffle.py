@@ -236,6 +236,7 @@ def kgtk_join(
     right_join_on: Sequence[str] | None = None,
     left_join: bool = False,
     right_join: bool = False,
+    broadcast_limit: int = BROADCAST_LIMIT,
 ) -> Dataset:
     """KGTK's join (kgtk/join/kgtkjoiner.py) — NOT a relational
     row-pairing join: compute a key set (inner = L∩R; ``left_join`` = all
@@ -243,45 +244,81 @@ def kgtk_join(
     union of rows from BOTH files whose key is in the set, in the merged
     column layout (:180-217 key sets, :304-344 merged output).
 
-    The key sets are distinct-key datasets (usually ≪ rows); they are
-    reduced distributedly and broadcast for the filter pass.
+    Scale paths: the key set is reduced distributedly as a dataset of
+    distinct keys; below ``broadcast_limit`` keys it is broadcast once
+    and applied as a vectorized ``isin`` filter (no input shuffle), above
+    it each input is semi-joined against the key-set dataset with a
+    hash-partitioned ``Dataset.join``.
     """
     lcols = left.schema().names
     rcols = right.schema().names
     lkeys = list(join_on) if join_on else _default_edge_keys(lcols)[:1]
     rkeys = list(right_join_on) if right_join_on else lkeys
 
-    def keyset(d: Dataset, cols: Sequence[str]) -> set[str]:
-        uniq = d.map_batches(
+    def keys_raw(d: Dataset, cols: Sequence[str]) -> Dataset:
+        """Per-batch-distinct keys — no shuffle; row count is an upper
+        bound on the true distinct count (the path decision)."""
+        return d.map_batches(
             lambda df, c=tuple(cols): pd.DataFrame(
                 {"__key__": _key_expr(df, list(c)).drop_duplicates()}),
             batch_format="pandas",
-        )
-        return set(uniq.unique("__key__"))
-
-    lset = keyset(left, lkeys)
-    rset = keyset(right, rkeys)
-    if left_join and right_join:
-        keep = lset | rset
-    elif left_join:
-        keep = lset
-    elif right_join:
-        keep = rset
-    else:
-        keep = lset & rset
-    ref = ray.put(keep)
+        ).materialize()
 
     from .core import cat
 
-    def filt(keys):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            ks = ray.get(ref)
-            return df[_key_expr(df, keys).isin(ks)]
-        return f
+    lraw = keys_raw(left, lkeys)
+    rraw = keys_raw(right, rkeys)
 
-    lf = left.map_batches(filt(lkeys), batch_format="pandas")
-    rf = right.map_batches(filt(rkeys), batch_format="pandas")
-    return cat(lf, rf)
+    if lraw.count() + rraw.count() <= broadcast_limit:
+        # small key sets: reduce to driver-side Python sets, broadcast
+        lset = set(lraw.to_pandas()["__key__"])
+        rset = set(rraw.to_pandas()["__key__"])
+        if left_join and right_join:
+            keep = lset | rset
+        elif left_join:
+            keep = lset
+        elif right_join:
+            keep = rset
+        else:
+            keep = lset & rset
+        ref = ray.put(keep)
+
+        def filt(keys):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                ks = ray.get(ref)
+                return df[_key_expr(df, keys).isin(ks)]
+            return f
+
+        lf = left.map_batches(filt(lkeys), batch_format="pandas")
+        rf = right.map_batches(filt(rkeys), batch_format="pandas")
+        return cat(lf, rf)
+
+    # large key sets: keep everything distributed — dedupe each side's
+    # keys with a bucketed shuffle, combine per the join mode, then
+    # semi-join each input against the key-set dataset.
+    from ._bucket import bucketed_group_apply
+
+    def dedupe(d: Dataset) -> Dataset:
+        return bucketed_group_apply(d, ["__key__"],
+                                    lambda df: df.drop_duplicates(),
+                                    num_buckets=64)
+
+    if left_join and right_join:
+        keep_ds = dedupe(lraw.union(rraw))
+    elif left_join:
+        keep_ds = dedupe(lraw)
+    elif right_join:
+        keep_ds = dedupe(rraw)
+    else:
+        keep_ds = _semi_anti(dedupe(lraw), dedupe(rraw), anti=False,
+                             input_keys=["__key__"], filter_keys=["__key__"])
+    keep_ds = keep_ds.materialize()
+
+    def semi(ds: Dataset, keys) -> Dataset:
+        return _semi_anti(ds, keep_ds, anti=False,
+                          input_keys=keys, filter_keys=["__key__"])
+
+    return cat(semi(left, lkeys), semi(right, rkeys))
 
 
 def lift(

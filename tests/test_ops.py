@@ -244,3 +244,15 @@ def test_clean_edges_rejects_stream():
     r = rejects.to_pandas()
     assert set(c.node1) == {"a", "c"}          # date repaired then valid
     assert set(r.node1) == {"b"}               # unrepairable string
+
+
+def test_kgtk_join_distributed_path_matches_broadcast():
+    left = edges([("a", "p", "1", "L"), ("b", "p", "2", "L")],
+                 ("node1", "label", "node2", "fromfile"))
+    right = edges([("b", "q", "3", "R"), ("c", "q", "4", "R")],
+                  ("node1", "label", "node2", "otherfile"))
+    for kw in ({}, {"left_join": True}, {"left_join": True, "right_join": True}):
+        want = rows(O.kgtk_join(left, right, join_on=["node1"], **kw))
+        got = rows(O.kgtk_join(left, right, join_on=["node1"],
+                               broadcast_limit=0, **kw))
+        assert got == want, kw
