@@ -1,0 +1,97 @@
+"""Declarative pipeline composition — the engine's analog of the
+reference's ``kgtk cmd1 / cmd2 / ...`` chain (cli_entry pipe DSL,
+/root/reference/kgtk/cli_entry.py:22,96-158, where each ``/`` stage is
+an OS process connected by TSV pipes).
+
+Here a pipeline is a list of steps applied to a lazy Dataset — the
+streaming executor pipelines the stages with backpressure instead of
+OS pipes, and nothing materializes between steps:
+
+    run_pipeline(ds, [
+        {"op": "filter", "subj": {"peter"}},
+        {"op": "compact", "key_columns": ["node1", "label", "node2"]},
+        {"op": "add_id", "style": "node1-label-node2"},
+        {"op": "sort"},
+    ])
+
+``OPS`` is the extension surface (reference §2.12: new CLI command =
+new module in kgtk/cli/): ``register("myop")(fn)`` adds a custom
+``(Dataset, **kwargs) -> Dataset`` step.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+import ray.data
+
+Dataset = ray.data.Dataset
+
+OPS: dict[str, Callable[..., Dataset]] = {}
+
+
+def register(name: str):
+    """Decorator: register a ``(Dataset, **kwargs) -> Dataset`` step."""
+    def deco(fn):
+        OPS[name] = fn
+        return fn
+    return deco
+
+
+def _builtin_ops() -> None:
+    from .. import ops as O
+    from ..io import write_kgtk_tsv
+    from ..text import normalize_text
+
+    builtins: dict[str, Callable[..., Any]] = {
+        "filter": O.kgtk_filter,
+        "ifempty": O.ifempty,
+        "ifnotempty": O.ifnotempty,
+        "compact": O.compact,
+        "unique": O.unique_counts,
+        "add_id": O.add_id,
+        "expand": O.expand_lists,
+        "normalize_nodes": O.normalize_nodes,
+        "lower": lambda ds, **kw: O.lower_labels(ds, **kw)[0],
+        "remove_columns": O.remove_columns,
+        "rename_columns": O.rename_columns,
+        "reorder_columns": O.reorder_columns,
+        "calc": O.calc_percentage,
+        "validate": O.validate_edges,
+        "clean": O.clean_edges,
+        "explode": O.explode_node2,
+        "implode": O.implode_node2,
+        "sort": O.sort_edges,
+        "dedup": O.dedup_exact_edges,
+        "lift": O.lift,
+        "every_nth": O.every_nth,
+        "record_limit": O.record_limit,
+        "tail": O.tail,
+        "initial_skip": O.initial_skip,
+        "text_normalize": normalize_text,
+    }
+    # two-input steps take the second dataset as a kwarg
+    builtins["ifexists"] = O.ifexists
+    builtins["ifnotexists"] = O.ifnotexists
+    builtins["join"] = O.kgtk_join
+    builtins["cat"] = lambda ds, other, **kw: O.cat(ds, other, **kw)
+    OPS.update({k: v for k, v in builtins.items() if k not in OPS})
+
+
+_builtin_ops()
+
+
+def run_pipeline(ds: Dataset, steps: Sequence[Mapping[str, Any]]) -> Dataset:
+    """Apply ``steps`` in order.  Each step is ``{"op": name, **kwargs}``;
+    kwargs pass through to the registered operator.  The result stays a
+    lazy Dataset — consume with ``write_parquet``/``iter_batches``."""
+    for i, step in enumerate(steps):
+        step = dict(step)
+        name = step.pop("op", None)
+        if name is None:
+            raise ValueError(f"step {i}: missing 'op'")
+        fn = OPS.get(name)
+        if fn is None:
+            raise ValueError(
+                f"step {i}: unknown op {name!r}; known: {sorted(OPS)}")
+        ds = fn(ds, **step)
+    return ds

@@ -108,3 +108,32 @@ def test_materialize_resume(tmp_path):
     # full read-back
     back = read_materialized(out_dir).to_pandas()
     assert len(back) == 100
+
+
+def test_run_pipeline_spec():
+    from kgtk_ray.pipelines.spec import run_pipeline, register, OPS
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node1": ["a", "a", "b", "b"],
+        "label": ["p", "p", "p", "q"],
+        "node2": ["1", "1", "2", "3"],
+        "q": ["x", "y", "", ""],
+    }))
+    out = run_pipeline(ds, [
+        {"op": "filter", "pred": {"p"}},
+        {"op": "compact", "key_columns": ["node1", "label", "node2"]},
+        {"op": "add_id", "style": "node1-label-node2"},
+        {"op": "sort", "columns": ["node1"]},
+    ]).to_pandas()
+    assert list(out.node1) == ["a", "b"]
+    assert out[out.node1 == "a"].iloc[0]["q"] == "x|y"
+    assert out.iloc[0]["id"] == "a-p-1"
+
+    @register("double")
+    def double(d, **kw):
+        return d.union(d)
+    assert run_pipeline(ds, [{"op": "double"}]).count() == 8
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown op"):
+        run_pipeline(ds, [{"op": "nope"}])
