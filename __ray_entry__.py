@@ -210,6 +210,13 @@ def _q_add_id_num(sf: str):
     return add_id(_edges_lineitem(sf), style="node1-label-num")
 
 
+def _q_add_id_prefix(sf: str):
+    from kgtk_ray.ops import add_id
+    return add_id(_edges_nation(sf).drop_columns(["n_name"]),
+                  style="prefix###", id_prefix="E", initial_id=1,
+                  id_prefix_num_width=4)
+
+
 def _q_expand(sf: str):
     from kgtk_ray.ops import expand_lists
     nat = _edges_nation(sf)
@@ -716,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lift": _q_lift,
         "add_id": _q_add_id,
         "add_id_num": _q_add_id_num,
+        "add_id_prefix": _q_add_id_prefix,
         "expand": _q_expand,
         "normalize_nodes": _q_normalize_nodes,
         "explode": _q_explode,
@@ -859,6 +867,13 @@ def oracle_sql() -> dict[str, str]:
                    AS VARCHAR), 4, '0') AS id,
                    node1, label, node2, supp, ln
             FROM ({_EDGE_SQL_LI})
+        """,
+        "add_id_prefix": f"""
+            SELECT 'E'||lpad(CAST(
+                     row_number() OVER (ORDER BY node1, label, node2)
+                   AS VARCHAR), 4, '0') AS id,
+                   node1, label, node2
+            FROM (SELECT node1, label, node2 FROM ({_EDGE_SQL_NATION}))
         """,
         "expand": f"""
             SELECT node1, label, node2, u.q

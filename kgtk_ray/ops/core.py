@@ -189,7 +189,9 @@ def lower_labels(ds: Dataset, *, suffix: str = ";label") -> tuple[Dataset, Datas
 
 
 def add_id(ds: Dataset, *, style: str = "node1-label-node2",
-           id_col: str = "id", overwrite: bool = True) -> Dataset:
+           id_col: str = "id", overwrite: bool = True,
+           id_prefix: str = "E", initial_id: int = 1,
+           id_prefix_num_width: int = 1) -> Dataset:
     """Assign edge IDs (reference kgtk/reshape/kgtkidbuilder.py:20-34).
 
     Content-derived styles (``node1-label-node2``, ``node1-label-node2-id``,
@@ -252,6 +254,34 @@ def add_id(ds: Dataset, *, style: str = "node1-label-node2",
 
         from ._bucket import bucketed_group_apply
         return bucketed_group_apply(ds, keys, g)
+
+    if style == "prefix###":
+        # Reference: id = prefix + zero-padded global sequence starting
+        # at initial_id (kgtk/reshape/kgtkidbuilder.py:25,38-40,408-409)
+        # in input-row order.  A global sequence is inherently
+        # single-stream; for determinism we assign it in sorted row
+        # order via one constant-key grouped rank — the same
+        # scalability class as the reference's running counter, so use
+        # content-derived styles on the 100 TB path.
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            cols = [c for c in df.columns if c != id_col]
+            df = (df.sort_values(cols, kind="mergesort")
+                  .reset_index(drop=True))
+            seq = (pd.RangeIndex(len(df)) + initial_id).astype(str)
+            new = id_prefix + pd.Series(seq).str.zfill(id_prefix_num_width)
+            if id_col in df.columns:
+                df[id_col] = new.values
+            else:
+                df.insert(0, id_col, new.values)
+            return df
+
+        from ._bucket import bucketed_group_apply
+        return bucketed_group_apply(
+            ds.map_batches(lambda df: df.assign(__one__=0),
+                           batch_format="pandas"),
+            ["__one__"],
+            lambda df: h(df.drop(columns="__one__")),
+            num_buckets=1)
 
     raise ValueError(f"unknown id style: {style}")
 

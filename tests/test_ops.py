@@ -256,3 +256,15 @@ def test_kgtk_join_distributed_path_matches_broadcast():
         got = rows(O.kgtk_join(left, right, join_on=["node1"],
                                broadcast_limit=0, **kw))
         assert got == want, kw
+
+
+def test_add_id_prefixed_style():
+    out = O.add_id(edge_ds(), style="prefix###", id_prefix="E",
+                   initial_id=1, id_prefix_num_width=2).to_pandas()
+    assert sorted(out["id"]) == [f"E{str(i).zfill(2)}" for i in range(1, 8)]
+    # deterministic: same input -> same id per row content
+    again = O.add_id(edge_ds(), style="prefix###", id_prefix="E",
+                     initial_id=1, id_prefix_num_width=2).to_pandas()
+    a = out.sort_values(list(out.columns)).reset_index(drop=True)
+    b = again.sort_values(list(again.columns)).reset_index(drop=True)
+    assert a.equals(b)
