@@ -41,7 +41,15 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     wraparound is the hash mix) — no per-gram Python string objects."""
     raw = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     if raw.size < k:
-        return np.array([hash(text) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+        # deterministic across worker processes (hash(str) is per-process
+        # salted): the same byte-polynomial over the whole string
+        pows = np.power(np.uint64(_POW), np.arange(raw.size, dtype=np.uint64))
+        with np.errstate(over="ignore"):
+            h = (raw.astype(np.uint64) * pows).sum(dtype=np.uint64) \
+                if raw.size else np.uint64(0)
+            h = np.uint64(h) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        return np.array([h & np.uint64(0x7FFFFFFFFFFFFFFF)], dtype=np.uint64)
     win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
     pows = np.power(np.uint64(_POW), np.arange(k, dtype=np.uint64))
     with np.errstate(over="ignore"):

@@ -47,36 +47,37 @@ def grouped_aggregate(
     keys = list(keys)
     out_order = list(specs)
 
-    # translate to partial specs: mean -> hidden sum + shared count
+    # translate to partial specs: mean -> hidden sum + per-column
+    # non-null count (NOT the row count: a group [1.0, NaN] must mean
+    # to 1.0, matching SQL AVG / Ray's own Mean on null inputs)
     partial_aggs: dict[str, tuple[str, str]] = {}
-    count_col: str | None = None
     for out, (col, op) in specs.items():
         if op == "count":
-            count_col = count_col or out
             partial_aggs[out] = (col or keys[0], "size")
         elif op == "mean":
             partial_aggs["__sum_" + out] = (col, "sum")
-            if count_col is None:
-                count_col = "__n__"
-                partial_aggs[count_col] = (col, "size")
+            partial_aggs["__cnt_" + out] = (col, "count")
         elif op in ("sum", "min", "max"):
             partial_aggs[out] = (col, op)
         else:
             raise ValueError(f"unsupported op {op!r} for {out!r}")
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, as_index=False, sort=False).agg(
+        # dropna=False: Ray/SQL groupbys keep the null-key group
+        return df.groupby(keys, as_index=False, sort=False,
+                          dropna=False).agg(
             **{o: (c, a) for o, (c, a) in partial_aggs.items()})
 
     merge_aggs = {}
     for o, (_, a) in partial_aggs.items():
-        merge_aggs[o] = (o, "sum" if a == "size" else _MERGE_OP.get(a, a))
+        merge_aggs[o] = (o, "sum" if a in ("size", "count") else _MERGE_OP.get(a, a))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, as_index=False, sort=False).agg(
+        g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(
             **{o: spec for o, spec in merge_aggs.items()})
         for out, (col, op) in specs.items():
             if op == "mean":
-                g[out] = g["__sum_" + out] / g[count_col]
+                g[out] = g["__sum_" + out] / g["__cnt_" + out]
         drop = [c for c in g.columns if c.startswith("__")]
         return g.drop(columns=drop)[keys + out_order]
 

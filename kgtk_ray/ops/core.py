@@ -115,9 +115,12 @@ def calc_percentage(ds: Dataset, value_col: str, total_col: str,
         v = pc.cast(t[value_col], pa.float64())
         tot = pc.cast(t[total_col], pa.float64())
         pct = pc.multiply(pc.divide(v, tot), pa.scalar(100.0))
-        formatted = pa.array([("" if x is None else fmt % x) for x in pct.to_pylist()],
-                             pa.string())
-        return t.append_column(into, formatted)
+        null_mask = np.asarray(pc.is_null(pct))
+        vals = np.asarray(pct.combine_chunks().fill_null(0.0))
+        formatted_np = np.char.mod(fmt, vals)  # vectorized printf at C speed
+        if null_mask.any():
+            formatted_np = np.where(null_mask, "", formatted_np)
+        return t.append_column(into, pa.array(formatted_np.tolist(), pa.string()))
     return ds.map_batches(f, batch_format="pyarrow")
 
 
@@ -267,11 +270,19 @@ def add_id(ds: Dataset, *, style: str = "node1-label-node2",
             cols = [c for c in df.columns if c != id_col]
             df = (df.sort_values(cols, kind="mergesort")
                   .reset_index(drop=True))
-            seq = (pd.RangeIndex(len(df)) + initial_id).astype(str)
-            new = id_prefix + pd.Series(seq).str.zfill(id_prefix_num_width)
             if id_col in df.columns:
-                df[id_col] = new.values
+                if overwrite:
+                    empty = pd.Series(True, index=df.index)
+                else:
+                    # reference KgtkIdBuilder keeps non-empty existing
+                    # ids and only numbers the blanks
+                    empty = df[id_col].isna() | (df[id_col].astype(str) == "")
+                seq = (pd.Series(np.arange(int(empty.sum())) + initial_id)
+                       .astype(str).str.zfill(id_prefix_num_width))
+                df.loc[empty, id_col] = (id_prefix + seq).values
             else:
+                seq = (pd.RangeIndex(len(df)) + initial_id).astype(str)
+                new = id_prefix + pd.Series(seq).str.zfill(id_prefix_num_width)
                 df.insert(0, id_col, new.values)
             return df
 

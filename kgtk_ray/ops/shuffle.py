@@ -31,8 +31,10 @@ from ..format import merge_list_series
 Dataset = ray.data.Dataset
 
 # Above this many rows the broadcast fast path gives way to a
-# hash-partitioned distributed join.
-BROADCAST_LIMIT = 5_000_000
+# hash-partitioned distributed join.  1M string keys ≈ 60-100 MB as a
+# Python set — the most a worker should re-deserialize from plasma per
+# task; bigger sides take the distributed join path.
+BROADCAST_LIMIT = 1_000_000
 
 
 def _default_edge_keys(columns: Sequence[str]) -> list[str]:
@@ -375,6 +377,9 @@ def lift(
             df = df[df["label"] != label_value]
         return df
 
+    # materialize once: count() and the downstream path reuse the same
+    # executed label-merge shuffle instead of running it twice
+    merged = merged.materialize()
     n_labels = merged.count()
     if n_labels <= broadcast_limit:
         label_map = dict(zip(*(lambda d: (d["node1"], d["node2"]))(
@@ -391,8 +396,7 @@ def lift(
 
         return ds.map_batches(f, batch_format="pandas")
 
-    # join path: materialize the merged label table once, join per column
-    merged = merged.materialize()
+    # join path: the merged label table is already materialized above
     out = ds.map_batches(drop_label_rows, batch_format="pandas")
     n_parts = max(2, min(64, n_labels // 1_000_000 + 2))
     present = [c for c in out_cols if c in ds.schema().names]
