@@ -1197,4 +1197,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT node2 AS supplier, label, node1
             FROM ({_EDGE_SQL_SUPP})
         """,
+        # The nation edge graph is bipartite (nations -> regions) and
+        # nations have no in-edges, so 5 rounds of power iteration have
+        # an exact closed form: nation rank settles at (1-d)/n after
+        # round 1 and each region at base*(1+d*c) where c is its
+        # in-degree.  Matches kgtk_ray.ops.graph.pagerank to 1e-15
+        # relative, far inside the %.10f formatting.
+        "pagerank": f"""
+            WITH e AS (SELECT node1, node2 FROM ({_EDGE_SQL_NATION})),
+                 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM
+                       (SELECT node1 AS v FROM e UNION SELECT node2 FROM e)),
+                 c AS (SELECT node2 AS r, CAST(COUNT(*) AS DOUBLE) AS c
+                       FROM e GROUP BY node2)
+            SELECT node1, 'pagerank' AS label,
+                   printf('%.10f', 0.15 / n.cnt) AS node2
+            FROM (SELECT DISTINCT node1 FROM e), n
+            UNION ALL
+            SELECT c.r, 'pagerank',
+                   printf('%.10f', (0.15 / n.cnt) * (1 + 0.85 * c.c))
+            FROM c, n
+        """,
+        # Same bipartite structure: after t HITS rounds the normalized
+        # scores reduce to auth_j = c_j^t / sqrt(sum c^2t) on regions
+        # (0 on nations) and hub_i = c_{region(i)}^t / sqrt(sum c^(2t+1))
+        # on nations (0 on regions); t=5 here.
+        "hits": f"""
+            WITH e AS (SELECT node1, node2 FROM ({_EDGE_SQL_NATION})),
+                 c AS (SELECT node2 AS r, CAST(COUNT(*) AS DOUBLE) AS c
+                       FROM e GROUP BY node2),
+                 norms AS (SELECT sqrt(SUM(pow(c, 10))) AS na,
+                                  sqrt(SUM(pow(c, 11))) AS nh FROM c)
+            SELECT e.node1 AS node1, 'hub' AS label,
+                   printf('%.10f', pow(c.c, 5) / norms.nh) AS node2
+            FROM e JOIN c ON c.r = e.node2, norms
+            UNION ALL
+            SELECT c.r, 'hub', printf('%.10f', 0.0) FROM c
+            UNION ALL
+            SELECT c.r, 'authority', printf('%.10f', pow(c.c, 5) / norms.na)
+            FROM c, norms
+            UNION ALL
+            SELECT e.node1, 'authority', printf('%.10f', 0.0) FROM e
+        """,
     }

@@ -36,6 +36,74 @@ def bucket_ids(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> pd.Se
     return (h % num_buckets).astype("int64")
 
 
+def bucketed_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    *,
+    left_fields: dict,
+    right_fields: dict,
+    how: str = "inner",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> Dataset:
+    """Distributed hash join built on the bucketed groupby shuffle.
+
+    Exists because ``Dataset.join`` in Ray 2.49 crashes whenever a hash
+    partition receives zero rows on either side: the join aggregator's
+    ``ArrowBlockBuilder().build()`` emits a schema-less empty table and
+    pyarrow's ``Table.join`` then fails with "No match ... for key field
+    reference" (ray/data/_internal/execution/operators/join.py:102-127).
+    Iterative graph loops over arbitrary graphs cannot guarantee
+    non-empty partitions, so they join here instead: both sides are
+    aligned to one explicit Arrow schema (missing columns = typed
+    nulls), tagged, bucket-shuffled once on the key hash, and merged
+    per bucket with a vectorized pandas merge.
+
+    ``left_fields`` / ``right_fields`` map column name -> pyarrow type
+    for each side; the join key ``on`` must appear in both with the
+    same type.  ``how`` is ``inner`` or ``left`` (unmatched left rows
+    keep typed-null right columns).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    all_fields = {**left_fields, **right_fields}
+    lcols, rcols = list(left_fields), list(right_fields)
+
+    def tagger(side: int, fields: dict):
+        def f(t: "pa.Table") -> "pa.Table":
+            cols = {}
+            for name, typ in all_fields.items():
+                if name in fields and name in t.column_names:
+                    cols[name] = pc.cast(t[name], typ)
+                else:
+                    cols[name] = pa.nulls(t.num_rows, typ)
+            key = pd.Series(cols[on].to_pandas()).astype(str)
+            bucket = (pd.util.hash_pandas_object(key, index=False)
+                      % num_buckets).astype("int64")
+            cols["__side__"] = pa.array(
+                np.full(t.num_rows, side, dtype=np.int8))
+            cols[BUCKET_COL] = pa.array(bucket.to_numpy())
+            return pa.table(cols)
+        return f
+
+    tagged = left.map_batches(tagger(0, left_fields),
+                              batch_format="pyarrow").union(
+        right.map_batches(tagger(1, right_fields), batch_format="pyarrow"))
+
+    pd_how = {"inner": "inner", "left": "left"}[how]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df.loc[df["__side__"] == 0, lcols]
+        rhs = df.loc[df["__side__"] == 1, rcols]
+        return lhs.merge(rhs, on=on, how=pd_how)
+
+    return (tagged.groupby(BUCKET_COL)
+            .map_groups(lambda df: merge(df.drop(columns=[BUCKET_COL])),
+                        batch_format="pandas"))
+
+
 def bucketed_group_apply(
     ds: Dataset,
     keys: Sequence[str],

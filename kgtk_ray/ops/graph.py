@@ -23,6 +23,36 @@ from .agg import grouped_aggregate
 Dataset = ray.data.Dataset
 
 
+def _distinct_nodes(e: Dataset, *, num_buckets: int = 32) -> Dataset:
+    """Distinct node ids of an edge dataset as a ``(node)`` Dataset —
+    reduced distributedly (per-batch dedup, then a bucketed shuffle
+    dedup); the driver never holds the node set."""
+    from ._bucket import bucketed_group_apply
+
+    both = e.map_batches(
+        lambda df: pd.DataFrame({"node": pd.concat([df["node1"], df["node2"]])
+                                 .astype(str).drop_duplicates()}),
+        batch_format="pandas")
+    return bucketed_group_apply(both, ["node"],
+                                lambda df: df.drop_duplicates(),
+                                num_buckets=num_buckets)
+
+
+def _node_counts(e: Dataset, col: str, out: str) -> Dataset:
+    """Per-node count of ``col`` values as ``(node, <out>)`` — two-phase
+    (per-batch value_counts combiner, then grouped sum)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[col]
+        if c.dtype != object:
+            c = c.astype(str)
+        vc = c.value_counts()
+        return pd.DataFrame({"node": vc.index, "n": vc.to_numpy()})
+
+    return grouped_aggregate(
+        e.map_batches(partial, batch_format="pandas"),
+        ["node"], {out: ("n", "sum")})
+
+
 def degrees(edges: Dataset, *, direction: str = "out") -> Dataset:
     """Per-node degree as edge rows ``(node, "<dir>degree", n)``
     (reference computes via graph-tool, kgtk/cli/graph_statistics.py:104-180).
@@ -52,19 +82,18 @@ def degrees(edges: Dataset, *, direction: str = "out") -> Dataset:
 
 def graph_statistics(edges: Dataset) -> dict:
     """Summary stats (node/edge counts, degree moments) as a small dict —
-    the reference prints these from graph-tool."""
-    n_edges = edges.count()
-    deg = degrees(edges, direction="out").map_batches(
-        lambda df: pd.DataFrame({"d": df["node2"].astype(int)}), batch_format="pandas")
-    dp = deg.to_pandas()["d"]
-    n1 = edges.unique("node1")
-    n2 = edges.unique("node2")
-    nodes = len(set(n1) | set(n2))
+    the reference prints these from graph-tool.  Fully distributed: the
+    degree table and node set stay Datasets; only the four scalar
+    reductions reach the driver."""
+    e = edges.select_columns(["node1", "node2"]).materialize()
+    n_edges = e.count()
+    deg = _node_counts(e, "node1", "d").materialize()
+    n_deg = deg.count()
     return {
         "num_edges": int(n_edges),
-        "num_nodes": int(nodes),
-        "mean_out_degree": float(dp.mean()) if len(dp) else 0.0,
-        "max_out_degree": int(dp.max()) if len(dp) else 0,
+        "num_nodes": int(_distinct_nodes(e).count()),
+        "mean_out_degree": float(deg.mean("d")) if n_deg else 0.0,
+        "max_out_degree": int(deg.max("d")) if n_deg else 0,
     }
 
 
@@ -176,7 +205,8 @@ def paths(edges: Dataset, sources: Sequence[str], targets: Sequence[str], *,
 
 
 def connected_components(edges: Dataset, *, max_iters: int = 50,
-                         method: str = "lowest") -> Dataset:
+                         method: str = "lowest",
+                         num_partitions: int = 16) -> Dataset:
     """Undirected connected components via distributed min-label
     propagation (reference uses graph-tool label_components,
     kgtk/gt/connected_components.py).  Returns ``(node1=node,
@@ -184,163 +214,293 @@ def connected_components(edges: Dataset, *, max_iters: int = 50,
 
     ``method`` selects the cluster-naming rule (reference ``Method``
     enum, kgtk/gt/connected_components.py:21-37): ``lowest`` (default;
-    lexicographic minimum member), ``highest``, ``first`` (first member
-    in node order), ``shortest``/``longest`` member name (ties broken
-    lexicographically), ``cat`` (all members joined with ``+``),
-    ``hash`` (deterministic hash of the member set), ``numbered``
-    (dense 0..k-1 index by lowest member), ``prefixed`` (``CC<number>``).
+    lexicographic minimum member), ``highest``, ``first`` (deviation:
+    Ray blocks are unordered so "first member in input order" is not
+    defined — implemented as ``lowest``), ``shortest``/``longest``
+    member name (ties broken lexicographically), ``cat`` (all members
+    joined with ``+``), ``hash`` (deterministic hash of the member
+    set), ``numbered`` (dense 0..k-1 index by lowest member),
+    ``prefixed`` (``CC<number>``).
 
-    Each iteration: labels(node->comp) joined to both edge endpoints,
-    candidate = min(comp of self, comp of neighbors), groupby-min.
-    Iterates to fixpoint; components converge in O(diameter) rounds.
+    Fully distributed: the label table (node -> component) is a Dataset
+    hash-joined to the edge set each round; candidate labels reduce
+    through a bucketed groupby-min; the driver sees only the per-round
+    changed-row counter.  Converges in O(diameter) rounds.
     """
+    from ._bucket import bucketed_group_apply
+
+    import pyarrow as pa
+
+    from ._bucket import bucketed_join
+
     und = edges.map_batches(
         lambda df: pd.concat([
-            df[["node1", "node2"]],
-            df[["node2", "node1"]].rename(columns={"node2": "node1",
-                                                   "node1": "node2"})],
-            ignore_index=True).drop_duplicates(),
-        batch_format="pandas").materialize()
+            df[["node1", "node2"]].astype(str),
+            df[["node2", "node1"]].astype(str).rename(
+                columns={"node2": "node1", "node1": "node2"})],
+            ignore_index=True).drop_duplicates()
+        .rename(columns={"node1": "node", "node2": "nbr"}),
+        batch_format="pandas").repartition(num_partitions).materialize()
 
-    # initial labels: node -> node
-    labels_df = und.map_batches(
-        lambda df: pd.DataFrame({"node": pd.concat([df["node1"], df["node2"]])
-                                 .astype(str).drop_duplicates()}),
-        batch_format="pandas").to_pandas().drop_duplicates()
-    labels_df["comp"] = labels_df["node"]
+    labels = _distinct_nodes(
+        und.map_batches(lambda df: df.rename(columns={"node": "node1",
+                                                      "nbr": "node2"}),
+                        batch_format="pandas")
+    ).map_batches(lambda df: df.assign(comp=df["node"]),
+                  batch_format="pandas") \
+        .repartition(num_partitions).materialize()
 
     for _ in range(max_iters):
-        ref = ray.put(dict(zip(labels_df["node"], labels_df["comp"])))
+        # push each node's component across its edges, then per-node
+        # min over {own comp} ∪ {neighbor comps}; ``src`` tags the own
+        # row so the same bucketed pass also counts changed labels.
+        prop = bucketed_join(
+            und, labels, "node",
+            left_fields={"node": pa.string(), "nbr": pa.string()},
+            right_fields={"node": pa.string(), "comp": pa.string()},
+            num_buckets=num_partitions) \
+            .map_batches(lambda df: pd.DataFrame(
+                {"node": df["nbr"], "comp": df["comp"], "src": 1}),
+                batch_format="pandas")
+        own = labels.map_batches(lambda df: df.assign(src=0),
+                                 batch_format="pandas")
 
-        def prop(df: pd.DataFrame) -> pd.DataFrame:
-            lm = ray.get(ref)
-            a = df["node1"].map(lm)
-            b = df["node2"].map(lm)
-            return pd.DataFrame({"node": df["node1"].astype(str),
-                                 "comp": np.minimum(a, b)})
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            new = df.groupby("node", sort=False)["comp"].min()
+            old = df[df["src"] == 0].set_index("node")["comp"]
+            out = new.reset_index()
+            out["changed"] = (new != old.reindex(new.index)).to_numpy(
+                dtype="int64")
+            return out
 
-        nxt = und.map_batches(prop, batch_format="pandas").to_pandas()
-        nxt = nxt.groupby("node", as_index=False)["comp"].min()
-        merged = labels_df.merge(nxt, on="node", how="left", suffixes=("", "_new"))
-        merged["comp_new"] = merged["comp_new"].fillna(merged["comp"])
-        changed = (merged["comp"] != merged["comp_new"]).sum()
-        labels_df = merged[["node", "comp_new"]].rename(columns={"comp_new": "comp"})
-        if changed == 0:
+        merged = bucketed_group_apply(prop.union(own), ["node"], step,
+                                      num_buckets=num_partitions) \
+            .repartition(num_partitions).materialize()
+        changed = merged.sum("changed")
+        labels = merged.drop_columns(["changed"]).materialize()
+        if not changed:
             break
 
-    if method != "lowest":
-        labels_df = _name_clusters(labels_df, method)
-    out = pd.DataFrame({"node1": labels_df["node"], "label": "connected_component",
-                        "node2": labels_df["comp"]})
-    return ray.data.from_pandas(out.reset_index(drop=True))
+    labels = _name_clusters_ds(labels, method, num_partitions)
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"node1": df["node"],
+                                 "label": "connected_component",
+                                 "node2": df["comp"]}),
+        batch_format="pandas")
 
 
-def _name_clusters(labels_df: pd.DataFrame, method: str) -> pd.DataFrame:
-    """Rename ``comp`` (currently the lowest member) per the naming rule.
-    Runs on the label table (one row per node — small relative to the
-    edge set; the propagation loop already materialized it)."""
-    g = labels_df.groupby("comp", sort=True)["node"]
-    if method == "highest":
-        names = g.max()
-    elif method == "first":
-        names = g.first()
-    elif method == "shortest":
-        names = g.apply(lambda s: min(sorted(s), key=len))
-    elif method == "longest":
-        names = g.apply(lambda s: max(sorted(s), key=len))
-    elif method == "cat":
-        names = g.apply(lambda s: "+".join(sorted(s)))
-    elif method == "hash":
-        names = g.apply(lambda s: hex(
-            int(np.bitwise_xor.reduce(
-                pd.util.hash_array(np.sort(s.to_numpy(dtype=object)))))
-            & 0xFFFFFFFF))
-    elif method in ("numbered", "prefixed"):
-        idx = {c: i for i, c in enumerate(sorted(g.groups))}
+def _name_clusters_ds(labels: Dataset, method: str,
+                      num_partitions: int) -> Dataset:
+    """Rename ``comp`` (currently the lowest member) per the naming rule
+    — distributed: per-cluster names reduce via grouped aggregation /
+    bucketed apply and re-attach with a hash join.  Only ``numbered``/
+    ``prefixed`` pull the (cluster-count-sized, not node-sized) distinct
+    component list to the driver for the dense global index."""
+    from ._bucket import bucketed_group_apply
+
+    if method in ("lowest", "first"):
+        # 'first' documented deviation: equals 'lowest' (see caller)
+        return labels
+    if method in ("numbered", "prefixed"):
+        distinct = bucketed_group_apply(
+            labels.map_batches(lambda df: df[["comp"]].drop_duplicates(),
+                               batch_format="pandas"),
+            ["comp"], lambda df: df.drop_duplicates(),
+            num_buckets=num_partitions)
+        comps = sorted(distinct.to_pandas()["comp"])
         prefix = "CC" if method == "prefixed" else ""
-        names = pd.Series({c: f"{prefix}{i}" for c, i in idx.items()})
+        ref = ray.put({c: f"{prefix}{i}" for i, c in enumerate(comps)})
+        return labels.map_batches(
+            lambda df: df.assign(comp=df["comp"].map(ray.get(ref))),
+            batch_format="pandas")
+
+    if method == "highest":
+        names = grouped_aggregate(labels, ["comp"], {"name": ("node", "max")},
+                                  num_buckets=num_partitions)
+    elif method in ("shortest", "longest"):
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.assign(__len__=df["node"].str.len()).sort_values(
+                ["__len__", "node"], ascending=[method == "shortest", True],
+                kind="mergesort")
+            d = d.drop_duplicates("comp", keep="first")
+            return pd.DataFrame({"comp": d["comp"], "name": d["node"]})
+        names = bucketed_group_apply(labels, ["comp"], pick,
+                                     num_buckets=num_partitions)
+    elif method == "cat":
+        def join_members(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.sort_values("node").groupby("comp", sort=False)["node"] \
+                .agg("+".join)
+            return pd.DataFrame({"comp": g.index, "name": g.to_numpy()})
+        names = bucketed_group_apply(labels, ["comp"], join_members,
+                                     num_buckets=num_partitions)
+    elif method == "hash":
+        def hash_members(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("comp", sort=False)["node"].agg(
+                lambda s: hex(int(np.bitwise_xor.reduce(
+                    pd.util.hash_array(np.sort(s.to_numpy(dtype=object)))))
+                    & 0xFFFFFFFF))
+            return pd.DataFrame({"comp": g.index, "name": g.to_numpy()})
+        names = bucketed_group_apply(labels, ["comp"], hash_members,
+                                     num_buckets=num_partitions)
     else:
         raise ValueError(f"unknown naming method {method!r}")
-    out = labels_df.copy()
-    out["comp"] = out["comp"].map(names)
-    return out
+
+    import pyarrow as pa
+
+    from ._bucket import bucketed_join
+
+    return bucketed_join(
+        labels, names, "comp",
+        left_fields={"comp": pa.string(), "node": pa.string()},
+        right_fields={"comp": pa.string(), "name": pa.string()},
+        num_buckets=num_partitions) \
+        .map_batches(lambda df: pd.DataFrame({"node": df["node"],
+                                              "comp": df["name"]}),
+                     batch_format="pandas")
 
 
-def hits(edges: Dataset, *, iters: int = 10) -> Dataset:
+def _empty_edge_result() -> Dataset:
+    return ray.data.from_pandas(pd.DataFrame(
+        {"node1": pd.Series([], dtype=str), "label": pd.Series([], dtype=str),
+         "node2": pd.Series([], dtype=str)}))
+
+
+def hits(edges: Dataset, *, iters: int = 10,
+         num_partitions: int = 16) -> Dataset:
     """HITS hub/authority scores (reference: graph-tool hits in
-    graph-statistics, kgtk/cli/graph_statistics.py:104-180).  Power
-    iteration with the rank vectors broadcast per round and the
-    matrix-vector products computed as distributed grouped sums.
-    Returns ``(node1, label in {hub, authority}, node2=score)``."""
-    e = edges.select_columns(["node1", "node2"]).materialize()
-    nodes = sorted(set(e.unique("node1")) | set(e.unique("node2")))
-    if not nodes:
-        return ray.data.from_pandas(pd.DataFrame(
-            {"node1": [], "label": [], "node2": []}))
-    hub = {v: 1.0 for v in nodes}
-    auth = {v: 1.0 for v in nodes}
+    graph-statistics, kgtk/cli/graph_statistics.py:104-180).
+
+    Distributed power iteration: the hub/authority vectors are Datasets
+    hash-joined to the edge set each round; the matrix-vector products
+    are grouped sums (:func:`grouped_aggregate`); only the scalar
+    normalization constants reach the driver.  Nodes absent from a
+    grouped sum implicitly score 0 (inner joins drop their zero
+    contributions) and are restored by the final left join over the full
+    node set.  Returns ``(node1, label in {hub, authority}, node2=score)``.
+    """
+    import pyarrow as pa
+
+    from ._bucket import bucketed_join
+
+    edge_fields = {"node": pa.string(), "out": pa.string()}
+    score_fields = {"node": pa.string(), "score": pa.float64()}
+    e = edges.select_columns(["node1", "node2"]).map_batches(
+        lambda df: df.astype(str), batch_format="pandas") \
+        .repartition(num_partitions).materialize()
+    nodes = _distinct_nodes(e).repartition(num_partitions).materialize()
+    if nodes.count() == 0:
+        return _empty_edge_result()
+    # (node, score): score=1.0 start for every node
+    hub = nodes.map_batches(lambda df: df.assign(score=1.0),
+                            batch_format="pandas").materialize()
+    auth = hub
+
+    def matvec(vec: Dataset, join_col: str, out_col: str) -> Dataset:
+        """sum over edges of vec[join_col], grouped by out_col, then
+        L2-normalized; stays a Dataset throughout."""
+        keyed = e.map_batches(
+            lambda df: df.rename(columns={join_col: "node", out_col: "out"}),
+            batch_format="pandas")
+        contrib = bucketed_join(
+            keyed, vec, "node", left_fields=edge_fields,
+            right_fields=score_fields, num_buckets=num_partitions) \
+            .map_batches(lambda df: pd.DataFrame({"node": df["out"],
+                                                  "c": df["score"]}),
+                         batch_format="pandas")
+        sums = grouped_aggregate(contrib, ["node"], {"s": ("c", "sum")},
+                                 num_buckets=num_partitions) \
+            .repartition(num_partitions).materialize()
+        sq = sums.map_batches(
+            lambda df: pd.DataFrame({"sq": df["s"] * df["s"]}),
+            batch_format="pandas")
+        norm = np.sqrt(sq.sum("sq") or 0.0) or 1.0
+        return sums.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "score": df["s"] / norm}),
+            batch_format="pandas").materialize()
 
     for _ in range(iters):
-        href = ray.put(hub)
+        auth = matvec(hub, "node1", "node2")   # authority: sum of in-hubs
+        hub = matvec(auth, "node2", "node1")   # hub: sum of out-auths
 
-        def auth_contrib(df: pd.DataFrame) -> pd.DataFrame:
-            h = ray.get(href)
-            return pd.DataFrame({"node": df["node2"].astype(str),
-                                 "c": df["node1"].map(lambda v: h.get(v, 0.0))})
+    def fmt(vec: Dataset, label: str) -> Dataset:
+        return bucketed_join(
+            nodes, vec, "node", left_fields={"node": pa.string()},
+            right_fields=score_fields, how="left",
+            num_buckets=num_partitions) \
+            .map_batches(lambda df: pd.DataFrame({
+                "node1": df["node"], "label": label,
+                "node2": df["score"].fillna(0.0).map("{:.10f}".format)}),
+                batch_format="pandas")
 
-        a = e.map_batches(auth_contrib, batch_format="pandas").to_pandas()
-        asum = a.groupby("node")["c"].sum()
-        norm = np.sqrt((asum ** 2).sum()) or 1.0
-        auth = {v: asum.get(v, 0.0) / norm for v in nodes}
-
-        aref = ray.put(auth)
-
-        def hub_contrib(df: pd.DataFrame) -> pd.DataFrame:
-            av = ray.get(aref)
-            return pd.DataFrame({"node": df["node1"].astype(str),
-                                 "c": df["node2"].map(lambda v: av.get(v, 0.0))})
-
-        h = e.map_batches(hub_contrib, batch_format="pandas").to_pandas()
-        hsum = h.groupby("node")["c"].sum()
-        norm = np.sqrt((hsum ** 2).sum()) or 1.0
-        hub = {v: hsum.get(v, 0.0) / norm for v in nodes}
-
-    out = pd.DataFrame({
-        "node1": nodes * 2,
-        "label": ["hub"] * len(nodes) + ["authority"] * len(nodes),
-        "node2": [f"{hub[v]:.10f}" for v in nodes]
-                 + [f"{auth[v]:.10f}" for v in nodes],
-    })
-    return ray.data.from_pandas(out)
+    return fmt(hub, "hub").union(fmt(auth, "authority"))
 
 
-def pagerank(edges: Dataset, *, damping: float = 0.85, iters: int = 10) -> Dataset:
+def pagerank(edges: Dataset, *, damping: float = 0.85, iters: int = 10,
+             num_partitions: int = 16) -> Dataset:
     """Power-iteration PageRank (reference: graph-tool pagerank in
     graph-statistics).  Returns ``(node1, "pagerank", score)`` rows.
-    Broadcast rank vector + distributed contribution aggregation."""
-    e = edges.select_columns(["node1", "node2"]).materialize()
-    nodes = sorted(set(e.unique("node1")) | set(e.unique("node2")))
-    n = len(nodes)
+
+    Distributed: out-degrees fold into the edge dataset once before the
+    loop (one hash join); each round joins the rank Dataset to the edge
+    set, aggregates contributions with :func:`grouped_aggregate` and
+    rebuilds the rank table with a left join over the node set.  No
+    edge- or node-sized structure ever lives on the driver.
+    """
+    import pyarrow as pa
+
+    from ._bucket import bucketed_join
+
+    e = edges.select_columns(["node1", "node2"]).map_batches(
+        lambda df: df.astype(str), batch_format="pandas") \
+        .repartition(num_partitions).materialize()
+    nodes = _distinct_nodes(e).repartition(num_partitions).materialize()
+    n = nodes.count()
     if n == 0:
-        return ray.data.from_pandas(pd.DataFrame({"node1": [], "label": [],
-                                                  "node2": []}))
-    rank = {v: 1.0 / n for v in nodes}
-    outdeg_df = e.to_pandas().groupby("node1").size()
-    outdeg = outdeg_df.to_dict()
+        return _empty_edge_result()
+    outdeg = _node_counts(e, "node1", "outdeg")
+    # (node=src, dst, outdeg): joined once, reused every iteration
+    ej = bucketed_join(
+        e.map_batches(
+            lambda df: df.rename(columns={"node1": "node", "node2": "dst"}),
+            batch_format="pandas"),
+        outdeg, "node",
+        left_fields={"node": pa.string(), "dst": pa.string()},
+        right_fields={"node": pa.string(), "outdeg": pa.int64()},
+        num_buckets=num_partitions).repartition(num_partitions).materialize()
+    base = (1.0 - damping) / n
+    ej_fields = {"node": pa.string(), "dst": pa.string(),
+                 "outdeg": pa.int64()}
+    sums_fields = {"node": pa.string(), "s": pa.float64()}
+
+    # Loop state is just the in-mass table (node, s); the rank of any
+    # node is base + damping*s (absent node => s=0 => rank=base), so
+    # each round is ONE edge join + ONE grouped sum — no per-round
+    # rank-table rebuild.  Initial uniform rank 1/n is encoded as
+    # s0 = (1/n - base)/damping.
+    s0 = (1.0 / n - base) / damping
+    sums = nodes.map_batches(lambda df, s0=s0: df.assign(s=s0),
+                             batch_format="pandas").materialize()
 
     for _ in range(iters):
-        ref = ray.put(rank)
+        contrib = bucketed_join(
+            ej, sums, "node", left_fields=ej_fields,
+            right_fields=sums_fields, how="left",
+            num_buckets=num_partitions) \
+            .map_batches(lambda df: pd.DataFrame(
+                {"node": df["dst"],
+                 "c": (base + damping * df["s"].fillna(0.0)) / df["outdeg"]}),
+                batch_format="pandas")
+        sums = grouped_aggregate(contrib, ["node"], {"s": ("c", "sum")},
+                                 num_buckets=num_partitions) \
+            .repartition(num_partitions).materialize()
 
-        def contrib(df: pd.DataFrame) -> pd.DataFrame:
-            r = ray.get(ref)
-            w = df["node1"].map(lambda v: r.get(v, 0.0) / outdeg.get(v, 1))
-            return pd.DataFrame({"node": df["node2"].astype(str), "c": w})
-
-        c = e.map_batches(contrib, batch_format="pandas").to_pandas()
-        sums = c.groupby("node")["c"].sum()
-        base = (1.0 - damping) / n
-        rank = {v: base + damping * sums.get(v, 0.0) for v in nodes}
-
-    out = pd.DataFrame({"node1": nodes, "label": "pagerank",
-                        "node2": [f"{rank[v]:.10f}" for v in nodes]})
-    return ray.data.from_pandas(out)
+    return bucketed_join(
+        nodes, sums, "node", left_fields={"node": pa.string()},
+        right_fields=sums_fields, how="left",
+        num_buckets=num_partitions) \
+        .map_batches(lambda df: pd.DataFrame(
+            {"node1": df["node"], "label": "pagerank",
+             "node2": (base + damping * df["s"].fillna(0.0))
+             .map("{:.10f}".format)}),
+            batch_format="pandas")
