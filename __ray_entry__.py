@@ -544,7 +544,8 @@ def _q_text_embedding(sf: str):
 
     def flat(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        v = np.stack([np.asarray(x) for x in df["embedding"]])
+        v = np.stack([np.asarray(x) for x in df["embedding"]]) \
+            .astype(np.float64)
         return pd.DataFrame({"doc_id": df["doc_id"],
                              "e0": v[:, 0].round(6), "e1": v[:, 1].round(6)})
 
@@ -627,9 +628,18 @@ def _q_ngram_dedup(sf: str):
 
 
 def _q_embedding_dedup(sf: str):
+    """The raw embeddings table has no near-dup pairs (max pairwise
+    cosine ~0.51), so plant exact duplicates: vectors 0..49 re-appear
+    as vec_id+10000.  Identical vectors land in identical LSH buckets
+    in every table, so the expected clustering is LSH-independent and
+    the oracle is plain SQL."""
     from kgtk_ray.dedup import embedding_dedup
     emb = rd.read_parquet(f"{sf}/embeddings.parquet")
-    return embedding_dedup(emb, threshold=0.98)
+    dup = emb.map_batches(
+        lambda df: df[df.vec_id < 50].assign(
+            vec_id=lambda d: d.vec_id + 10000),
+        batch_format="pandas")
+    return embedding_dedup(emb.union(dup), threshold=0.98)
 
 
 def _q_ivf_ann(sf: str):
@@ -639,7 +649,8 @@ def _q_ivf_ann(sf: str):
     qt = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
     qt = qt[qt.vec_id < 5].sort_values("vec_id")
     Q = np.stack(qt.embedding.to_numpy()).astype(np.float64)
-    return ivf_topk_cosine(emb, Q, k=10, n_centroids=16, nprobe=4)
+    return _round_cols(ivf_topk_cosine(emb, Q, k=10, n_centroids=16, nprobe=4),
+                       ["score"])
 
 
 def _q_winnowing(sf: str):
@@ -659,7 +670,7 @@ def _q_multimodal(sf: str):
     out = decode_features(media)
     return out.map_batches(
         lambda df: pd.DataFrame({"media_id": df["media_id"],
-                                 "f0": [v[0] for v in df["features"]]}),
+                                 "f0": [float(v[0]) for v in df["features"]]}),
         batch_format="pandas")
 
 
@@ -773,6 +784,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal,
         "generate_mediawiki": _q_generate_mediawiki,
     }
+
+
+# Golden-output parquet fixtures for the non-SQL-expressible queries,
+# generated by scripts/make_fixtures.py: a single-process pandas/numpy
+# reference implementation of the same seeded algorithms (independent of
+# Ray block structure / batch boundaries / task order — exactly what a
+# distributed re-implementation can get wrong).  Valid for the driver's
+# sf0.01 correctness runs; regenerate with the script if an algorithm
+# constant changes.
+import os as _os
+
+_FIXDIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "kgtk_ray", "_fixtures", "sf001")
+
+
+def _fixture(name: str) -> str:
+    return _os.path.join(_FIXDIR, name).replace("'", "''")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1237,5 +1265,54 @@ def oracle_sql() -> dict[str, str]:
             FROM c, norms
             UNION ALL
             SELECT e.node1, 'authority', printf('%.10f', 0.0) FROM e
+        """,
+        # --- fixture-backed oracles (see scripts/make_fixtures.py) ---
+        # near-dup clusters: fixture holds only non-singleton members;
+        # every other doc is its own cluster
+        "minhash_dedup": f"""
+            SELECT d.doc_id, COALESCE(f.cluster, d.doc_id) AS cluster
+            FROM documents d
+            LEFT JOIN read_parquet('{_fixture("minhash_clusters.parquet")}') f
+            USING (doc_id)
+        """,
+        "simhash_dedup": f"""
+            SELECT d.doc_id, COALESCE(f.cluster, d.doc_id) AS cluster
+            FROM documents d
+            LEFT JOIN read_parquet('{_fixture("simhash_clusters.parquet")}') f
+            USING (doc_id)
+        """,
+        "ngram_dedup": f"""
+            SELECT d.doc_id, COALESCE(f.cluster, d.doc_id) AS cluster
+            FROM documents d
+            LEFT JOIN read_parquet('{_fixture("ngram_clusters.parquet")}') f
+            USING (doc_id)
+        """,
+        # planted exact duplicates (vec_id+10000 copies of vecs 0..49)
+        # cluster with their source; everything else is a singleton —
+        # LSH-independent, so plain SQL
+        "embedding_dedup": """
+            SELECT vec_id, vec_id AS cluster FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000, vec_id FROM embeddings WHERE vec_id < 50
+        """,
+        "ivf_ann": f"""
+            SELECT query_id, vec_id, score
+            FROM read_parquet('{_fixture("ivf_ann.parquet")}')
+        """,
+        "winnowing": f"""
+            SELECT doc_id, pos, hash
+            FROM read_parquet('{_fixture("winnowing.parquet")}')
+        """,
+        "text_embedding": f"""
+            SELECT doc_id, e0, e1
+            FROM read_parquet('{_fixture("text_embedding.parquet")}')
+        """,
+        "multimodal_features": f"""
+            SELECT media_id, f0
+            FROM read_parquet('{_fixture("multimodal.parquet")}')
+        """,
+        "generate_mediawiki": f"""
+            SELECT qnode, doc
+            FROM read_parquet('{_fixture("mediawiki.parquet")}')
         """,
     }

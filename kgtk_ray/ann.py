@@ -66,8 +66,19 @@ def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
     Lloyd iterations on the driver), vectors scanned only in the
     ``nprobe`` buckets nearest each query.  Approximate; recall grows
     with nprobe."""
-    sample = ds.random_sample(min(1.0, sample_size / max(1, ds.count())), seed=seed)
-    S = _norm_rows(np.stack(sample.to_pandas()[vec_col].to_numpy()).astype(np.float32))
+    # deterministic id-hash sample, order-normalized by id: the centroid
+    # seed set must not depend on Ray block structure or task order
+    stride = max(1, ds.count() // sample_size)
+
+    def samp(df: pd.DataFrame) -> pd.DataFrame:
+        if stride <= 1:
+            return df
+        h = pd.util.hash_array(df[id_col].to_numpy())
+        return df[h % np.uint64(stride) == 0]
+
+    sdf = ds.map_batches(samp, batch_format="pandas").to_pandas() \
+        .sort_values(id_col)
+    S = _norm_rows(np.stack(sdf[vec_col].to_numpy()).astype(np.float32))
     rng = np.random.default_rng(seed)
     C = S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)]
     for _ in range(5):

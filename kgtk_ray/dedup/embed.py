@@ -43,47 +43,30 @@ def embedding_dedup(ds: Dataset, *, vec_col: str = "embedding",
     flat = ds.map_batches(bucketize, batch_format="pandas")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # bucketed self-merge + one einsum for every candidate cosine
+        # bucketed self-merge + one einsum for every candidate cosine;
+        # the cosine verify runs in-stage (vectors travel with the
+        # candidate rows) so only verified pairs leave
         d = (df.drop_duplicates(["table", "bucket", "doc"])
              .sort_values("doc", kind="mergesort"))
         d = d[d.groupby(["table", "bucket"], sort=False).cumcount() < 64]
         m = d.merge(d, on=["table", "bucket"])
         m = m[m["doc_x"] < m["doc_y"]]
         if not len(m):
-            return pd.DataFrame({"a": [], "b": [], "cos": []})
+            # dtype-preserving empty frame (blocks must union cleanly)
+            return pd.DataFrame({"a": m["doc_x"], "b": m["doc_y"]})
         A = np.stack(m["vec_x"].to_numpy())
         B = np.stack(m["vec_y"].to_numpy())
         cos = np.einsum("ij,ij->i", A, B)
+        m = m[cos >= threshold]
         return pd.DataFrame({"a": m["doc_x"].to_numpy(),
-                             "b": m["doc_y"].to_numpy(), "cos": cos})
+                             "b": m["doc_y"].to_numpy()})
+
+    from ._cluster import cluster_pairs, distinct_pairs
 
     from ..ops._bucket import bucketed_group_apply
-    cand = bucketed_group_apply(flat, ["table", "bucket"], pairs).to_pandas()
-    cand = cand.drop_duplicates(["a", "b"])
-    cand = cand[cand["cos"] >= threshold]
 
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for pa, pb in zip(cand["a"], cand["b"]):
-        ra, rb = find(pa), find(pb)
-        if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
-            parent[hi] = lo
-
-    cm = {d: find(d) for d in set(cand["a"]) | set(cand["b"])}
-    ref = ray.put(cm)
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        return pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
-            "cluster": df[id_col].map(lambda x: m.get(x, x)).to_numpy(),
-        })
-
-    return ds.map_batches(assign, batch_format="pandas")
+    verified = distinct_pairs(
+        bucketed_group_apply(flat, ["table", "bucket"], pairs))
+    # distributed min-label propagation; driver sees only counters
+    return cluster_pairs(ds.select_columns([id_col]), verified,
+                         id_col=id_col)

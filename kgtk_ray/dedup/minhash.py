@@ -12,11 +12,13 @@ Pipeline shape (the scale path — no pairwise matrix is ever built):
   3. ``groupby(band, bucket)``: docs sharing a band bucket become
      candidate pairs (emitted per group — group sizes are bounded by
      bucket collision, hot buckets capped);
-  4. verify: exact shingle-set Jaccard for candidate pairs (fetching
-     both docs' shingle sets via a broadcast signature store at test
-     scale; re-shingling per pair at cluster scale);
-  5. connected components over verified pairs -> cluster reps
-     (min doc id), via iterated min-label propagation.
+  4. verify: exact shingle-set Jaccard, pair-partitioned — the corpus
+     is semi-joined down to candidate docs, re-shingled once, and the
+     shingle sets meet their pairs via two hash joins on doc id (no
+     driver-side shingle dict, no candidate collect);
+  5. distributed min-label propagation over verified pairs -> cluster
+     reps (minimum member id in the id column's own dtype); the driver
+     sees only per-round convergence counters.
 
 Seeded and deterministic throughout.
 """
@@ -24,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -56,6 +59,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         h = (win * pows).sum(axis=1, dtype=np.uint64)
         h *= np.uint64(0x9E3779B97F4A7C15)  # final avalanche mix
         h ^= h >> np.uint64(29)
+        # 63-bit range so shingle sets survive an Arrow list<int64>
+        # round-trip (the pair-partitioned verify ships them as lists)
+        h &= np.uint64(0x7FFFFFFFFFFFFFFF)
     return np.unique(h)
 
 
@@ -146,67 +152,73 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
         return pd.DataFrame({"a": m["doc_x"].to_numpy(),
                              "b": m["doc_y"].to_numpy()})
 
-    from ..ops._bucket import bucketed_group_apply
-    cand = bucketed_group_apply(flat, ["band", "bucket"],
-                                pairs).to_pandas().drop_duplicates()
+    from ..ops._bucket import bucketed_group_apply, bucketed_join
+    from ._cluster import _id_type, cluster_pairs, distinct_pairs
 
-    if cand.empty:
-        ids = ds.select_columns([id_col])
+    cand = distinct_pairs(
+        bucketed_group_apply(flat, ["band", "bucket"], pairs)).materialize()
+
+    ids = ds.select_columns([id_col])
+    if cand.count() == 0:
         return ids.map_batches(
             lambda df: pd.DataFrame({id_col: df[id_col], "cluster": df[id_col]}),
             batch_format="pandas")
 
-    # 4: verify with exact shingle-set Jaccard.  The candidate doc set is
-    # small relative to the corpus; broadcast their shingle sets.
-    needed = set(cand["a"]) | set(cand["b"])
-    need_ref = ray.put(needed)
+    # 4: verify with exact shingle-set Jaccard, pair-partitioned: the
+    # corpus is semi-joined down to the candidate docs (broadcast id set
+    # below the limit, hash semi-join above), those docs are re-shingled
+    # once, and the shingle sets meet their pairs via two hash joins on
+    # doc id — no driver-side shingle dict, no candidate collect.
+    idt = _id_type(ids, id_col)
+    needed = bucketed_group_apply(
+        cand.map_batches(lambda df: pd.DataFrame(
+            {"doc": pd.concat([df["a"], df["b"]]).drop_duplicates()}),
+            batch_format="pandas"),
+        ["doc"], lambda df: df.drop_duplicates(), num_buckets=16)
 
-    def shingles_of(df: pd.DataFrame) -> pd.DataFrame:
-        want = ray.get(need_ref)
-        sub = df[df[id_col].isin(want)]
-        return pd.DataFrame({
-            "doc": sub[id_col].to_numpy(),
-            "sh": [_shingle_hashes(t, shingle_k).tolist()
-                   for t in sub[text_col].astype(str)],
-        })
+    from ..ops.shuffle import ifexists
 
-    sh_df = ds.map_batches(shingles_of, batch_format="pandas").to_pandas()
-    sh_map = {d: np.asarray(s, dtype=np.uint64)
-              for d, s in zip(sh_df["doc"], sh_df["sh"])}
+    cand_docs = ifexists(ds, needed, input_keys=[id_col],
+                         filter_keys=["doc"])
+    sh = cand_docs.map_batches(
+        lambda df: pd.DataFrame({
+            "doc": df[id_col].to_numpy(),
+            # shingle sets travel as raw int64 bytes: binary columns
+            # shuffle zero-copy, and Ray's pandas->Arrow conversion
+            # mangles list cells into tensor extension types
+            "sh": [_shingle_hashes(t, shingle_k).astype(np.int64).tobytes()
+                   for t in df[text_col].astype(str)],
+        }), batch_format="pandas")
 
-    def jac(x: np.ndarray, y: np.ndarray) -> float:
-        inter = np.intersect1d(x, y, assume_unique=True).size
-        return inter / (x.size + y.size - inter) if (x.size or y.size) else 1.0
+    sh_fields = {"doc": idt, "sh": pa.large_binary()}
+    with_a = bucketed_join(
+        cand.map_batches(lambda df: df.rename(columns={"a": "doc"}),
+                         batch_format="pandas"),
+        sh, "doc", left_fields={"doc": idt, "b": idt},
+        right_fields=sh_fields) \
+        .map_batches(lambda df: df.rename(columns={"doc": "a", "sh": "sh_a",
+                                                   "b": "doc"}),
+                     batch_format="pandas")
+    with_both = bucketed_join(
+        with_a, sh, "doc",
+        left_fields={"doc": idt, "a": idt, "sh_a": pa.large_binary()},
+        right_fields=sh_fields) \
+        .map_batches(lambda df: df.rename(columns={"doc": "b",
+                                                   "sh": "sh_b"}),
+                     batch_format="pandas")
 
-    keep = [
-        (pa, pb) for pa, pb in zip(cand["a"], cand["b"])
-        if jac(sh_map[pa], sh_map[pb]) >= threshold
-    ]
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.empty(len(df), dtype=bool)
+        for i, (x, y) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            x = np.frombuffer(x, dtype=np.int64)
+            y = np.frombuffer(y, dtype=np.int64)
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = x.size + y.size - inter
+            keep[i] = (inter / union if union else 1.0) >= threshold
+        return df.loc[keep, ["a", "b"]]
 
-    # 5: connected components (union-find on the verified pair set, which
-    # is provably small after verification)
-    parent: dict = {}
+    verified = with_both.map_batches(verify, batch_format="pandas")
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for pa, pb in keep:
-        ra, rb = find(pa), find(pb)
-        if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
-            parent[hi] = lo
-
-    cluster_map = {d: find(d) for d in set().union(*([set()] + [{a, b} for a, b in keep]))}
-    ref = ray.put(cluster_map)
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        cm = ray.get(ref)
-        return pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
-            "cluster": df[id_col].map(lambda d: cm.get(d, d)).to_numpy(),
-        })
-
-    return ds.map_batches(assign, batch_format="pandas")
+    # 5: distributed min-label propagation over the verified pairs; the
+    # driver sees only per-round changed counters (see _cluster.py).
+    return cluster_pairs(ids, verified, id_col=id_col)

@@ -67,48 +67,27 @@ def simhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         # bucketed self-merge: one vectorized pass over all (chunk,val)
-        # groups in the hash bucket
+        # groups in the hash bucket; the hamming verify runs right here
+        # (fingerprints travel with the candidate rows) so only verified
+        # pairs leave the stage
         d = (df.drop_duplicates(["chunk", "val", "doc"])
              .sort_values("doc", kind="mergesort"))
         d = d[d.groupby(["chunk", "val"], sort=False).cumcount() < 64]
         m = d.merge(d, on=["chunk", "val"])
         m = m[m["doc_x"] < m["doc_y"]]
+        if len(m):
+            dist = _hamming(m["fp_x"].to_numpy(dtype=np.uint64),
+                            m["fp_y"].to_numpy(dtype=np.uint64))
+            m = m[dist <= max_hamming]
         return pd.DataFrame({"a": m["doc_x"].to_numpy(),
-                             "b": m["doc_y"].to_numpy(),
-                             "fa": m["fp_x"].to_numpy(dtype=np.uint64),
-                             "fb": m["fp_y"].to_numpy(dtype=np.uint64)})
+                             "b": m["doc_y"].to_numpy()})
+
+    from ._cluster import cluster_pairs, distinct_pairs
 
     from ..ops._bucket import bucketed_group_apply
-    cand = bucketed_group_apply(flat, ["chunk", "val"],
-                                pairs).to_pandas().drop_duplicates(["a", "b"])
 
-    if len(cand):
-        d = _hamming(cand["fa"].to_numpy(dtype=np.uint64),
-                     cand["fb"].to_numpy(dtype=np.uint64))
-        cand = cand[d <= max_hamming]
-
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for pa, pb in zip(cand["a"], cand["b"]):
-        ra, rb = find(pa), find(pb)
-        if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
-            parent[hi] = lo
-
-    cm = {d: find(d) for d in set(cand["a"]) | set(cand["b"])}
-    ref = ray.put(cm)
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        return pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
-            "cluster": df[id_col].map(lambda x: m.get(x, x)).to_numpy(),
-        })
-
-    return ds.map_batches(assign, batch_format="pandas")
+    verified = distinct_pairs(
+        bucketed_group_apply(flat, ["chunk", "val"], pairs))
+    # distributed min-label propagation; driver sees only counters
+    return cluster_pairs(ds.select_columns([id_col]), verified,
+                         id_col=id_col)

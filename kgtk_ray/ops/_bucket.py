@@ -94,9 +94,21 @@ def bucketed_join(
 
     pd_how = {"inner": "inner", "left": "left"}[how]
 
+    def restore(side_df: pd.DataFrame, fields: dict) -> pd.DataFrame:
+        # The other side's rows carry typed nulls in this side's
+        # columns, so Arrow->pandas promotes ints to float64 for the
+        # whole bucket frame; cast this side's own (non-null) values
+        # back so keys hash/merge consistently downstream.
+        for c, typ in fields.items():
+            if (pa.types.is_integer(typ)
+                    and side_df[c].dtype != typ.to_pandas_dtype()
+                    and side_df[c].notna().all()):
+                side_df[c] = side_df[c].astype(typ.to_pandas_dtype())
+        return side_df
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df.loc[df["__side__"] == 0, lcols]
-        rhs = df.loc[df["__side__"] == 1, rcols]
+        lhs = restore(df.loc[df["__side__"] == 0, lcols].copy(), left_fields)
+        rhs = restore(df.loc[df["__side__"] == 1, rcols].copy(), right_fields)
         return lhs.merge(rhs, on=on, how=pd_how)
 
     return (tagged.groupby(BUCKET_COL)

@@ -1,0 +1,343 @@
+"""Generate golden-output parquet fixtures for the non-SQL-expressible
+queries (dedup family, winnowing, IVF ANN, text-embedding digest,
+multimodal features, mediawiki JSON).
+
+Each fixture is computed by a SINGLE-PROCESS reference implementation
+(plain pandas/numpy, no Ray) of the same seeded algorithm.  The Ray
+pipelines must reproduce these outputs exactly regardless of block
+structure, batch boundaries or task order — that is exactly the failure
+mode a distributed re-implementation can introduce, so the fixtures are
+the oracle for it.  ``oracle_sql()`` reads them with DuckDB's
+``read_parquet``.
+
+Only leaf hash/kernel helpers are imported from the library (they
+define the algorithm's constants); the orchestration — banding,
+candidate generation, verification, clustering, windowing, k-means —
+is re-implemented here independently.
+
+Usage: python scripts/make_fixtures.py [sf_dir] (default sf0.01).
+Rerun whenever an algorithm constant changes.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "kgtk_ray", "_fixtures", "sf001")
+
+
+def components_min(pairs: list[tuple]) -> dict:
+    """Connected components over verified pairs; rep = min member."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: set = set()
+    out: dict = {}
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        rep = min(comp)
+        for v in comp:
+            out[v] = rep
+    return out
+
+
+def nonsingleton_df(cm: dict, id_col: str) -> pd.DataFrame:
+    rows = [(d, c) for d, c in sorted(cm.items()) if d != c]
+    return pd.DataFrame(rows, columns=[id_col, "cluster"]).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# minhash / ngram
+# ---------------------------------------------------------------------------
+
+def ref_minhash(docs: pd.DataFrame, *, num_perm=128, bands=32, shingle_k=5,
+                threshold=0.8, seed=42, text_col="text",
+                id_col="doc_id") -> dict:
+    from kgtk_ray.dedup.minhash import (_POW, _perm_params, _shingle_hashes,
+                                        _signature)
+    r = num_perm // bands
+    a, b = _perm_params(num_perm, seed)
+    ids = docs[id_col].to_numpy()
+    sh = {d: _shingle_hashes(str(t), shingle_k)
+          for d, t in zip(ids, docs[text_col])}
+    sigs = np.stack([_signature(sh[d], a, b) for d in ids])
+    chunks = sigs.reshape(len(ids), bands, r)
+    mix = np.power(np.uint64(_POW), np.arange(r, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        buckets = (chunks * mix).sum(axis=2, dtype=np.uint64)
+        buckets *= np.uint64(0x9E3779B97F4A7C15)
+        buckets ^= buckets >> np.uint64(29)
+    buckets = (buckets & np.uint64(0x7FFFFFFFFFFFFFFF)).astype("int64")
+    flat = pd.DataFrame({
+        "doc": np.repeat(ids, bands),
+        "band": np.tile(np.arange(bands), len(ids)),
+        "bucket": buckets.ravel()})
+    d = (flat.drop_duplicates(["band", "bucket", "doc"])
+         .sort_values("doc", kind="mergesort"))
+    d = d[d.groupby(["band", "bucket"], sort=False).cumcount() < 64]
+    m = d.merge(d, on=["band", "bucket"])
+    m = m[m["doc_x"] < m["doc_y"]][["doc_x", "doc_y"]].drop_duplicates()
+    keep = []
+    for x, y in zip(m["doc_x"], m["doc_y"]):
+        sx, sy = sh[x], sh[y]
+        inter = np.intersect1d(sx, sy, assume_unique=True).size
+        un = sx.size + sy.size - inter
+        if (inter / un if un else 1.0) >= threshold:
+            keep.append((x, y))
+    return components_min(keep)
+
+
+def ref_ngram(docs: pd.DataFrame, *, n=3, threshold=0.8) -> dict:
+    from kgtk_ray.dedup.ngram import _word_ngrams
+    ng = docs.copy()
+    ng["text"] = [_word_ngrams(str(t), n) for t in docs["text"]]
+    return ref_minhash(ng, shingle_k=max(8, 4 * n), threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def ref_simhash(docs: pd.DataFrame, *, max_hamming=3) -> dict:
+    from kgtk_ray.dedup.simhash import _hamming, simhash64
+    chunks = max_hamming + 1
+    bits_per = 64 // chunks
+    ids = docs["doc_id"].to_numpy()
+    fps = simhash64(docs["text"])
+    rows = {"doc": np.repeat(ids, chunks), "fp": np.repeat(fps, chunks),
+            "chunk": np.tile(np.arange(chunks), len(ids)),
+            "val": np.empty(len(ids) * chunks, dtype=np.uint64)}
+    for ci in range(chunks):
+        shift = np.uint64(ci * bits_per)
+        mask = np.uint64((1 << bits_per) - 1)
+        rows["val"][ci::chunks] = (fps >> shift) & mask
+    flat = pd.DataFrame(rows)
+    d = (flat.drop_duplicates(["chunk", "val", "doc"])
+         .sort_values("doc", kind="mergesort"))
+    d = d[d.groupby(["chunk", "val"], sort=False).cumcount() < 64]
+    m = d.merge(d, on=["chunk", "val"])
+    m = m[m["doc_x"] < m["doc_y"]]
+    if len(m):
+        dist = _hamming(m["fp_x"].to_numpy(dtype=np.uint64),
+                        m["fp_y"].to_numpy(dtype=np.uint64))
+        m = m[dist <= max_hamming]
+    pairs = list({(x, y) for x, y in zip(m["doc_x"], m["doc_y"])})
+    return components_min(pairs)
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+def ref_winnowing(docs: pd.DataFrame, *, k=8, window=4) -> pd.DataFrame:
+    import re
+    ids, poss, hashes = [], [], []
+    for did, t in zip(docs["doc_id"].to_numpy(), docs["text"]):
+        t = re.sub(r"\s+", " ", str(t)).lower()
+        if len(t) < k:
+            continue
+        grams = np.asarray([t[i: i + k] for i in range(len(t) - k + 1)],
+                           dtype=object)
+        h = pd.util.hash_array(grams)
+        n = len(h)
+        if n < window:
+            sel = np.array([int(np.argmin(h))])
+        else:
+            idx = np.arange(n - window + 1)[:, None] + np.arange(window)
+            wins = h[idx]
+            sel = np.unique(idx[np.arange(len(idx)), wins.argmin(axis=1)])
+        ids.extend([did] * len(sel))
+        poss.extend(sel.tolist())
+        hashes.extend(h[sel].tolist())
+    return pd.DataFrame({"doc_id": np.asarray(ids, dtype="int64"),
+                         "pos": np.asarray(poss, dtype="int64"),
+                         "hash": np.asarray(hashes, dtype="uint64")})
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def ref_ivf(emb: pd.DataFrame, *, k=10, n_centroids=16, nprobe=4,
+            sample_size=2048, seed=42) -> pd.DataFrame:
+    def norm_rows(X):
+        return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    ids = emb["vec_id"].to_numpy()
+    stride = max(1, len(emb) // sample_size)
+    if stride > 1:
+        h = pd.util.hash_array(ids)
+        sdf = emb[h % np.uint64(stride) == 0]
+    else:
+        sdf = emb
+    sdf = sdf.sort_values("vec_id")
+    S = norm_rows(np.stack(sdf["embedding"].to_numpy()).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    C = S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)]
+    for _ in range(5):
+        assign = (S @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = norm_rows(S[m].mean(axis=0, keepdims=True))[0]
+
+    qdf = emb[emb["vec_id"] < 5].sort_values("vec_id")
+    Q = norm_rows(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+
+    X = norm_rows(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    bucket = (X @ C.T).argmax(axis=1)
+    frames = []
+    for qi in range(len(Q)):
+        mask = np.isin(bucket, list({int(p) for p in probe[qi]}))
+        sims = X[mask] @ Q[qi]
+        sub_ids = ids[mask]
+        g = pd.DataFrame({"query_id": qi, "vec_id": sub_ids, "score": sims})
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        frames.append(g)
+    out = pd.concat(frames, ignore_index=True)
+    scale = 10.0 ** 6
+    x = out["score"].to_numpy()
+    out["score"] = np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# text embedding digest (deterministic hashing fallback)
+# ---------------------------------------------------------------------------
+
+def ref_text_embedding(docs: pd.DataFrame, *, dim=64) -> pd.DataFrame:
+    import hashlib
+    e0, e1 = [], []
+    for t in docs["text"]:
+        v = np.zeros(dim, dtype=np.float32)
+        for tok in str(t).lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                               "little")
+            v[h % dim] += 1.0 + (h >> 32) % 7 * 0.1
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        # float32 -> float64 widening is exact; round in float64 like
+        # the query side does
+        e0.append(float(v[0]))
+        e1.append(float(v[1]))
+    return pd.DataFrame({"doc_id": docs["doc_id"].astype("int64"),
+                         "e0": np.round(np.asarray(e0, dtype="float64"), 6),
+                         "e1": np.round(np.asarray(e1, dtype="float64"), 6)})
+
+
+# ---------------------------------------------------------------------------
+# multimodal features (synthetic media, byte-histogram decoder)
+# ---------------------------------------------------------------------------
+
+def ref_multimodal(n=256, *, dim=64, seed=42) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    f0 = []
+    for _ in range(n):
+        payload = rng.integers(0, 256, size=int(rng.integers(256, 2048)),
+                               dtype=np.uint8)
+        hist = np.bincount(payload % dim, minlength=dim).astype(np.float32)
+        nn = np.linalg.norm(hist)
+        f0.append(float((hist / nn if nn else hist)[0]))
+    return pd.DataFrame({"media_id": np.arange(n, dtype="int64"),
+                         "f0": np.asarray(f0, dtype="float64")})
+
+
+# ---------------------------------------------------------------------------
+# mediawiki jsons (nation-derived, sf-independent)
+# ---------------------------------------------------------------------------
+
+def ref_mediawiki(nation: pd.DataFrame) -> pd.DataFrame:
+    """Mediawiki-API entity JSON per the JsonGenerator spec
+    (reference /root/reference/kgtk/generator.py:521-640): labels /
+    descriptions / aliases sections, everything else as claims with the
+    property datatype resolved from data_type declaration edges (which
+    are themselves excluded from entity building)."""
+    n1 = "N" + nation["n_nationkey"].astype(str)
+    edges = pd.concat([
+        pd.DataFrame({"node1": n1, "label": "in_region",
+                      "node2": "R" + nation["n_regionkey"].astype(str)}),
+        pd.DataFrame({"node1": n1, "label": "label",
+                      "node2": nation["n_name"].astype(str).str.strip()}),
+        pd.DataFrame({"node1": ["in_region"], "label": ["data_type"],
+                      "node2": ["item"]}),
+    ], ignore_index=True)
+    dt = edges[edges["label"] == "data_type"]
+    ptypes = {p: {"item": "wikibase-item"}.get(t, "string")
+              for p, t in zip(dt["node1"], dt["node2"])}
+    body = edges[edges["label"] != "data_type"]
+    body = body.sort_values(["node1", "label", "node2"], kind="mergesort")
+    docs = []
+    for qnode, sub in body.groupby("node1", sort=True):
+        doc = {"id": qnode, "type": "item", "labels": {},
+               "descriptions": {}, "aliases": {}, "claims": {}}
+        for prop, vals in sub.groupby("label", sort=True)["node2"]:
+            values = list(vals)
+            if prop == "label":
+                doc["labels"]["en"] = {"language": "en", "value": values[0]}
+            else:
+                doc["claims"][prop] = [{
+                    "mainsnak": {
+                        "snaktype": "value",
+                        "property": prop,
+                        "datatype": ptypes.get(prop, "string"),
+                        "datavalue": {"value": v},
+                    },
+                    "type": "statement",
+                    "rank": "normal",
+                } for v in values]
+        docs.append((qnode, json.dumps(doc, sort_keys=True)))
+    return pd.DataFrame(docs, columns=["qnode", "doc"])
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+
+    def save(df: pd.DataFrame, name: str) -> None:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(OUT, name))
+        print(f"{name}: {len(df)} rows")
+
+    save(nonsingleton_df(ref_minhash(docs), "doc_id"),
+         "minhash_clusters.parquet")
+    save(nonsingleton_df(ref_ngram(docs), "doc_id"), "ngram_clusters.parquet")
+    save(nonsingleton_df(ref_simhash(docs), "doc_id"),
+         "simhash_clusters.parquet")
+    save(ref_winnowing(docs), "winnowing.parquet")
+    save(ref_ivf(emb), "ivf_ann.parquet")
+    save(ref_text_embedding(docs), "text_embedding.parquet")
+    save(ref_multimodal(), "multimodal.parquet")
+    save(ref_mediawiki(nation), "mediawiki.parquet")
+
+
+if __name__ == "__main__":
+    main()
