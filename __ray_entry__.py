@@ -471,13 +471,33 @@ def _q_unreify(sf: str):
 
 
 def _q_validate_properties(sf: str):
+    """Exercises the widened rule engine: full-match patterns, numeric
+    ranges, per-group cardinality, isa inheritance and a node2_chain
+    (suppliers may only be located in nations whose in_region edge
+    survived validation — regionkey 4 nations fail the R[0-3] pattern,
+    so their suppliers fail the chain)."""
     from kgtk_ray.ops import validate_properties
+    part_sizes = rd.read_parquet(f"{sf}/part.parquet",
+                                 columns=["p_partkey", "p_size"]) \
+        .map_batches(lambda df: pd.DataFrame({
+            "node1": "P" + df.p_partkey.astype(str), "label": "size",
+            "node2": df.p_size.astype(str)}), batch_format="pandas")
+    located = rd.read_parquet(f"{sf}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda df: pd.DataFrame({
+            "node1": "S" + df.s_suppkey.astype(str), "label": "located_in",
+            "node2": "N" + df.s_nationkey.astype(str)}),
+            batch_format="pandas")
     edges = _edges_nation(sf).drop_columns(["n_name"]).union(
-        _edges_supplier(sf).drop_columns(["s_name"]))
+        _edges_supplier(sf).drop_columns(["s_name"]),
+        part_sizes, located)
     patterns = pd.DataFrame({
-        "prop": ["in_region", "in_region", "has_supplier"],
-        "kind": ["node1_pattern", "node2_pattern", "maxoccurs"],
-        "value": [r"^N\d+$", r"^R[0-3]$", "3"],
+        "prop": ["in_region", "in_region", "in_region", "has_supplier",
+                 "size", "size", "located_in", "nation_dt"],
+        "kind": ["isa", "node1_pattern", "node2_pattern", "maxoccurs",
+                 "minval", "maxval", "node2_chain", "node1_pattern"],
+        "value": ["nation_dt", r"N\d+", r"R[0-3]", "3",
+                  "10", "40", "nation_dt", r"N\d+"],
     })
     return validate_properties(edges, patterns)
 
@@ -1113,15 +1133,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT node1, label, node2
               FROM ({_EDGE_SQL_NATION})
               UNION ALL
-              SELECT node1, label, node2 FROM ({_EDGE_SQL_SUPP})),
+              SELECT node1, label, node2 FROM ({_EDGE_SQL_SUPP})
+              UNION ALL
+              SELECT 'P'||CAST(p_partkey AS VARCHAR), 'size',
+                     CAST(p_size AS VARCHAR) FROM part
+              UNION ALL
+              SELECT 'S'||CAST(s_suppkey AS VARCHAR), 'located_in',
+                     'N'||CAST(s_nationkey AS VARCHAR) FROM supplier),
             cnt AS (SELECT node1, COUNT(*) AS c FROM e
-                    WHERE label = 'has_supplier' GROUP BY node1)
+                    WHERE label = 'has_supplier' GROUP BY node1),
+            valid_region AS (
+              SELECT node1 FROM e
+              WHERE label = 'in_region'
+                AND regexp_full_match(node1, 'N\\d+')
+                AND regexp_full_match(node2, 'R[0-3]'))
             SELECT node1, label, node2 FROM e
-            WHERE (label = 'in_region'
-                   AND regexp_full_match(node1, 'N\\d+')
-                   AND regexp_full_match(node2, 'R[0-3]'))
+            WHERE (label = 'in_region' AND node1 IN
+                     (SELECT node1 FROM valid_region))
                OR (label = 'has_supplier'
                    AND node1 IN (SELECT node1 FROM cnt WHERE c <= 3))
+               OR (label = 'size'
+                   AND CAST(node2 AS DOUBLE) BETWEEN 10 AND 40)
+               OR (label = 'located_in'
+                   AND node2 IN (SELECT node1 FROM valid_region))
         """,
         "paths": """
             SELECT 'S'||CAST(s_suppkey AS VARCHAR) AS node1,

@@ -1,0 +1,143 @@
+"""Full validate-properties action-set semantics (reference
+/root/reference/kgtk/value/propertypatternvalidator.py:220-295 Action
+enum; row checks :1124-1461, occurs :841-874, distinct :851-861,
+chains :1463-1489, isa :1829, switch :1871)."""
+import pandas as pd
+import pytest
+import ray.data
+
+from kgtk_ray.ops.propvalidate import validate_properties
+
+
+def run(edges, patterns, emit="pass"):
+    ds = ray.data.from_pandas(pd.DataFrame(edges))
+    out = validate_properties(ds, pd.DataFrame(patterns,
+                                               columns=["prop", "kind",
+                                                        "value"]),
+                              emit=emit)
+    return out.to_pandas()
+
+
+def edge(n1, lab, n2, id=""):
+    return {"node1": n1, "label": lab, "node2": n2, "id": id}
+
+
+def test_type_and_value_rules():
+    edges = [edge("Q1", "age", "42"), edge("Q2", "age", '"x"'),
+             edge("Q3", "color", "red"), edge("Q4", "color", "plaid")]
+    pats = [("age", "node2_type", "number"),
+            ("color", "node2_values", "red|green|blue")]
+    out = run(edges, pats)
+    assert set(out.node1) == {"Q1", "Q3"}
+    rej = run(edges, pats, emit="reject")
+    assert dict(zip(rej.node1, rej.reason)) == {"Q2": "node2_type",
+                                                "Q4": "node2_values"}
+
+
+def test_patterns_fullmatch_and_not():
+    # reference uses fullmatch (:1147): 'N1x' must NOT match 'N\\d+'
+    edges = [edge("N1", "p", "a"), edge("N1x", "p", "a"),
+             edge("N2", "p", "forbidden")]
+    pats = [("p", "node1_pattern", r"N\d+"),
+            ("p", "node2_not_pattern", r"forb.*")]
+    out = run(edges, pats)
+    assert list(out.node1) == ["N1"]
+
+
+def test_numeric_and_date_ranges():
+    edges = [edge("a", "score", "5"), edge("b", "score", "15"),
+             edge("c", "score", "notnum"),
+             edge("d", "born", "^1990-01-01"),
+             edge("e", "born", "^2101-01-01")]
+    pats = [("score", "minval", "0"), ("score", "maxval", "10"),
+            ("born", "mindate", "^1900-01-01"),
+            ("born", "maxdate", "^2100-01-01")]
+    out = run(edges, pats)
+    assert set(out.node1) == {"a", "d"}
+
+
+def test_occurs_and_requires():
+    edges = [edge("Q1", "name", "n1"), edge("Q1", "name", "n2"),
+             edge("Q2", "name", "x"),
+             edge("Q2", "email", "e"),
+             edge("Q3", "email", "e")]
+    pats = [("name", "maxoccurs", "1"),
+            ("email", "requires", "name")]
+    out = run(edges, pats)
+    # Q1's two name rows violate maxoccurs; Q3's email lacks name
+    assert set(zip(out.node1, out.label)) == {("Q2", "name"),
+                                              ("Q2", "email")}
+
+
+def test_mustoccur_rejects_whole_group():
+    edges = [edge("Q1", "name", "x"), edge("Q1", "age", "4"),
+             edge("Q2", "age", "5")]
+    pats = [("name", "mustoccur", "True")]
+    out = run(edges, pats)
+    assert set(out.node1) == {"Q1"}
+
+
+def test_prohibits():
+    edges = [edge("Q1", "deceased", "x"), edge("Q1", "email", "e"),
+             edge("Q2", "email", "e")]
+    pats = [("email", "prohibits", "deceased")]
+    out = run(edges, pats)
+    assert set(zip(out.node1, out.label)) == {("Q1", "deceased"),
+                                              ("Q2", "email")}
+
+
+def test_distinct_bounds():
+    edges = [edge(f"Q{i}", "tag", f"t{i % 2}") for i in range(6)]
+    pats = [("tag", "maxdistinct", "1")]
+    out = run(edges, pats)
+    assert len(out) == 0  # 2 distinct values > 1 -> all tag rows rejected
+    pats = [("tag", "mindistinct", "2")]
+    out = run(edges, pats)
+    assert len(out) == 6
+
+
+def test_chain():
+    # citizen_of's node2 must be a node1 that matched datatype 'country'
+    edges = [edge("P1", "citizen_of", "Q1"),
+             edge("P2", "citizen_of", "Q9"),
+             edge("Q1", "country_name", '"x"')]
+    pats = [("citizen_of", "node2_chain", "country"),
+            ("country_name", "isa", "country"),
+            ("country", "node2_type", "string")]
+    out = run(edges, pats)
+    assert ("P2", "citizen_of") not in set(zip(out.node1, out.label))
+    assert ("P1", "citizen_of") in set(zip(out.node1, out.label))
+
+
+def test_isa_inheritance():
+    # prop inherits parent's rules transitively and must satisfy ALL
+    edges = [edge("a", "height", "180cm"), edge("b", "height", '"tall"')]
+    pats = [("height", "isa", "measurement"),
+            ("measurement", "node2_type", "quantity|number")]
+    out = run(edges, pats)
+    assert list(out.node1) == ["a"]
+
+
+def test_switch_first_match():
+    edges = [edge("a", "val", "42"), edge("b", "val", '"s"'),
+             edge("c", "val", "@45.0/9.0")]
+    pats = [("val", "switch", "numcase|strcase"),
+            ("numcase", "node2_type", "number"),
+            ("strcase", "node2_type", "string")]
+    out = run(edges, pats, emit="reject")
+    assert dict(zip(out.node1, out.reason)) == {"c": "switch"}
+
+
+def test_blank_and_id_rules():
+    edges = [edge("a", "p", "x", id="E1"), edge("b", "p", "y", id=""),
+             edge("c", "p", "", id="E3")]
+    pats = [("p", "id_not_blank", "True"), ("p", "node2_not_blank", "True")]
+    out = run(edges, pats)
+    assert list(out.node1) == ["a"]
+
+
+def test_reject_kind():
+    edges = [edge("a", "deprecated_prop", "x"), edge("b", "ok", "y")]
+    pats = [("deprecated_prop", "reject", "True")]
+    out = run(edges, pats)
+    assert list(out.node1) == ["b"]
