@@ -19,20 +19,35 @@ EXPLODE_PREFIX = ";kgtk:"  # reference: kgtk/reshape/kgtkexplode.py:32
 
 
 def validate_edges(ds: Dataset, columns: Sequence[str] = ("node1", "label", "node2"),
-                   *, invalid_action: str = "exclude") -> Dataset:
+                   *, invalid_action: str = "exclude",
+                   options: "V.ValueOptions | None" = None) -> Dataset:
     """Classify + validate the given columns per the KGTK value grammar.
 
     ``invalid_action``: "exclude" drops invalid rows (the reference's
     EXCLUDE action, kgtk/io/kgtkreader.py:742-767); "mark" appends a
     boolean ``valid`` column; "pass" returns the input unchanged.
+    ``options`` (a :class:`kgtk_ray.values.ValueOptions`) selects the
+    reference's KgtkValueOptions lax/repair matrix; None = strict
+    defaults.  Repair options mutate the cell in place, as the
+    reference does (kgtk/io/kgtkreader.py:1179-1183).
     """
     cols = list(columns)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         ok = None
+        repaired_cols = {}
         for c in cols:
-            v = V.validate(df[c].fillna("").to_numpy(dtype=object))
+            arr = df[c].fillna("").to_numpy(dtype=object)
+            if options is None:
+                v = V.validate(arr)
+            else:
+                v, rep = V.validate_with_options(arr, options)
+                repaired_cols[c] = rep
             ok = v if ok is None else (ok & v)
+        if repaired_cols:
+            df = df.copy()
+            for c, rep in repaired_cols.items():
+                df[c] = rep
         if invalid_action == "exclude":
             return df[ok]
         if invalid_action == "mark":
@@ -45,10 +60,15 @@ def validate_edges(ds: Dataset, columns: Sequence[str] = ("node1", "label", "nod
 
 
 def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",),
-                *, with_rejects: bool = False):
+                *, with_rejects: bool = False,
+                options: "V.ValueOptions | None" = None):
     """validate + repair + keep-valid (the reference's clean-data:
     repairs month/day-zero dates and out-of-range coordinates, then
     excludes rows that remain invalid).
+
+    ``options`` switches to the reference-exact KgtkValueOptions
+    matrix (which repairs exactly the configured knobs); the default
+    keeps the legacy always-repair behavior.
 
     With ``with_rejects=True`` returns ``(clean, rejects)`` — the
     reference's reject-file routing (kgtk/io/kgtkreader.py:769-783) as
@@ -62,9 +82,13 @@ def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",),
         df = df.copy()
         ok = None
         for c in cols:
-            repaired = V.repair(df[c].fillna("").to_numpy(dtype=object))
+            arr = df[c].fillna("").to_numpy(dtype=object)
+            if options is None:
+                repaired = V.repair(arr)
+                v = V.validate(repaired)
+            else:
+                v, repaired = V.validate_with_options(arr, options)
             df[c] = repaired
-            v = V.validate(repaired)
             ok = v if ok is None else (ok & v)
         return df[ok] if keep_valid else df[~ok]
 

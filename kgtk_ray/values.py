@@ -77,6 +77,278 @@ DATE_RE = re.compile(
 )
 _LIST_RE = re.compile(r"(?<!\\)\|")
 
+# --- KgtkValueOptions matrix (kgtk/value/kgtkvalueoptions.py:15-105) ---
+# Option-dependent regex variants, byte-for-byte per the reference:
+# lax string (kgtkvalue.py:981, non-DOTALL .*), strict/lax/wikidata
+# lq-strings (:1080-1084), lax quantity Qnode (:668), strict/lax
+# coordinate degrees (:1146-1154), the always-lax date grammar
+# (:1333-1373, hyphen-conditional basic/extended forms).
+LAX_STRING_RE = re.compile(r'^"(?P<text>.*)"$')
+STRICT_LQ_RE = re.compile(
+    r"^'(?P<text>(?:[^'\\]|\\.)*)'@(?P<language>[a-zA-Z]{2,3})"
+    r"(?:-(?P<language_suffix>[a-zA-Z0-9]+))?$")
+LAX_LQ_RE = re.compile(
+    r"^'(?P<text>.*)'@(?P<language>[a-zA-Z]{2,3})"
+    r"(?:-(?P<language_suffix>[a-zA-Z0-9]+))?$")
+WIKIDATA_LQ_RE = re.compile(
+    r"^'(?P<text>(?:[^'\\]|\\.)*)'@(?P<language>[a-zA-Z]{2,})"
+    r"(?:-(?P<language_suffix>[-a-zA-Z0-9]+))?$")
+_LAX_QNODE = r"Q[-_0-9A-Za-z]+"
+LAX_QUANTITY_RE = re.compile(
+    rf"^(?P<number>{_NUMERIC})(?:{_TOL})?"
+    rf"(?:(?P<units_node>{_LAX_QNODE})|(?P<si_units>{_SI}))?$")
+_STRICT_DEGREES = r"(?:[-+]?(?:\d+(?:\.\d*)?)|(?:\.\d+))"
+STRICT_COORDS_RE = re.compile(
+    rf"^@(?P<latitude>{_STRICT_DEGREES})/(?P<longitude>{_STRICT_DEGREES})$")
+_LAX_DEGREES = rf"(?:[-+]?(?:{_DIGITPART}|{_FLOAT}))"
+LAX_COORDS_RE = re.compile(
+    rf"^@(?P<latitude>{_LAX_DEGREES})/(?P<longitude>{_LAX_DEGREES})$")
+REF_DATE_RE = re.compile(
+    r"^\^(?P<year>[-+]?[0-9]{4}(?:[0-9]+(?=-))?)"
+    r"(?:(?P<hyphen>-)?(?P<month>1[0-2]|0[0-9])"
+    r"(?:(?(hyphen)-)(?P<day>3[01]|0[0-9]|[12][0-9]))?)?"
+    r"(?:T(?P<hour>2[0-4]|[01][0-9])"
+    r"(?:(?(hyphen):)(?P<minutes>[0-5][0-9])"
+    r"(?:(?(hyphen):)(?P<seconds>[0-5][0-9]))?)?"
+    r"(?P<zonestr>Z|[-+][01][0-9](?::?[0-5][0-9])?)?)?"
+    r"(?:/(?P<precision>[0-1]?[0-9]))?$")
+
+
+class ValueOptions:
+    """Mirror of the reference's KgtkValueOptions knobs
+    (kgtk/value/kgtkvalueoptions.py:15-105), strict defaults."""
+
+    __slots__ = (
+        "allow_lax_qnodes", "allow_month_or_day_zero",
+        "repair_month_or_day_zero", "allow_end_of_day",
+        "allow_lax_strings", "allow_lax_lq_strings",
+        "allow_wikidata_lq_strings", "allow_lax_coordinates",
+        "repair_lax_coordinates", "allow_out_of_range_coordinates",
+        "minimum_valid_year", "clamp_minimum_year", "ignore_minimum_year",
+        "maximum_valid_year", "clamp_maximum_year", "ignore_maximum_year",
+        "minimum_valid_lat", "clamp_minimum_lat",
+        "maximum_valid_lat", "clamp_maximum_lat",
+        "minimum_valid_lon", "clamp_minimum_lon",
+        "maximum_valid_lon", "clamp_maximum_lon",
+        "modulo_repair_lon",
+    )
+
+    def __init__(self, **kw):
+        defaults = dict(
+            allow_lax_qnodes=False, allow_month_or_day_zero=False,
+            repair_month_or_day_zero=False, allow_end_of_day=True,
+            allow_lax_strings=False, allow_lax_lq_strings=False,
+            allow_wikidata_lq_strings=False, allow_lax_coordinates=False,
+            repair_lax_coordinates=False,
+            allow_out_of_range_coordinates=False,
+            minimum_valid_year=1583, clamp_minimum_year=False,
+            ignore_minimum_year=False,
+            maximum_valid_year=2100, clamp_maximum_year=False,
+            ignore_maximum_year=False,
+            minimum_valid_lat=-90.0, clamp_minimum_lat=False,
+            maximum_valid_lat=90.0, clamp_maximum_lat=False,
+            minimum_valid_lon=-180.0, clamp_minimum_lon=False,
+            maximum_valid_lon=180.0, clamp_maximum_lon=False,
+            modulo_repair_lon=False,
+        )
+        defaults.update(kw)
+        for k, v in defaults.items():
+            setattr(self, k, v)
+
+
+def _wrap_longitude(lon: float) -> float:
+    """Reference wrap_longitude (kgtkvalue.py:1309-1320): fmod into
+    (-180, 180]."""
+    import math
+    r = math.fmod(lon, 360.0)
+    if r > 180.0:
+        r -= 360.0
+    elif r <= -180.0:
+        r += 360.0
+    return r
+
+
+def _format_degrees(num: float) -> str:
+    """Reference format_degrees (kgtkvalue.py:1156): '{:011.6f}'."""
+    return "{:011.6f}".format(num)
+
+
+def validate_with_options(values, options: "ValueOptions"):
+    """Option-aware validate + repair: returns (valid: bool[], value:
+    object[] with in-place repairs applied), matching the reference's
+    KgtkValue.validate() observable behavior under KgtkValueOptions
+    (repairs mutate the value, kgtk/io/kgtkreader.py:1179-1183)."""
+    s = pd.Series(np.asarray(values, dtype=object)).fillna("").astype(str)
+    types = classify(s.to_numpy())
+    n = len(s)
+    ok = np.ones(n, dtype=bool)
+    out = s.to_numpy(dtype=object).copy()
+
+    # strings
+    m = types == "string"
+    if m.any():
+        rx = LAX_STRING_RE if options.allow_lax_strings else STRING_RE
+        ok &= ~(m & ~_match_mask(s, rx))
+    # lq strings
+    m = types == "language_qualified_string"
+    if m.any():
+        if options.allow_wikidata_lq_strings:
+            rx = WIKIDATA_LQ_RE
+        elif options.allow_lax_lq_strings:
+            rx = LAX_LQ_RE
+        else:
+            rx = STRICT_LQ_RE
+        ok &= ~(m & ~_match_mask(s, rx))
+    # quantities
+    m = types == "quantity"
+    if m.any():
+        rx = LAX_QUANTITY_RE if options.allow_lax_qnodes else QUANTITY_RE
+        ok &= ~(m & ~_match_mask(s, rx))
+    # extensions always invalid
+    ok &= ~(types == "extension")
+    # symbols: no tabs/newlines
+    sym = types == "symbol"
+    ok &= ~(sym & s.str.contains(r"[\t\n\r]", regex=True)
+            .fillna(False).to_numpy(dtype=bool))
+
+    # coordinates, per-row (option branches are value-dependent)
+    for i in np.flatnonzero(types == "location_coordinates"):
+        v = s.iloc[i]
+        mt = STRICT_COORDS_RE.match(v)
+        rewrite = False
+        if mt is None and (options.allow_lax_coordinates
+                           or options.repair_lax_coordinates):
+            mt = LAX_COORDS_RE.match(v)
+            rewrite = options.repair_lax_coordinates
+        if mt is None:
+            ok[i] = False
+            continue
+        latstr, lonstr = mt.group("latitude"), mt.group("longitude")
+        fix = False
+        lat = float(latstr)
+        if options.allow_out_of_range_coordinates:
+            pass
+        elif lat < options.minimum_valid_lat:
+            if options.clamp_minimum_lat:
+                lat = options.minimum_valid_lat
+                latstr, fix = str(lat), True
+            else:
+                ok[i] = False
+                continue
+        elif lat > options.maximum_valid_lat:
+            if options.clamp_maximum_lat:
+                lat = options.maximum_valid_lat
+                latstr, fix = str(lat), True
+            else:
+                ok[i] = False
+                continue
+        if rewrite:
+            latstr, fix = _format_degrees(lat), True
+        lon = float(lonstr)
+        if options.allow_out_of_range_coordinates:
+            pass
+        elif lon < options.minimum_valid_lon:
+            if options.modulo_repair_lon:
+                lon = _wrap_longitude(lon)
+                lonstr, fix = str(lon), True
+            elif options.clamp_minimum_lon:
+                lon = options.minimum_valid_lon
+                lonstr, fix = str(lon), True
+            else:
+                ok[i] = False
+                continue
+        elif lon > options.maximum_valid_lon:
+            if options.modulo_repair_lon:
+                lon = _wrap_longitude(lon)
+                lonstr, fix = str(lon), True
+            elif options.clamp_maximum_lon:
+                lon = options.maximum_valid_lon
+                lonstr, fix = str(lon), True
+            else:
+                ok[i] = False
+                continue
+        if rewrite:
+            lonstr, fix = _format_degrees(lon), True
+        if fix:
+            out[i] = "@" + latstr + "/" + lonstr
+
+    # dates, per-row (reference is_date_and_times, :1376-1650)
+    for i in np.flatnonzero(types == "date_and_times"):
+        v = s.iloc[i]
+        mt = REF_DATE_RE.match(v)
+        if mt is None:
+            ok[i] = False
+            continue
+        yearstr = mt.group("year")
+        monthstr, daystr = mt.group("month"), mt.group("day")
+        fix = False
+        year = int(yearstr)
+        if year < options.minimum_valid_year \
+                and not options.ignore_minimum_year:
+            if options.clamp_minimum_year:
+                year = options.minimum_valid_year
+                yearstr = str(year).zfill(4 if year >= 0 else 5)
+                fix = True
+            else:
+                ok[i] = False
+                continue
+        elif year > options.maximum_valid_year \
+                and not options.ignore_maximum_year:
+            if options.clamp_maximum_year:
+                year = options.maximum_valid_year
+                yearstr = str(year).zfill(4 if year >= 0 else 5)
+                fix = True
+            else:
+                ok[i] = False
+                continue
+        if monthstr is not None and int(monthstr) == 0:
+            if options.repair_month_or_day_zero:
+                monthstr, fix = "01", True
+            elif not options.allow_month_or_day_zero:
+                ok[i] = False
+                continue
+        if daystr is not None and int(daystr) == 0:
+            if options.repair_month_or_day_zero:
+                daystr, fix = "01", True
+            elif not options.allow_month_or_day_zero:
+                ok[i] = False
+                continue
+        hour = mt.group("hour")
+        if hour is not None and int(hour) == 24:
+            minutes, seconds = mt.group("minutes"), mt.group("seconds")
+            if (minutes is not None and int(minutes) > 0) or \
+                    (seconds is not None and int(seconds) > 0):
+                ok[i] = False
+                continue
+            if not options.allow_end_of_day:
+                ok[i] = False
+                continue
+        if fix:
+            hyphen = "-" if mt.group("hyphen") else ""
+            rebuilt = "^" + yearstr
+            if monthstr is not None:
+                rebuilt += hyphen + monthstr
+                if daystr is not None:
+                    rebuilt += hyphen + daystr
+            time_start = mt.end("day") if daystr is not None else (
+                mt.end("month") if monthstr is not None else mt.end("year"))
+            rebuilt += v[time_start:]
+            out[i] = rebuilt
+
+    # lists: every element must be valid under the same options
+    for i in np.flatnonzero(types == "list"):
+        parts = _LIST_RE.split(s.iloc[i])
+        if not parts:
+            ok[i] = False
+            continue
+        pv, pr = validate_with_options(np.array(parts, dtype=object),
+                                       options)
+        ok[i] = bool(pv.all())
+        if ok[i] and not np.array_equal(pr, np.array(parts, dtype=object)):
+            out[i] = "|".join(map(str, pr))
+
+    return ok, out
+
 
 def _match_mask(s: pd.Series, pattern: re.Pattern) -> np.ndarray:
     return s.str.match(pattern).fillna(False).to_numpy(dtype=bool)

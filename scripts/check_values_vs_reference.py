@@ -63,6 +63,46 @@ def fuzz_values(n: int, seed: int = 7) -> list[str]:
     return out
 
 
+# Option-sensitive extra values: lax strings/lq-strings, wikidata lang
+# suffixes, month/day zero, end-of-day 24:00, lax/out-of-range
+# coordinates, year clamps, lax qnode units.
+OPTION_VALUES = [
+    '"unescaped "quote""', '"newline\nin string"',
+    "'unescaped 'quote''@en", "'x'@en-GB-oed", "'x'@nan-x-hokkien",
+    "'x'@zho", "'y'@q", "'long'@classicalchinese",
+    "^1839-00-00T00:00:00Z/9", "^1839-05-00", "^1839-00-15",
+    "^2020-01-01T24:00:00", "^2020-01-01T24:00:01", "^2020-01-01T24:30",
+    "^1500-01-01", "^0500-01-01", "^2200-01-01", "^9999-12-31",
+    "@1.5e1/-3.0e1", "@95.0/0.0", "@-95.0/0.0", "@0.0/200.0",
+    "@0.0/-200.0", "@0.0/560.0",
+    "17Q42_b", "17Qabc", "3.5Q-1", "12Q007",
+]
+
+_OPTION_COMBOS = [
+    {},
+    {"allow_lax_strings": True},
+    {"allow_lax_lq_strings": True},
+    {"allow_wikidata_lq_strings": True},
+    {"allow_lax_qnodes": True},
+    {"allow_month_or_day_zero": True},
+    {"repair_month_or_day_zero": True},
+    {"allow_end_of_day": False},
+    {"allow_lax_coordinates": True},
+    {"repair_lax_coordinates": True},
+    {"allow_out_of_range_coordinates": True},
+    {"clamp_minimum_lat": True, "clamp_maximum_lat": True,
+     "clamp_minimum_lon": True, "clamp_maximum_lon": True},
+    {"modulo_repair_lon": True},
+    {"clamp_minimum_year": True, "clamp_maximum_year": True},
+    {"ignore_minimum_year": True, "ignore_maximum_year": True},
+    {"minimum_valid_year": 1900, "maximum_valid_year": 2000,
+     "clamp_minimum_year": True},
+    {"repair_month_or_day_zero": True, "modulo_repair_lon": True,
+     "allow_lax_strings": True, "allow_wikidata_lq_strings": True,
+     "clamp_maximum_year": True, "repair_lax_coordinates": True},
+]
+
+
 def main() -> int:
     make_shims()
     sys.path.insert(0, SHIM)
@@ -70,7 +110,8 @@ def main() -> int:
     from kgtk.value.kgtkvalue import KgtkValue
     from kgtk.value.kgtkvalueoptions import KgtkValueOptions
 
-    from kgtk_ray.values import classify, validate
+    from kgtk_ray.values import (ValueOptions, classify, validate,
+                                 validate_with_options)
 
     corpus = VALUES + fuzz_values(2000)
     opts = KgtkValueOptions()
@@ -90,7 +131,33 @@ def main() -> int:
     print(f"validate: {n}  agree: {n - len(bad_v)}  disagree: {len(bad_v)}")
     for v, r, o in (bad_t + bad_v)[:40]:
         print(f"  {v!r}: reference={r} ours={o}")
-    return 1 if (bad_t or bad_v) else 0
+
+    # --- option-matrix parity: validity AND post-repair value ---
+    opt_corpus = VALUES + OPTION_VALUES + fuzz_values(1000, seed=13)
+    total_bad = 0
+    for combo in _OPTION_COMBOS:
+        ref_opts = KgtkValueOptions(**combo)
+        ref_ok, ref_val = [], []
+        for v in opt_corpus:
+            kv = KgtkValue(v, options=ref_opts)
+            ref_ok.append(bool(kv.validate()))
+            ref_val.append(kv.value)
+        ok, repaired = validate_with_options(opt_corpus,
+                                            ValueOptions(**combo))
+        bad = [
+            (v, (r, rv), (bool(o), rp))
+            for v, r, rv, o, rp in zip(opt_corpus, ref_ok, ref_val, ok,
+                                       repaired)
+            if r != bool(o) or (r and rv != rp)
+        ]
+        total_bad += len(bad)
+        label = ",".join(f"{k}={v}" for k, v in combo.items()) or "defaults"
+        print(f"options[{label}]: {len(opt_corpus)} values, "
+              f"disagree: {len(bad)}")
+        for v, r, o in bad[:10]:
+            print(f"  {v!r}: reference={r} ours={o}")
+
+    return 1 if (bad_t or bad_v or total_bad) else 0
 
 
 if __name__ == "__main__":

@@ -80,3 +80,108 @@ def test_explode_fields_content():
     assert c["latitude"] == 1.5 and c["longitude"] == -2.5
     d = df.iloc[3]
     assert d["year"] == 1999 and d["precision"] == 11 and d["zonestr"] == "Z"
+
+
+# --- KgtkValueOptions lax/repair matrix (kgtk/value/kgtkvalueoptions.py:
+# 15-105; reference-parity fuzzed in scripts/check_values_vs_reference.py
+# across 17 option combos incl. repaired values) ---
+
+def test_options_lax_strings():
+    from kgtk_ray.values import ValueOptions, validate_with_options
+    vals = ['"unescaped "quote""']
+    ok, _ = validate_with_options(vals, ValueOptions())
+    assert not ok[0]
+    ok, _ = validate_with_options(vals, ValueOptions(allow_lax_strings=True))
+    assert ok[0]
+
+
+def test_options_wikidata_lq():
+    from kgtk_ray.values import ValueOptions, validate_with_options
+    vals = ["'x'@nan-x-hokkien", "'x'@classicalchinese"]
+    ok, _ = validate_with_options(vals, ValueOptions())
+    assert not ok.any()
+    ok, _ = validate_with_options(
+        vals, ValueOptions(allow_wikidata_lq_strings=True))
+    assert ok.all()
+
+
+def test_options_month_day_zero_repair():
+    from kgtk_ray.values import ValueOptions, validate_with_options
+    vals = ["^1839-00-00T00:00:00Z/9"]
+    ok, _ = validate_with_options(vals, ValueOptions())
+    assert not ok[0]
+    ok, _ = validate_with_options(
+        vals, ValueOptions(allow_month_or_day_zero=True))
+    assert ok[0]
+    ok, rep = validate_with_options(
+        vals, ValueOptions(repair_month_or_day_zero=True))
+    assert ok[0] and rep[0] == "^1839-01-01T00:00:00Z/9"
+
+
+def test_options_end_of_day():
+    from kgtk_ray.values import ValueOptions, validate_with_options
+    ok, _ = validate_with_options(["^2020-01-01T24:00:00"], ValueOptions())
+    assert ok[0]  # default allow_end_of_day=True
+    ok, _ = validate_with_options(["^2020-01-01T24:00:00"],
+                                  ValueOptions(allow_end_of_day=False))
+    assert not ok[0]
+    # 24:30 invalid regardless
+    ok, _ = validate_with_options(["^2020-01-01T24:30"], ValueOptions())
+    assert not ok[0]
+
+
+def test_options_coordinates():
+    from kgtk_ray.values import ValueOptions, validate_with_options
+    sci = ["@1.5e1/-3.0e1"]
+    ok, _ = validate_with_options(sci, ValueOptions())
+    assert not ok[0]
+    ok, _ = validate_with_options(sci, ValueOptions(allow_lax_coordinates=True))
+    assert ok[0]
+    ok, rep = validate_with_options(
+        sci, ValueOptions(repair_lax_coordinates=True))
+    assert ok[0] and rep[0] == "@0015.000000/-030.000000"
+    wrap = ["@0.0/200.0"]
+    ok, rep = validate_with_options(wrap, ValueOptions(modulo_repair_lon=True))
+    assert ok[0] and rep[0] == "@0.0/-160.0"
+    clamp = ["@95.0/0.0"]
+    ok, rep = validate_with_options(
+        clamp, ValueOptions(clamp_maximum_lat=True))
+    assert ok[0] and rep[0] == "@90.0/0.0"
+
+
+def test_options_year_clamp():
+    from kgtk_ray.values import ValueOptions, validate_with_options
+    vals = ["^1500-01-01", "^2200-01-01"]
+    ok, _ = validate_with_options(vals, ValueOptions())
+    assert not ok.any()
+    ok, rep = validate_with_options(
+        vals, ValueOptions(clamp_minimum_year=True, clamp_maximum_year=True))
+    assert ok.all()
+    assert rep[0] == "^1583-01-01" and rep[1] == "^2100-01-01"
+    ok, rep = validate_with_options(
+        vals, ValueOptions(ignore_minimum_year=True, ignore_maximum_year=True))
+    assert ok.all() and rep[0] == "^1500-01-01"
+
+
+def test_options_lax_qnodes():
+    from kgtk_ray.values import ValueOptions, validate_with_options
+    vals = ["17Q42_b", "12Q007"]
+    ok, _ = validate_with_options(vals, ValueOptions())
+    assert not ok.any()
+    ok, _ = validate_with_options(vals, ValueOptions(allow_lax_qnodes=True))
+    assert ok.all()
+
+
+def test_clean_edges_with_options(ray_session):
+    import pandas as pd
+    import ray.data
+    from kgtk_ray.ops import clean_edges
+    from kgtk_ray.values import ValueOptions
+    df = pd.DataFrame({
+        "node1": ["a", "b", "c"], "label": "p",
+        "node2": ["^1839-00-00", "^2020-01-01", "^1500-01-01"]})
+    out = clean_edges(
+        ray.data.from_pandas(df),
+        options=ValueOptions(repair_month_or_day_zero=True,
+                             clamp_minimum_year=True)).to_pandas()
+    assert sorted(out.node2) == ["^1583-01-01", "^1839-01-01", "^2020-01-01"]
