@@ -712,6 +712,28 @@ def _q_generate_mediawiki(sf: str):
     return generate_mediawiki_jsons(n.map_batches(f, batch_format="pandas"))
 
 
+def _q_import_conceptnet(sf: str):
+    """ConceptNet-shaped assertion rows synthesized from nation; the
+    oracle replicates the reference's exact field mapping
+    (import_conceptnet.py:36-68)."""
+    from kgtk_ray.io.importers import import_conceptnet
+    n = rd.read_parquet(f"{sf}/nation.parquet")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df.n_nationkey.astype(str)
+        rk = df.n_regionkey.astype(str)
+        return pd.DataFrame({
+            "assertion": "/a/x" + nk,
+            "rel": "/r/AtLocation",
+            "subj": "/c/en/nation_" + nk,
+            "obj": "/c/en/region_" + rk,
+            "metadata": '{"surfaceText": "nation ' + nk
+                        + ' is in region ' + rk + '"}',
+        })
+
+    return import_conceptnet(n.map_batches(f, batch_format="pandas"))
+
+
 def _q_graph_statistics(sf: str):
     from kgtk_ray.ops import graph_statistics
     edges = _edges_nation(sf).drop_columns(["n_name"]).union(
@@ -788,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tail": _q_tail,
         "text_normalize": _q_text_normalize,
         "import_wikidata": _q_import_wikidata,
+        "import_conceptnet": _q_import_conceptnet,
         "unreify_values": _q_unreify_values,
         "graph_statistics": _q_graph_statistics,
         "column_ops": _q_column_ops,
@@ -1299,6 +1322,22 @@ def oracle_sql() -> dict[str, str]:
             FROM c, norms
             UNION ALL
             SELECT e.node1, 'authority', printf('%.10f', 0.0) FROM e
+        """,
+        "import_conceptnet": """
+            SELECT '/c/en/nation_'||CAST(n_nationkey AS VARCHAR) AS node1,
+                   '/r/AtLocation' AS relation,
+                   '/c/en/region_'||CAST(n_regionkey AS VARCHAR) AS node2,
+                   '"nation '||CAST(n_nationkey AS VARCHAR)||'"'
+                     AS "node1;label",
+                   '"region '||CAST(n_regionkey AS VARCHAR)||'"'
+                     AS "node2;label",
+                   '"at location"' AS "relation;label",
+                   '' AS "relation;dimension",
+                   '"CN"' AS source,
+                   '"nation '||CAST(n_nationkey AS VARCHAR)
+                     ||' is in region '||CAST(n_regionkey AS VARCHAR)||'"'
+                     AS sentence
+            FROM nation
         """,
         # --- fixture-backed oracles (see scripts/make_fixtures.py) ---
         # near-dup clusters: fixture holds only non-singleton members;

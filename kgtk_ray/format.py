@@ -39,11 +39,17 @@ _LIST_SPLIT_RE = re.compile(r"(?<!\\)\|")
 # kgtk/kgtkformat.py:65-131: KGTK strings are double-quoted with
 # backslash escapes; pipe must be escaped inside values).
 _STRINGIFY_ESCAPES = {
-    "\\": "\\\\",
-    '"': '\\"',
-    "\t": "\\t",
+    # reference stringify_translate (kgtk/kgtkformat.py:65-77)
+    "\a": "\\a",
+    "\b": "\\b",
+    "\f": "\\f",
     "\n": "\\n",
     "\r": "\\r",
+    "\t": "\\t",
+    "\v": "\\v",
+    "\\": "\\\\",
+    "'": "\\'",
+    '"': '\\"',
     "|": "\\|",
 }
 _UNSTRINGIFY_ESCAPES = {
