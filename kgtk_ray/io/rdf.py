@@ -186,3 +186,310 @@ def generate_ntriples(edges: Dataset, *, namespaces: dict[str, str] | None = Non
             return False
 
     return edges.map_batches(gen, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# etk-faithful Turtle generation (generate-wikidata-triples)
+# ---------------------------------------------------------------------------
+# Byte-exact re-implementation of the reference TripleGenerator's truthy
+# ttl output (/root/reference/kgtk/generator.py:222-447 + etk/rdflib
+# serialization, golden files kgtk/tests/data/P10_truthy.ttl and
+# Q57160439_truthy.ttl): qualifier edges group with their statement edge
+# by id prefix, predicates sort rdf:type -> rdfs:label -> full-URI
+# order, object lists sort by token, referenced items close the block
+# list as sorted `wd:Q... a wikibase:Item .` stanzas.
+
+TTL_HEADER = """@prefix wikibase: <http://wikiba.se/ontology#> .
+@prefix wd: <http://www.wikidata.org/entity/> .
+@prefix wdt: <http://www.wikidata.org/prop/direct/> .
+@prefix wdtn: <http://www.wikidata.org/prop/direct-normalized/> .
+@prefix wdno: <http://www.wikidata.org/prop/novalue/> .
+@prefix wds: <http://www.wikidata.org/entity/statement/> .
+@prefix wdv: <http://www.wikidata.org/value/> .
+@prefix wdref: <http://www.wikidata.org/reference/> .
+@prefix p: <http://www.wikidata.org/prop/> .
+@prefix pr: <http://www.wikidata.org/prop/reference/> .
+@prefix prv: <http://www.wikidata.org/prop/reference/value/> .
+@prefix prn: <http://www.wikidata.org/prop/reference/value-normalized/> .
+@prefix ps: <http://www.wikidata.org/prop/statement/> .
+@prefix psv: <http://www.wikidata.org/prop/statement/value/> .
+@prefix psn: <http://www.wikidata.org/prop/statement/value-normalized/> .
+@prefix pq: <http://www.wikidata.org/prop/qualifier/> .
+@prefix pqv: <http://www.wikidata.org/prop/qualifier/value/> .
+@prefix pqn: <http://www.wikidata.org/prop/qualifier/value-normalized/> .
+@prefix prov: <http://www.w3.org/ns/prov#> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix schema: <http://schema.org/> .
+
+"""
+
+_TTL_NS = {
+    "wikibase": "http://wikiba.se/ontology#",
+    "wd": "http://www.wikidata.org/entity/",
+    "wdt": "http://www.wikidata.org/prop/direct/",
+    "wdtn": "http://www.wikidata.org/prop/direct-normalized/",
+    "wdno": "http://www.wikidata.org/prop/novalue/",
+    "wds": "http://www.wikidata.org/entity/statement/",
+    "p": "http://www.wikidata.org/prop/",
+    "pr": "http://www.wikidata.org/prop/reference/",
+    "prv": "http://www.wikidata.org/prop/reference/value/",
+    "prn": "http://www.wikidata.org/prop/reference/value-normalized/",
+    "ps": "http://www.wikidata.org/prop/statement/",
+    "psv": "http://www.wikidata.org/prop/statement/value/",
+    "psn": "http://www.wikidata.org/prop/statement/value-normalized/",
+    "pq": "http://www.wikidata.org/prop/qualifier/",
+    "pqv": "http://www.wikidata.org/prop/qualifier/value/",
+    "pqn": "http://www.wikidata.org/prop/qualifier/value-normalized/",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "schema": "http://schema.org/",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+_TTL_PROPERTY_TYPES = {
+    "string": "wikibase:String", "item": "wikibase:WikibaseItem",
+    "url": "wikibase:Url", "external-identifier": "wikibase:ExternalId",
+    "monolingualtext": "wikibase:Monolingualtext", "time": "wikibase:Time",
+    "quantity": "wikibase:Quantity",
+    "globe-coordinate": "wikibase:GlobeCoordinate",
+}
+
+
+def _ttl_pred_uri(token: str) -> str:
+    """Expand a prefixed token / <uri> for rdflib-style predicate
+    sorting (rdf:type first, rdfs:label second, then full-URI order)."""
+    if token == "a":
+        return ""  # sorts first
+    if token == "rdfs:label":
+        return "!"  # sorts second
+    if token.startswith("<"):
+        return token[1:-1]
+    pfx, local = token.split(":", 1)
+    return _TTL_NS[pfx] + local
+
+
+def _ttl_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _ttl_text(value: str) -> tuple[str, str]:
+    """reference process_text_string (generator.py:97-114): strip all
+    quote characters, language from the last @ (default en, >2-char
+    codes coerced to en)."""
+    if not value:
+        return "", "en"
+    if "@" in value:
+        parts = value.split("@")
+        text = "@".join(parts[:-1]).replace('"', "").replace("'", "")
+        lang = parts[-1].replace('"', "").replace("'", "")
+        if len(lang) > 2:
+            lang = "en"
+    else:
+        text = value.replace('"', "").replace("'", "")
+        lang = "en"
+    return text, lang
+
+
+def _ttl_time(value: str) -> tuple[str, str] | None:
+    """^ISO8601Z/precision -> (dateTimeString, precision) per the
+    reference's TimeValue branch (generator.py:340-380: strip ^ and +,
+    require the /precision, strip the trailing Z); values without a
+    precision are skipped like the reference's except-branch."""
+    v = value
+    if not v.startswith("^"):
+        return None
+    v = v[1:]
+    if v.startswith("+"):
+        v = v[1:]
+    if "/" not in v:
+        return None
+    v, precision = v.rsplit("/", 1)
+    if v.endswith("Z"):
+        v = v[:-1]
+    return v, precision
+
+
+def _ttl_time_node(dt: str, precision: str) -> str:
+    """etk's Time value-node id: 'Time_{dt}_Q_{precision}_0' with
+    colons removed and underscores replaced by 'c' (observed in
+    Q57160439_truthy.ttl: wdv:Timec1996-03-05T000000cQc11c0)."""
+    raw = f"Time_{dt}_Q_{precision}_0".replace(":", "")
+    return "wdv:" + raw.replace("_", "c")
+
+
+def _ttl_value(value: str, prop_type: str, items: set) -> str | None:
+    """Serialize a node2 per its property datatype; collects referenced
+    items.  Returns None for values the reference rejects."""
+    if prop_type == "item":
+        items.add(value)
+        return "wd:" + value
+    if prop_type == "monolingualtext":
+        text, lang = _ttl_text(value)
+        return f'"{_ttl_escape(text)}"@{lang}'
+    if prop_type == "time":
+        parsed = _ttl_time(value)
+        return f'"{parsed[0]}"^^xsd:dateTime' if parsed else None
+    if prop_type == "quantity":
+        import numpy as np
+        from ..values import QUANTITY_RE
+        m = QUANTITY_RE.match(value)
+        if not m:
+            return None
+        amount = np.format_float_positional(float(m.group("number")),
+                                            trim="-")
+        return f'"{amount}"^^xsd:decimal'
+    # string / external-identifier / url / fallback
+    return f'"{_ttl_escape(value)}"^^xsd:string'
+
+
+def _ttl_block(subject: str, preds: list) -> str:
+    """One Turtle stanza in the goldens' rdflib layout: 4-space pred
+    indent, 8-space object continuations, sorted predicates/objects."""
+    order = sorted(preds, key=lambda po: _ttl_pred_uri(po[0]))
+    parts = []
+    for pred, objs in order:
+        objs = sorted(objs)
+        parts.append(pred + " " + ",\n        ".join(objs))
+    return subject + " " + " ;\n    ".join(parts) + " .\n"
+
+
+def entity_ttl(entity: str, rows: pd.DataFrame, prop_types: dict,
+               *, label_set: str = "label", alias_set: str = "aliases",
+               description_set: str = "descriptions") -> str:
+    """Serialize one entity's edge group (statement edges with
+    node1 == entity, qualifier edges with node1 == a statement id) to
+    the truthy Turtle stanzas — entity block, statement blocks sorted
+    by id, then referenced-item blocks sorted."""
+    import re as _re
+
+    is_prop = bool(_re.fullmatch(r"P\d+", entity))
+    ent_tok = "wd:" + entity
+    items: set = set()
+    preds: list = [("a", ["wikibase:Property" if is_prop
+                          else "wikibase:Item"])]
+
+    stmts = rows[rows["node1"] == entity]
+    quals = rows[rows["node1"] != entity]
+    qual_map: dict = {}
+    for _, q in quals.iterrows():
+        qual_map.setdefault(q["node1"], []).append((q["label"], q["node2"]))
+
+    def add(pred: str, obj: str) -> None:
+        for p, objs in preds:
+            if p == pred:
+                objs.append(obj)
+                return
+        preds.append((pred, [obj]))
+
+    if is_prop:
+        ptype = _TTL_PROPERTY_TYPES.get(prop_types.get(entity, "string"),
+                                        "wikibase:String")
+        for wpred, pfx in (("claim", "p"), ("directClaim", "wdt"),
+                           ("directClaimNormalized", "wdtn"),
+                           ("novalue", "wdno"),
+                           ("qualifier", "pq"), ("qualifierValue", "pqv"),
+                           ("qualifierValueNormalized", "pqn"),
+                           ("reference", "pr"), ("referenceValue", "prv"),
+                           ("referenceValueNormalized", "prn"),
+                           ("statementProperty", "ps"),
+                           ("statementValue", "psv"),
+                           ("statementValueNormalized", "psn")):
+            add("wikibase:" + wpred, f"{pfx}:{entity}")
+        add("wikibase:propertyType", ptype)
+
+    stmt_blocks: list = []
+    value_blocks: list = []
+    for _, e in stmts.sort_values("id", kind="mergesort").iterrows():
+        prop, value, e_id = e["label"], e["node2"], e["id"]
+        if prop == label_set:
+            text, lang = _ttl_text(value)
+            lit = f'"{_ttl_escape(text)}"@{lang}'
+            add("rdfs:label", lit)
+            add("schema:name", lit)
+            add("skos:prefLabel", lit)
+            continue
+        if prop == description_set:
+            text, lang = _ttl_text(value)
+            add("schema:description", f'"{_ttl_escape(text)}"@{lang}')
+            continue
+        if prop == alias_set:
+            text, lang = _ttl_text(value)
+            add("skos:altLabel", f'"{_ttl_escape(text)}"@{lang}')
+            continue
+        ptype = prop_types.get(prop, "string")
+        vtok = _ttl_value(value, ptype, items)
+        if vtok is None:
+            continue
+        stmt_subj = f"wds:{entity}-{e_id}"
+        add("p:" + prop, stmt_subj)
+        add("wdt:" + prop, vtok)
+        spreds = [("a", ["wikibase:Statement"]),
+                  ("wikibase:rank", ["wikibase:BestRank"]),
+                  ("<http://www.isi.edu/etk/createdBy>",
+                   ["<http://www.isi.edu/datamart>"]),
+                  ("ps:" + prop, [vtok])]
+        if ptype == "time":
+            # time values get a psv: link to a wdv:Time value node with
+            # its own stanza (golden Q57160439_truthy.ttl:200-215)
+            dt, precision = _ttl_time(value)
+            vnode = _ttl_time_node(dt, precision)
+            spreds.append(("psv:" + prop, [vnode]))
+            value_blocks.append(_ttl_block(vnode, [
+                ("a", ["wikibase:Time"]),
+                ("wikibase:timeCalendarModel", ["wd:Q1985727"]),
+                ("wikibase:timePrecision", [precision]),
+                ("wikibase:timeTimezone", ["0"]),
+                ("wikibase:timeValue", [f'"{dt}"^^xsd:dateTime']),
+            ]))
+        for qprop, qval in qual_map.get(e_id, []):
+            qtok = _ttl_value(qval, prop_types.get(qprop, "string"), items)
+            if qtok is not None:
+                spreds.append(("pq:" + qprop, [qtok]))
+        stmt_blocks.append(_ttl_block(stmt_subj, spreds))
+
+    blocks = [_ttl_block(ent_tok, preds)] + stmt_blocks + value_blocks
+    for q in sorted(items):
+        blocks.append(_ttl_block("wd:" + q, [("a", ["wikibase:Item"])]))
+    return "\n".join(blocks)
+
+
+def generate_wikidata_ttl(edges, prop_types: dict, **kw):
+    """KGTK edges -> one (entity, ttl) row per entity, truthy Turtle
+    stanzas per :func:`entity_ttl`.  Entity of an edge = the id prefix
+    of node1 (qualifier edges' node1 is their statement's id, reference
+    generator.py:264-272), so one bucketed group per entity suffices —
+    the reference instead requires statement-sorted input."""
+    import ray
+
+    from ..ops._bucket import bucketed_group_apply
+
+    pref = ray.put(dict(prop_types))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__entity__=df["node1"].astype(str)
+                         .str.split("-").str[0])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        pt = ray.get(pref)
+        out = []
+        for entity, sub in df.groupby("__entity__", sort=False):
+            out.append((entity, entity_ttl(entity,
+                                           sub.drop(columns="__entity__"),
+                                           pt, **kw)))
+        return pd.DataFrame(out, columns=["entity", "ttl"])
+
+    import ray.data as _rd
+    tagged = edges.map_batches(tag, batch_format="pandas")
+    return bucketed_group_apply(tagged, ["__entity__"], build)
+
+
+def write_wikidata_ttl(edges, prop_types: dict, path: str, **kw) -> None:
+    """Full-file writer: header + entity stanzas sorted by entity id.
+    For byte-parity tests and small exports; at scale write the
+    (entity, ttl) dataset to partitioned storage instead."""
+    df = generate_wikidata_ttl(edges, prop_types, **kw).to_pandas()
+    with open(path, "w") as f:
+        f.write(TTL_HEADER)
+        f.write("\n".join(df.sort_values("entity")["ttl"]))
+        f.write("\n")  # the reference's files end with a blank line

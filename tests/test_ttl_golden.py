@@ -1,0 +1,44 @@
+"""Golden-file byte-parity of the Turtle generator against the
+reference's own test fixtures (kgtk/tests/test_triple_generation.py:
+test_truthy_property_triple_generation and
+test_truthy_qnode_triple_generation — their dates test is disabled in
+the reference itself)."""
+import pandas as pd
+import pytest
+import ray.data
+
+from kgtk_ray.io.rdf import TTL_HEADER, generate_wikidata_ttl, write_wikidata_ttl
+
+DATA = "/root/reference/kgtk/tests/data"
+
+
+def load_props() -> dict:
+    df = pd.read_csv(f"{DATA}/wikidata_properties.tsv", sep="\t",
+                     names=["node1", "label", "node2"])
+    return dict(zip(df.node1, df.node2))
+
+
+def load_edges(name: str) -> pd.DataFrame:
+    return pd.read_csv(f"{DATA}/{name}", sep="\t", dtype=str,
+                       quoting=3, keep_default_na=False)
+
+
+@pytest.mark.parametrize("tsv,golden", [
+    ("P10.tsv", "P10_truthy.ttl"),
+    ("Q57160439.tsv", "Q57160439_truthy.ttl"),
+])
+def test_truthy_ttl_byte_parity(ray_session, tmp_path, tsv, golden):
+    edges = ray.data.from_pandas(load_edges(tsv))
+    out = tmp_path / "out.ttl"
+    write_wikidata_ttl(edges, load_props(), str(out),
+                       label_set="label", alias_set="aliases",
+                       description_set="descriptions")
+    assert out.read_text() == open(f"{DATA}/{golden}").read()
+
+
+def test_ttl_dataset_per_entity(ray_session):
+    edges = ray.data.from_pandas(load_edges("Q57160439.tsv"))
+    df = generate_wikidata_ttl(edges, load_props()).to_pandas()
+    assert list(df.entity) == ["Q57160439"]
+    assert df.ttl.iloc[0].startswith("wd:Q57160439 a wikibase:Item ;")
+    assert "pq:P1545" in df.ttl.iloc[0]  # qualifiers grouped by id prefix
