@@ -193,3 +193,117 @@ def generate_mediawiki_jsons(
 
     from ..ops._bucket import bucketed_group_apply
     return bucketed_group_apply(edges, ["node1"], build)
+
+
+# ---------------------------------------------------------------------------
+# KgtkWriter output formats (reference kgtk/io/kgtkwriter.py:32-61
+# format list; cell reformatting :393-520)
+# ---------------------------------------------------------------------------
+
+def _reformat_cell(value: str, fmt: str) -> str:
+    """One cell per the reference's join_csv / join_tsv rules."""
+    from ..format import unstringify
+
+    if fmt == "kgtk":
+        return value
+    if value.startswith("^"):
+        # reformat_datetime (:393): strip the sigil
+        return value[1:]
+    if fmt == "csv":
+        if value.startswith(('"', "'")):
+            value = value.replace('"|"', "|")
+            value = unstringify(value)
+            return '"' + value.replace('"', '""') + '"'
+        value = value.replace("\\|", "|")
+        if '"' in value or "," in value:
+            return '"' + value.replace('"', '""') + '"'
+        return value
+    # tsv family
+    if value.startswith(('"', "'")):
+        if fmt == "tsv-unquoted":
+            value = value.replace('"|"', "|")
+            return unstringify(value)
+        if fmt == "tsv-csvlike":
+            value = value.replace('"|"', "|")
+            value = unstringify(value)
+            return '"' + value.replace('"', '""') + '"'
+        return value.replace("\\|", "|")
+    return value.replace("\\|", "|")
+
+
+def _json_cell(value: str):
+    """reformat_value_for_json (:484-507)."""
+    from ..format import unstringify
+
+    if value.startswith(('"', "'")):
+        return unstringify(value.replace('"|"', "|"))
+    if value == "True":
+        return True
+    if value == "False":
+        return False
+    if value.isdigit() or (value.startswith(("+", "-"))
+                           and value[1:].isdigit()):
+        return int(value)
+    return value
+
+
+def format_lines(ds: Dataset, fmt: str = "kgtk") -> Dataset:
+    """Distributed formatting of edge rows into output lines for the
+    reference's KgtkWriter formats: ``kgtk`` / ``tsv`` (verbatim,
+    datetime sigils kept for kgtk only), ``csv``, ``tsv-unquoted``,
+    ``tsv-csvlike``, ``md``, ``jsonl`` (row arrays), ``jsonl-map`` /
+    ``jsonl-map-compact`` (column-keyed objects).  Returns a Dataset
+    with one ``line`` column; the header line is NOT included (see
+    :func:`write_kgtk_file`)."""
+    import json
+
+    cols = ds.schema().names
+    sep = "," if fmt == "csv" else "\t"
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        sdf = df.astype(str)
+        if fmt in ("jsonl", "jsonl-map", "jsonl-map-compact"):
+            lines = []
+            for row in sdf.itertuples(index=False):
+                vals = [_json_cell(v) for v in row]
+                if fmt == "jsonl":
+                    lines.append(json.dumps(vals))
+                else:
+                    compact = fmt.endswith("compact")
+                    obj = {c: v for c, v, raw in zip(cols, vals, row)
+                           if raw or not compact}
+                    lines.append(json.dumps(obj))
+        elif fmt == "md":
+            lines = [
+                "|" + "".join(" " + v.replace("|", "\\|") + " |"
+                              for v in row)
+                for row in sdf.itertuples(index=False)
+            ]
+        else:
+            out_cols = [sdf[c].map(lambda v: _reformat_cell(v, fmt))
+                        for c in cols]
+            lines = out_cols[0].str.cat(out_cols[1:], sep=sep)
+        return pd.DataFrame({"line": lines})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def write_kgtk_file(ds: Dataset, path: str, *, fmt: str = "kgtk") -> None:
+    """Stream a Dataset to ONE file in the given KgtkWriter format,
+    header first (csv/tsv headers, ``|``-framed md header, none for
+    jsonl variants).  Streaming consumption (``iter_batches``) — the
+    dataset never materializes; at 100 TB write partitioned Parquet or
+    the ``format_lines`` dataset instead."""
+    cols = ds.schema().names
+    lines = format_lines(ds, fmt)
+    with open(path, "w") as f:
+        if fmt == "md":
+            f.write("|" + "".join(f" {c} |" for c in cols) + "\n")
+            f.write("|" + "".join(" -- |" for _ in cols) + "\n")
+        elif fmt == "csv":
+            f.write(",".join(cols) + "\n")
+        elif fmt not in ("jsonl", "jsonl-map", "jsonl-map-compact"):
+            f.write("\t".join(cols) + "\n")
+        for batch in lines.iter_batches(batch_format="pandas"):
+            for line in batch["line"]:
+                f.write(line + "\n")

@@ -66,25 +66,38 @@ def _order_columns(names: list[str]) -> list[str]:
 
 
 def write_kgtk_tsv(ds: ray.data.Dataset, path: str) -> None:
-    """Write a Dataset as KGTK TSV part files under ``path`` (a directory).
+    """Write a Dataset as KGTK TSV part files under ``path`` (a directory,
+    each part carrying the header line).
 
     Values are written verbatim (cells already carry KGTK string-sigil
-    encoding); nulls become empty cells.
+    encoding, and may legitimately contain double quotes — pyarrow's
+    CSV writer refuses those under ``quoting_style="none"``, so each
+    task writes its blocks as raw tab-joined lines); nulls become
+    empty cells.
     """
+    import os
+    import uuid
+
     first = ds.take_batch(1, batch_format="pyarrow")
     order = _order_columns(list(first.column_names))
+    os.makedirs(path, exist_ok=True)
+    header = "\t".join(order)
 
-    def fmt(t: pa.Table) -> pa.Table:
-        cols = [pc.fill_null(pc.cast(t[c], pa.string()), "") for c in order]
-        return pa.table(cols, names=order)
+    def write_block(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        cols = [pc.fill_null(pc.cast(t[c], pa.string()), "").to_pandas()
+                for c in order]
+        lines = cols[0].str.cat(cols[1:], sep="\t") if len(cols) > 1 \
+            else cols[0]
+        part = os.path.join(path, f"part-{uuid.uuid4().hex}.tsv")
+        with open(part, "w") as f:
+            f.write(header + "\n")
+            for line in lines:
+                f.write(line + "\n")
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
-    ds.map_batches(fmt, batch_format="pyarrow").write_csv(
-        path,
-        arrow_csv_args_fn=lambda: {
-            "write_options": pyarrow.csv.WriteOptions(
-                delimiter="\t", quoting_style="none")
-        },
-    )
+    counts = ds.map_batches(write_block, batch_format="pyarrow")
+    counts.sum("rows")  # drive the write
 
 
 def read_edges_parquet(path: str | list[str], *, columns: list[str] | None = None,
@@ -96,3 +109,48 @@ def read_edges_parquet(path: str | list[str], *, columns: list[str] | None = Non
 def write_edges_parquet(ds: ray.data.Dataset, path: str, **kwargs) -> None:
     """Native edge-file sink: a directory of part files (resumable layout)."""
     ds.write_parquet(path, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Transparent compressed TSV (reference kgtk/io/kgtkreader.py:693-698
+# routes .gz/.bz2/.xz/.lz4 through decompressors)
+# ---------------------------------------------------------------------------
+
+_COMPRESSION_BY_EXT = {".gz": "gzip", ".bz2": "bz2", ".lz4": "lz4",
+                       ".zst": "zstd"}
+
+
+def _compression_of(path: str) -> str | None:
+    for ext, codec in _COMPRESSION_BY_EXT.items():
+        if str(path).endswith(ext):
+            return codec
+    if str(path).endswith(".xz"):
+        raise NotImplementedError(
+            "xz/lzma is not an Arrow stream codec; decompress first or "
+            "use gzip/bz2/lz4/zstd")
+    return None
+
+
+def read_kgtk_tsv_any(path: str | list[str], *,
+                      normalize: bool = True) -> ray.data.Dataset:
+    """`read_kgtk_tsv` with transparent decompression by extension
+    (gzip/bz2/lz4/zstd), mirroring the reference reader's behavior."""
+    paths = [path] if isinstance(path, str) else list(path)
+    codecs = {_compression_of(p) for p in paths}
+    if len(codecs) > 1:
+        raise ValueError("mix of compressed and plain inputs; read "
+                         "separately and union")
+    codec = codecs.pop()
+    kwargs = {}
+    if codec:
+        kwargs["arrow_open_stream_args"] = {"compression": codec}
+    ds = ray.data.read_csv(
+        paths,
+        parse_options=pyarrow.csv.ParseOptions(delimiter="\t",
+                                               quote_char=False),
+        convert_options=pyarrow.csv.ConvertOptions(
+            strings_can_be_null=False),
+        **kwargs,
+    )
+    return ds.map_batches(_normalize_batch if normalize else _to_string_batch,
+                          batch_format="pyarrow")

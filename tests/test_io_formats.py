@@ -1,0 +1,78 @@
+"""Compressed TSV round-trip + KgtkWriter output formats
+(reference kgtk/io/kgtkreader.py:693-698, kgtkwriter.py:32-61,393-520)."""
+import gzip
+import json
+
+import pandas as pd
+import ray.data
+
+from kgtk_ray.io.formats import format_lines, write_kgtk_file
+from kgtk_ray.io.kgtk_tsv import read_kgtk_tsv_any, write_kgtk_tsv
+
+EDGES = pd.DataFrame({
+    "node1": ["Q1", "Q2"],
+    "label": ["name", "born"],
+    "node2": ['"Alice \\"A\\""', "^1990-01-01"],
+})
+
+
+def test_gz_roundtrip(ray_session, tmp_path):
+    p = tmp_path / "edges.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("node1\tlabel\tnode2\n")
+        for r in EDGES.itertuples(index=False):
+            f.write("\t".join(r) + "\n")
+    back = read_kgtk_tsv_any(str(p)).to_pandas().sort_values("node1")
+    assert list(back.node2) == list(EDGES.node2)
+
+
+def test_bz2_roundtrip(ray_session, tmp_path):
+    import bz2
+    p = tmp_path / "edges.tsv.bz2"
+    with bz2.open(p, "wt") as f:
+        f.write("node1\tlabel\tnode2\nQ1\tp\tv\n")
+    back = read_kgtk_tsv_any(str(p)).to_pandas()
+    assert list(back.node2) == ["v"]
+
+
+def test_csv_format(ray_session, tmp_path):
+    out = tmp_path / "edges.csv"
+    write_kgtk_file(ray.data.from_pandas(EDGES), str(out), fmt="csv")
+    lines = out.read_text().splitlines()
+    assert lines[0] == "node1,label,node2"
+    body = sorted(lines[1:])
+    # string unstringified then csv-quoted with doubled quotes;
+    # datetime sigil stripped
+    assert 'Q1,name,"Alice ""A"""' in body
+    assert "Q2,born,1990-01-01" in body
+
+
+def test_tsv_csvlike_and_unquoted(ray_session):
+    ds = ray.data.from_pandas(EDGES)
+    csvlike = sorted(format_lines(ds, "tsv-csvlike").to_pandas().line)
+    assert 'Q1\tname\t"Alice ""A"""' in csvlike
+    unquoted = sorted(format_lines(ds, "tsv-unquoted").to_pandas().line)
+    assert 'Q1\tname\tAlice "A"' in unquoted
+
+
+def test_jsonl_map(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node1": ["Q1"], "label": ["age"], "node2": ["42"], "extra": [""]}))
+    row = json.loads(format_lines(ds, "jsonl-map").to_pandas().line[0])
+    assert row == {"node1": "Q1", "label": "age", "node2": 42, "extra": ""}
+    compact = json.loads(
+        format_lines(ds, "jsonl-map-compact").to_pandas().line[0])
+    assert "extra" not in compact
+
+
+def test_md_format(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node1": ["a|b"], "label": ["p"], "node2": ["v"]}))
+    line = format_lines(ds, "md").to_pandas().line[0]
+    assert line == "| a\\|b | p | v |"
+
+
+def test_plain_tsv_writer_still_works(ray_session, tmp_path):
+    write_kgtk_tsv(ray.data.from_pandas(EDGES), str(tmp_path / "out"))
+    files = list((tmp_path / "out").iterdir())
+    assert files
