@@ -143,3 +143,29 @@ def test_multimodal_plumbing():
     with pytest.raises(NotImplementedError):
         from kgtk_ray.multimodal import LibraryDecoder
         LibraryDecoder()
+
+
+def test_ivf_index_partition_pruned(tmp_path):
+    import pyarrow.parquet as pq
+    from kgtk_ray.ann import IVFIndex
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qt = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    qt = qt[qt.vec_id < 3].sort_values("vec_id")
+    Q = np.stack(qt.embedding.to_numpy()).astype(np.float64)
+
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf"), n_centroids=8)
+    got = idx.search(Q, k=5, nprobe=3).to_pandas() \
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    exp = ivf_topk_cosine(emb, Q, k=5, n_centroids=8, nprobe=3,
+                          ).to_pandas() \
+        .sort_values(["query_id", "score", "vec_id"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    # identical centroids/buckets => identical answers, but the index
+    # read only the probed partitions
+    pd.testing.assert_frame_equal(got, exp)
+    # the partitioned layout exists with one dir per non-empty bucket
+    import os
+    buckets = [d for d in os.listdir(tmp_path / "ivf")
+               if d.startswith("bucket=")]
+    assert len(buckets) >= 2
