@@ -140,6 +140,21 @@ def run_bench() -> dict:
     timed("topk_cosine", lambda: E._q_topk_cosine(SF_DIR).count())
     timed("langid", lambda: E._q_langid(SF_DIR).count())
 
+    # distributed pagerank on the full lineitem edge table (the graph
+    # iteratives' scale check: rank state stays a Dataset; driver RSS
+    # flat vs input size)
+    def bench_pagerank():
+        from kgtk_ray.ops.graph import pagerank
+        li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"])
+        edges = li.map_batches(lambda df: pd.DataFrame({
+            "node1": "O" + df.l_orderkey.astype(str), "label": "has_part",
+            "node2": "P" + df.l_partkey.astype(str)}),
+            batch_format="pandas")
+        pagerank(edges, iters=3, num_partitions=2 * NUM_CPUS).count()
+
+    timed("pagerank", bench_pagerank)
+
     ray.shutdown()
     return {
         "metric": "kg_pipeline_wall",

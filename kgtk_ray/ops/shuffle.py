@@ -74,12 +74,12 @@ def compact(
             return df.drop_duplicates()
         dup = df.duplicated(keys, keep=False)
         uniq = df[~dup].copy()
+        from ..format import merge_list_cells
         for c in rest:
             col = uniq[c]
             m = col.notna() & col.astype(str).str.contains("|", regex=False)
             if m.any():
-                uniq.loc[m, c] = col[m].map(
-                    lambda v: merge_list_series(pd.Series([v])))
+                uniq.loc[m, c] = [merge_list_cells((v,)) for v in col[m]]
         dups = df[dup]
         if not len(dups):
             return uniq
@@ -161,6 +161,16 @@ def _key_expr(df: pd.DataFrame, columns: Sequence[str]) -> pd.Series:
     return key
 
 
+def _key_expr_arrow(t: pa.Table, columns: Sequence[str]) -> pa.Array:
+    """Arrow-native `_key_expr`: zero pandas conversion on the hot
+    filter path."""
+    parts = [pc.fill_null(pc.cast(t[c], pa.string()), "") for c in columns]
+    if len(parts) == 1:
+        return parts[0].combine_chunks() if isinstance(
+            parts[0], pa.ChunkedArray) else parts[0]
+    return pc.binary_join_element_wise(*parts, "|")
+
+
 def _iff_keys(input_cols: Sequence[str], filter_cols: Sequence[str],
               input_keys, filter_keys) -> tuple[list[str], list[str]]:
     """Default key resolution (kgtk/iff/kgtkifexists.py:73-115):
@@ -186,17 +196,21 @@ def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
                              input_keys, filter_keys)
     n_filter = filter_ds.count()
     if n_filter <= BROADCAST_LIMIT:
-        # broadcast the filter-side key set once; filter inside map_batches
+        # broadcast the filter-side keys once as an Arrow array; the
+        # per-batch filter is a zero-copy pyarrow is_in (no pandas
+        # conversion, no per-task Python-set rehydration cost)
         kdf = filter_ds.select_columns(list(dict.fromkeys(fkeys))).to_pandas()
-        keyset = set(_key_expr(kdf, fkeys))
+        keyset = pa.array(pd.unique(_key_expr(kdf, fkeys)), pa.string())
         ref = ray.put(keyset)
 
-        def f(df: pd.DataFrame) -> pd.DataFrame:
+        def f(t: pa.Table) -> pa.Table:
             ks = ray.get(ref)
-            mask = _key_expr(df, ikeys).isin(ks)
-            return df[~mask] if anti else df[mask]
+            mask = pc.is_in(_key_expr_arrow(t, ikeys), value_set=ks)
+            if anti:
+                mask = pc.invert(mask)
+            return t.filter(mask)
 
-        return ds.map_batches(f, batch_format="pandas")
+        return ds.map_batches(f, batch_format="pyarrow")
 
     # large filter side: hash-partitioned semi/anti join on a derived key col
     def addkey(df: pd.DataFrame, cols) -> pd.DataFrame:
@@ -283,16 +297,17 @@ def kgtk_join(
             keep = rset
         else:
             keep = lset & rset
-        ref = ray.put(keep)
+        ref = ray.put(pa.array(sorted(keep), pa.string()))
 
         def filt(keys):
-            def f(df: pd.DataFrame) -> pd.DataFrame:
+            def f(t: pa.Table) -> pa.Table:
                 ks = ray.get(ref)
-                return df[_key_expr(df, keys).isin(ks)]
+                return t.filter(pc.is_in(_key_expr_arrow(t, keys),
+                                         value_set=ks))
             return f
 
-        lf = left.map_batches(filt(lkeys), batch_format="pandas")
-        rf = right.map_batches(filt(rkeys), batch_format="pandas")
+        lf = left.map_batches(filt(lkeys), batch_format="pyarrow")
+        rf = right.map_batches(filt(rkeys), batch_format="pyarrow")
         return cat(lf, rf)
 
     # large key sets: keep everything distributed — dedupe each side's

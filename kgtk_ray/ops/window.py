@@ -7,6 +7,8 @@ a vectorized bucket column + two-phase groupby (no per-row Python).
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .agg import grouped_aggregate
@@ -23,15 +25,13 @@ def tumbling_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user
 
     Returns columns: ``<key_col>, window_start, n, total, vmin, vmax``.
     """
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        w = df[ts_col].dt.floor(f"{window_s}s")
-        return pd.DataFrame({
-            key_col: df[key_col],
-            "window_start": w,
-            value_col: df[value_col],
-        })
+    def bucket(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow floor: no pandas conversion in the assignment
+        w = pc.floor_temporal(t[ts_col], multiple=window_s, unit="second")
+        return pa.table({key_col: t[key_col], "window_start": w,
+                         value_col: t[value_col]})
 
-    b = events.map_batches(bucket, batch_format="pandas")
+    b = events.map_batches(bucket, batch_format="pyarrow")
     return grouped_aggregate(b, [key_col, "window_start"], {
         "n": (None, "count"),
         "total": (value_col, "sum"),
@@ -54,20 +54,21 @@ def sliding_window(events: Dataset, *, ts_col: str = "ts",
         raise ValueError("window_s must be a multiple of slide_s")
     k = window_s // slide_s
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
         # every event is in exactly k windows: starts floor(ts/slide)-j*slide
-        base = df[ts_col].dt.floor(f"{slide_s}s")
-        frames = [
-            pd.DataFrame({
-                key_col: df[key_col],
-                "window_start": base - pd.to_timedelta(j * slide_s, unit="s"),
-                value_col: df[value_col],
+        base = pc.floor_temporal(t[ts_col], multiple=slide_s, unit="second")
+        tables = [
+            pa.table({
+                key_col: t[key_col],
+                "window_start": pc.subtract(
+                    base, pa.scalar(pd.Timedelta(seconds=j * slide_s))),
+                value_col: t[value_col],
             })
             for j in range(k)
         ]
-        return pd.concat(frames, ignore_index=True)
+        return pa.concat_tables(tables)
 
-    b = events.map_batches(assign, batch_format="pandas")
+    b = events.map_batches(assign, batch_format="pyarrow")
     return grouped_aggregate(b, [key_col, "window_start"], {
         "n": (None, "count"),
         "total": (value_col, "sum"),
