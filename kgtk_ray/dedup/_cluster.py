@@ -32,6 +32,59 @@ def _id_type(ds: Dataset, col: str) -> "pa.DataType":
     return pa.scalar(v).type
 
 
+# Verified near-dup pairs below this count cluster with a driver-side
+# union-find (broadcast map assignment) — the same size-gated pattern
+# as ops.shuffle.BROADCAST_LIMIT.  Above it, the distributed min-label
+# propagation runs; both produce identical clusters (rep = min member).
+PAIR_DRIVER_LIMIT = 1_000_000
+
+
+def assign_clusters(ids: Dataset, pairs: Dataset, *, id_col: str,
+                    num_partitions: int = 16,
+                    driver_limit: int = PAIR_DRIVER_LIMIT) -> Dataset:
+    """Cluster assignment over verified pairs with the size-gated
+    driver/distributed switch.  ``pairs`` may contain duplicates."""
+    import ray
+
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n == 0:
+        return ids.map_batches(
+            lambda df: pd.DataFrame({id_col: df[id_col],
+                                     "cluster": df[id_col]}),
+            batch_format="pandas")
+    if n > driver_limit:
+        return cluster_pairs(ids, pairs, id_col=id_col,
+                             num_partitions=num_partitions)
+
+    pdf = pairs.to_pandas().drop_duplicates(["a", "b"])
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["a"], pdf["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    cm = {d: find(d) for d in set(pdf["a"]) | set(pdf["b"])}
+    ref = ray.put(cm)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": df[id_col].map(lambda x: m.get(x, x)).to_numpy(),
+        })
+
+    return ids.map_batches(assign, batch_format="pandas")
+
+
 def cluster_pairs(ids: Dataset, pairs: Dataset, *, id_col: str,
                   num_partitions: int = 16, max_iters: int = 50) -> Dataset:
     """Connected components over a verified-pair Dataset ``(a, b)``.
@@ -110,10 +163,3 @@ def cluster_pairs(ids: Dataset, pairs: Dataset, *, id_col: str,
         batch_format="pandas")
 
 
-def distinct_pairs(cand: Dataset, *, num_partitions: int = 16) -> Dataset:
-    """Distributed dedup of a candidate-pair Dataset on (a, b)."""
-    return bucketed_group_apply(
-        cand.map_batches(lambda df: df.drop_duplicates(["a", "b"]),
-                         batch_format="pandas"),
-        ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]),
-        num_buckets=num_partitions)

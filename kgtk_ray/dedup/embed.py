@@ -61,12 +61,12 @@ def embedding_dedup(ds: Dataset, *, vec_col: str = "embedding",
         return pd.DataFrame({"a": m["doc_x"].to_numpy(),
                              "b": m["doc_y"].to_numpy()})
 
-    from ._cluster import cluster_pairs, distinct_pairs
+    from ._cluster import assign_clusters
 
     from ..ops._bucket import bucketed_group_apply
 
-    verified = distinct_pairs(
-        bucketed_group_apply(flat, ["table", "bucket"], pairs))
-    # distributed min-label propagation; driver sees only counters
-    return cluster_pairs(ds.select_columns([id_col]), verified,
-                         id_col=id_col)
+    verified = bucketed_group_apply(flat, ["table", "bucket"], pairs)
+    # size-gated clustering (driver union-find under the limit,
+    # distributed min-label propagation above)
+    return assign_clusters(ds.select_columns([id_col]), verified,
+                           id_col=id_col)

@@ -152,11 +152,16 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
         return pd.DataFrame({"a": m["doc_x"].to_numpy(),
                              "b": m["doc_y"].to_numpy()})
 
-    from ..ops._bucket import bucketed_group_apply, bucketed_join
-    from ._cluster import _id_type, cluster_pairs, distinct_pairs
+    from ..ops._bucket import bucketed_join
+    from ._cluster import _id_type, assign_clusters
 
-    cand = distinct_pairs(
-        bucketed_group_apply(flat, ["band", "bucket"], pairs)).materialize()
+    from ..ops._bucket import bucketed_group_apply
+
+    # candidate pairs may repeat across bands (a true near-dup collides
+    # in many); verification is idempotent and true pairs are few, so a
+    # global pair dedup shuffle costs more than the duplicate verifies
+    cand = bucketed_group_apply(flat, ["band", "bucket"],
+                                pairs).materialize()
 
     ids = ds.select_columns([id_col])
     if cand.count() == 0:
@@ -170,11 +175,11 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
     # once, and the shingle sets meet their pairs via two hash joins on
     # doc id — no driver-side shingle dict, no candidate collect.
     idt = _id_type(ids, id_col)
-    needed = bucketed_group_apply(
-        cand.map_batches(lambda df: pd.DataFrame(
-            {"doc": pd.concat([df["a"], df["b"]]).drop_duplicates()}),
-            batch_format="pandas"),
-        ["doc"], lambda df: df.drop_duplicates(), num_buckets=16)
+    # per-batch-distinct candidate ids; ifexists' broadcast set build
+    # dedups globally without an extra shuffle
+    needed = cand.map_batches(lambda df: pd.DataFrame(
+        {"doc": pd.concat([df["a"], df["b"]]).drop_duplicates()}),
+        batch_format="pandas")
 
     from ..ops.shuffle import ifexists
 
@@ -219,6 +224,6 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 
     verified = with_both.map_batches(verify, batch_format="pandas")
 
-    # 5: distributed min-label propagation over the verified pairs; the
-    # driver sees only per-round changed counters (see _cluster.py).
-    return cluster_pairs(ids, verified, id_col=id_col)
+    # 5: size-gated clustering (driver union-find under the limit,
+    # distributed min-label propagation above — see _cluster.py)
+    return assign_clusters(ids, verified, id_col=id_col)

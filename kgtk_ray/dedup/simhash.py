@@ -82,12 +82,12 @@ def simhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
         return pd.DataFrame({"a": m["doc_x"].to_numpy(),
                              "b": m["doc_y"].to_numpy()})
 
-    from ._cluster import cluster_pairs, distinct_pairs
+    from ._cluster import assign_clusters
 
     from ..ops._bucket import bucketed_group_apply
 
-    verified = distinct_pairs(
-        bucketed_group_apply(flat, ["chunk", "val"], pairs))
-    # distributed min-label propagation; driver sees only counters
-    return cluster_pairs(ds.select_columns([id_col]), verified,
-                         id_col=id_col)
+    verified = bucketed_group_apply(flat, ["chunk", "val"], pairs)
+    # size-gated clustering (driver union-find under the limit,
+    # distributed min-label propagation above)
+    return assign_clusters(ds.select_columns([id_col]), verified,
+                           id_col=id_col)
