@@ -68,7 +68,16 @@ def _builtin_ops() -> None:
         "tail": O.tail,
         "initial_skip": O.initial_skip,
         "text_normalize": normalize_text,
+        "validate_properties": O.validate_properties,
     }
+    from ..dedup import minhash_dedup, simhash_dedup
+    from ..io.importers import import_atomic, import_conceptnet
+    from ..io.rdf import generate_wikidata_ttl
+    builtins["minhash_dedup"] = minhash_dedup
+    builtins["simhash_dedup"] = simhash_dedup
+    builtins["import_conceptnet"] = import_conceptnet
+    builtins["import_atomic"] = import_atomic
+    builtins["generate_wikidata_ttl"] = generate_wikidata_ttl
     # two-input steps take the second dataset as a kwarg
     builtins["ifexists"] = O.ifexists
     builtins["ifnotexists"] = O.ifnotexists
