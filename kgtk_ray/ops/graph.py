@@ -383,57 +383,61 @@ def hits(edges: Dataset, *, iters: int = 10,
     from ._bucket import bucketed_join
 
     edge_fields = {"node": pa.string(), "out": pa.string()}
-    score_fields = {"node": pa.string(), "score": pa.float64()}
     e = edges.select_columns(["node1", "node2"]).map_batches(
         lambda df: df.astype(str), batch_format="pandas") \
         .repartition(num_partitions).materialize()
     nodes = _distinct_nodes(e).repartition(num_partitions).materialize()
     if nodes.count() == 0:
         return _empty_edge_result()
-    # (node, score): score=1.0 start for every node
-    hub = nodes.map_batches(lambda df: df.assign(score=1.0),
+    # Loop state per side: UNNORMALIZED sums (node, s) plus the scalar
+    # L2 norm — normalization folds into the next join's map (score =
+    # s/norm), so each half-round is ONE join + ONE grouped sum + a
+    # scalar reduction, with a single materialize (not two).
+    hub = nodes.map_batches(lambda df: df.assign(s=1.0),
                             batch_format="pandas").materialize()
-    auth = hub
+    hub_norm = 1.0
+    auth, auth_norm = hub, 1.0
+    sum_fields = {"node": pa.string(), "s": pa.float64()}
 
-    def matvec(vec: Dataset, join_col: str, out_col: str) -> Dataset:
-        """sum over edges of vec[join_col], grouped by out_col, then
-        L2-normalized; stays a Dataset throughout."""
+    def half_round(vec: Dataset, norm: float, join_col: str,
+                   out_col: str) -> tuple[Dataset, float]:
         keyed = e.map_batches(
             lambda df: df.rename(columns={join_col: "node", out_col: "out"}),
             batch_format="pandas")
         contrib = bucketed_join(
             keyed, vec, "node", left_fields=edge_fields,
-            right_fields=score_fields, num_buckets=num_partitions) \
-            .map_batches(lambda df: pd.DataFrame({"node": df["out"],
-                                                  "c": df["score"]}),
-                         batch_format="pandas")
+            right_fields=sum_fields, num_buckets=num_partitions) \
+            .map_batches(lambda df, n=norm: pd.DataFrame(
+                {"node": df["out"], "c": df["s"] / n}),
+                batch_format="pandas")
         sums = grouped_aggregate(contrib, ["node"], {"s": ("c", "sum")},
                                  num_buckets=num_partitions) \
             .repartition(num_partitions).materialize()
+        # sums are already in normalized-contribution units (c = s/n),
+        # so the next norm is just sqrt(sum of squares)
         sq = sums.map_batches(
             lambda df: pd.DataFrame({"sq": df["s"] * df["s"]}),
             batch_format="pandas")
-        norm = np.sqrt(sq.sum("sq") or 0.0) or 1.0
-        return sums.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"],
-                                     "score": df["s"] / norm}),
-            batch_format="pandas").materialize()
+        norm_out = float(np.sqrt(sq.sum("sq") or 0.0) or 1.0)
+        return sums, norm_out
 
     for _ in range(iters):
-        auth = matvec(hub, "node1", "node2")   # authority: sum of in-hubs
-        hub = matvec(auth, "node2", "node1")   # hub: sum of out-auths
+        # authority: sum of in-neighbor hubs; hub: sum of out-auths
+        auth, auth_norm = half_round(hub, hub_norm, "node1", "node2")
+        hub, hub_norm = half_round(auth, auth_norm, "node2", "node1")
 
-    def fmt(vec: Dataset, label: str) -> Dataset:
+    def fmt(vec: Dataset, norm: float, label: str) -> Dataset:
         return bucketed_join(
             nodes, vec, "node", left_fields={"node": pa.string()},
-            right_fields=score_fields, how="left",
+            right_fields=sum_fields, how="left",
             num_buckets=num_partitions) \
-            .map_batches(lambda df: pd.DataFrame({
+            .map_batches(lambda df, n=norm: pd.DataFrame({
                 "node1": df["node"], "label": label,
-                "node2": df["score"].fillna(0.0).map("{:.10f}".format)}),
+                "node2": (df["s"].fillna(0.0) / n).map("{:.10f}".format)}),
                 batch_format="pandas")
 
-    return fmt(hub, "hub").union(fmt(auth, "authority"))
+    return fmt(hub, hub_norm, "hub").union(
+        fmt(auth, auth_norm, "authority"))
 
 
 def pagerank(edges: Dataset, *, damping: float = 0.85, iters: int = 10,

@@ -169,3 +169,21 @@ def test_ivf_index_partition_pruned(tmp_path):
     buckets = [d for d in os.listdir(tmp_path / "ivf")
                if d.startswith("bucket=")]
     assert len(buckets) >= 2
+
+
+def test_cluster_pairs_distributed_path_matches_driver():
+    """The size gate defaults near-dup clustering to the driver
+    union-find; force the distributed min-label propagation and assert
+    identical output (it is the 100-TB path and must not rot)."""
+    from kgtk_ray.dedup._cluster import assign_clusters
+    ids = ray.data.from_pandas(pd.DataFrame({"doc_id": list(range(12))}))
+    pairs = pd.DataFrame({"a": [0, 1, 5, 7, 7], "b": [1, 2, 6, 8, 8]})
+    pairs_ds = ray.data.from_pandas(pairs)
+    driver = assign_clusters(ids, pairs_ds, id_col="doc_id") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = assign_clusters(ids, pairs_ds, id_col="doc_id",
+                           driver_limit=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(driver, dist)
+    cm = dict(zip(driver.doc_id, driver.cluster))
+    assert cm[2] == 0 and cm[6] == 5 and cm[8] == 7 and cm[3] == 3
