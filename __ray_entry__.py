@@ -712,6 +712,27 @@ def _q_generate_mediawiki(sf: str):
     return generate_mediawiki_jsons(n.map_batches(f, batch_format="pandas"))
 
 
+def _q_generate_ttl(sf: str):
+    """Truthy Turtle stanzas per entity over nation-derived statement
+    edges; the single-statement-per-entity case is exactly
+    reconstructable in SQL (the goldens pin the general serializer,
+    tests/test_ttl_golden.py)."""
+    from kgtk_ray.io.rdf import generate_wikidata_ttl
+    n = rd.read_parquet(f"{sf}/nation.parquet")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df.n_nationkey.astype(str)
+        return pd.DataFrame({
+            "node1": "Q" + nk,
+            "label": "P1",
+            "node2": "R" + df.n_regionkey.astype(str),
+            "id": "Q" + nk + "-P1-1",
+        })
+
+    return generate_wikidata_ttl(n.map_batches(f, batch_format="pandas"),
+                                 {"P1": "item"})
+
+
 def _q_import_conceptnet(sf: str):
     """ConceptNet-shaped assertion rows synthesized from nation; the
     oracle replicates the reference's exact field mapping
@@ -811,6 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "import_wikidata": _q_import_wikidata,
         "import_conceptnet": _q_import_conceptnet,
+        "generate_ttl": _q_generate_ttl,
         "unreify_values": _q_unreify_values,
         "graph_statistics": _q_graph_statistics,
         "column_ops": _q_column_ops,
@@ -1322,6 +1344,26 @@ def oracle_sql() -> dict[str, str]:
             FROM c, norms
             UNION ALL
             SELECT e.node1, 'authority', printf('%.10f', 0.0) FROM e
+        """,
+        "generate_ttl": """
+            SELECT 'Q'||CAST(n_nationkey AS VARCHAR) AS entity,
+                   'wd:Q'||CAST(n_nationkey AS VARCHAR)
+                   ||' a wikibase:Item ;'||chr(10)
+                   ||'    p:P1 wds:Q'||CAST(n_nationkey AS VARCHAR)
+                   ||'-Q'||CAST(n_nationkey AS VARCHAR)||'-P1-1 ;'||chr(10)
+                   ||'    wdt:P1 wd:R'||CAST(n_regionkey AS VARCHAR)
+                   ||' .'||chr(10)||chr(10)
+                   ||'wds:Q'||CAST(n_nationkey AS VARCHAR)
+                   ||'-Q'||CAST(n_nationkey AS VARCHAR)
+                   ||'-P1-1 a wikibase:Statement ;'||chr(10)
+                   ||'    wikibase:rank wikibase:BestRank ;'||chr(10)
+                   ||'    <http://www.isi.edu/etk/createdBy> '
+                   ||'<http://www.isi.edu/datamart> ;'||chr(10)
+                   ||'    ps:P1 wd:R'||CAST(n_regionkey AS VARCHAR)
+                   ||' .'||chr(10)||chr(10)
+                   ||'wd:R'||CAST(n_regionkey AS VARCHAR)
+                   ||' a wikibase:Item .'||chr(10) AS ttl
+            FROM nation
         """,
         "import_conceptnet": """
             SELECT '/c/en/nation_'||CAST(n_nationkey AS VARCHAR) AS node1,
