@@ -99,15 +99,25 @@ def graph_statistics(edges: Dataset) -> dict:
 
 def reachable_nodes(edges: Dataset, roots: Sequence[str], *,
                     labels: Sequence[str] | None = None,
-                    undirected: bool = False, max_hops: int = 100) -> Dataset:
+                    undirected: bool = False, max_hops: int = 100,
+                    distributed: bool = False,
+                    num_partitions: int = 16) -> Dataset:
     """BFS from a root set; emits ``(root, "reachable", node)``
     (reference kgtk/cli/reachable_nodes.py — graph-tool DFS in memory).
 
-    Implementation: driver-controlled frontier loop.  Each round
-    broadcasts the frontier (root, node) pairs and scans the edge
-    dataset once with a vectorized pandas merge — edges never move; only
-    the (small) frontier does.
+    Default: driver-controlled frontier loop — each round broadcasts
+    the frontier (root, node) pairs and scans the edge dataset once
+    with a vectorized pandas merge; right for small root sets whose
+    reachable set fits the driver.  ``distributed=True``: the frontier
+    and visited tables stay Datasets (hash joins + bucketed dedup per
+    round, driver sees only the new-row counter) — the path for huge
+    root sets / reach (e.g. full-graph closure).
     """
+    if distributed:
+        return _reachable_distributed(edges, roots, labels=labels,
+                                      undirected=undirected,
+                                      max_hops=max_hops,
+                                      num_partitions=num_partitions)
     if labels is not None:
         lab = set(labels)
         edges = edges.map_batches(lambda df: df[df["label"].isin(lab)],
@@ -148,6 +158,71 @@ def reachable_nodes(edges: Dataset, roots: Sequence[str], *,
     res = pd.DataFrame({"node1": out["root"].astype(str), "label": "reachable",
                         "node2": out["node"].astype(str)})
     return ray.data.from_pandas(res.reset_index(drop=True))
+
+
+def _reachable_distributed(edges: Dataset, roots: Sequence[str], *,
+                           labels: Sequence[str] | None = None,
+                           undirected: bool = False, max_hops: int = 100,
+                           num_partitions: int = 16) -> Dataset:
+    """Dataset-state BFS (see :func:`reachable_nodes`)."""
+    import pyarrow as pa
+
+    from ..ops.shuffle import ifnotexists
+    from ._bucket import bucketed_join
+
+    if labels is not None:
+        lab = set(labels)
+        edges = edges.map_batches(lambda df: df[df["label"].isin(lab)],
+                                  batch_format="pandas")
+    eds = edges.map_batches(
+        lambda df: df[["node1", "node2"]].astype(str).rename(
+            columns={"node1": "node", "node2": "nbr"}),
+        batch_format="pandas")
+    if undirected:
+        eds = eds.union(edges.map_batches(
+            lambda df: pd.DataFrame({"node": df["node2"].astype(str),
+                                     "nbr": df["node1"].astype(str)}),
+            batch_format="pandas"))
+    eds = eds.repartition(num_partitions).materialize()
+
+    start = pd.DataFrame({"root": [str(r) for r in roots]})
+    start["node"] = start["root"]
+    frontier = ray.data.from_pandas(start).materialize()
+    visited = frontier
+
+    sfields = {"node": pa.string(), "root": pa.string()}
+    efields = {"node": pa.string(), "nbr": pa.string()}
+
+    for _ in range(max_hops):
+        nxt = bucketed_join(eds, frontier, "node", left_fields=efields,
+                            right_fields=sfields,
+                            num_buckets=num_partitions) \
+            .map_batches(lambda df: pd.DataFrame(
+                {"root": df["root"], "node": df["nbr"]})
+                .drop_duplicates(), batch_format="pandas")
+        # drop already-visited (root, node) pairs distributedly
+        new = ifnotexists(nxt, visited, input_keys=["root", "node"],
+                          filter_keys=["root", "node"]).map_batches(
+            lambda df: df.drop_duplicates(["root", "node"]),
+            batch_format="pandas")
+        from ._bucket import bucketed_group_apply
+        new = bucketed_group_apply(new, ["root", "node"],
+                                   lambda df: df.drop_duplicates(),
+                                   num_buckets=num_partitions).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).repartition(num_partitions) \
+            .materialize()
+        frontier = new
+
+    # exclude the seed rows, as the driver path does
+    seed = ray.data.from_pandas(start)
+    out = ifnotexists(visited, seed, input_keys=["root", "node"],
+                      filter_keys=["root", "node"])
+    return out.map_batches(
+        lambda df: pd.DataFrame({"node1": df["root"], "label": "reachable",
+                                 "node2": df["node"]}),
+        batch_format="pandas")
 
 
 def paths(edges: Dataset, sources: Sequence[str], targets: Sequence[str], *,

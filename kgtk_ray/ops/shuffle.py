@@ -192,7 +192,12 @@ def _iff_keys(input_cols: Sequence[str], filter_cols: Sequence[str],
 
 def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
                input_keys=None, filter_keys=None) -> Dataset:
-    ikeys, fkeys = _iff_keys(ds.schema().names, filter_ds.schema().names,
+    # schema() is None for an all-empty dataset (e.g. a drained BFS
+    # frontier); explicit keys don't need it
+    in_sch = ds.schema()
+    f_sch = filter_ds.schema()
+    ikeys, fkeys = _iff_keys(in_sch.names if in_sch else [],
+                             f_sch.names if f_sch else [],
                              input_keys, filter_keys)
     n_filter = filter_ds.count()
     if n_filter <= BROADCAST_LIMIT:

@@ -268,3 +268,27 @@ def test_add_id_prefixed_style():
     a = out.sort_values(list(out.columns)).reset_index(drop=True)
     b = again.sort_values(list(again.columns)).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_reachable_distributed_matches_driver(ray_session):
+    """The Dataset-state BFS (distributed=True) must equal the
+    broadcast-frontier driver loop on the same graph."""
+    import pandas as pd
+    import ray.data
+    from kgtk_ray.ops.graph import reachable_nodes
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "node1": ["a", "b", "c", "x", "y", "c"],
+        "label": ["l", "l", "l", "l", "m", "l"],
+        "node2": ["b", "c", "d", "y", "z", "a"]}))
+
+    def norm(ds):
+        return set(map(tuple, ds.to_pandas()[["node1", "node2"]]
+                       .itertuples(index=False)))
+
+    for kw in ({}, {"undirected": True}, {"labels": ["l"]}):
+        drv = norm(reachable_nodes(edges, ["a", "x"], **kw))
+        dist = norm(reachable_nodes(edges, ["a", "x"], distributed=True,
+                                    **kw))
+        assert drv == dist, (kw, drv, dist)
+    assert ("a", "d") in norm(reachable_nodes(edges, ["a"],
+                                              distributed=True))
