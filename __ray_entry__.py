@@ -325,6 +325,20 @@ def _q_reachable(sf: str):
     return reachable_nodes(edges, ["S1", "S2", "S3"])
 
 
+def _q_reachable_distributed(sf: str):
+    """Same BFS as ``reachable`` but through the Dataset-state path
+    (frontier/visited stay Datasets; driver sees only counters) —
+    oracle-checks the scale path, not just the driver-frontier one."""
+    from kgtk_ray.ops import reachable_nodes
+    sup_nat = _edges_supplier(sf).map_batches(
+        lambda df: pd.DataFrame({"node1": df.node2, "label": "in_nation",
+                                 "node2": df.node1}),
+        batch_format="pandas")
+    edges = sup_nat.union(_edges_nation(sf).drop_columns(["n_name"]))
+    return reachable_nodes(edges, ["S1", "S2", "S3"], distributed=True,
+                           num_partitions=4)
+
+
 def _q_connected_components(sf: str):
     from kgtk_ray.ops import connected_components
     return connected_components(_edges_nation(sf).drop_columns(["n_name"]))
@@ -673,6 +687,25 @@ def _q_ivf_ann(sf: str):
                        ["score"])
 
 
+def _q_ivf_index(sf: str):
+    """Partition-pruned IVF (the 100-TB ANN shape): build writes the
+    corpus ONCE as bucket-partitioned parquet; search reads only the
+    nprobe probed partitions.  Same centroid training (seed/sample) as
+    ivf_topk_cosine, so the ivf_ann fixture is the oracle."""
+    import tempfile
+    from kgtk_ray.ann import IVFIndex
+    import pyarrow.parquet as pq
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    qt = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    Q = np.stack(qt.embedding.to_numpy()).astype(np.float64)
+    with tempfile.TemporaryDirectory(prefix="ivfidx_") as td:
+        idx = IVFIndex.build(emb, td, n_centroids=16)
+        out = _round_cols(idx.search(Q, k=10, nprobe=4), ["score"])
+        # consume before the tmpdir vanishes
+        return out.to_pandas()
+
+
 def _q_winnowing(sf: str):
     from kgtk_ray.text import winnowing_fingerprints
     docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -784,7 +817,28 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # NOTE on ordering: the driver samples the FIRST 50 entries.  Queries
+    # that have never had a green CORRECTNESS row (new this round, or
+    # outside the sample window in r1/r2) are listed first; the
+    # long-stable operators (green in both r1 and r2) fill the tail.
     return {
+        # --- never driver-sampled before round 3 ---
+        "hits": _q_hits,
+        "pagerank": _q_pagerank,
+        "column_ops": _q_column_ops,
+        "generate_mediawiki": _q_generate_mediawiki,
+        "text_embedding": _q_text_embedding,
+        "minhash_dedup": _q_minhash,
+        "simhash_dedup": _q_simhash,
+        "ngram_dedup": _q_ngram_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "ivf_ann": _q_ivf_ann,
+        "winnowing": _q_winnowing,
+        "multimodal_features": _q_multimodal,
+        # --- new in round 3 ---
+        "reachable_distributed": _q_reachable_distributed,
+        "ivf_index": _q_ivf_index,
+        # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
         "ifempty": _q_ifempty,
@@ -835,19 +889,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generate_ttl": _q_generate_ttl,
         "unreify_values": _q_unreify_values,
         "graph_statistics": _q_graph_statistics,
-        "column_ops": _q_column_ops,
-        # approximate / stateful: rows-only checks
-        "hits": _q_hits,
-        "text_embedding": _q_text_embedding,
-        "minhash_dedup": _q_minhash,
-        "simhash_dedup": _q_simhash,
-        "ngram_dedup": _q_ngram_dedup,
-        "embedding_dedup": _q_embedding_dedup,
-        "ivf_ann": _q_ivf_ann,
-        "winnowing": _q_winnowing,
-        "pagerank": _q_pagerank,
-        "multimodal_features": _q_multimodal,
-        "generate_mediawiki": _q_generate_mediawiki,
     }
 
 
@@ -1030,6 +1071,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EDGE_SQL_LI}) GROUP BY node1
         """,
         "reachable": f"""
+            WITH RECURSIVE e AS (
+              SELECT node2 AS node1, node1 AS node2 FROM ({_EDGE_SQL_SUPP})
+              UNION ALL
+              SELECT node1, node2 FROM ({_EDGE_SQL_NATION})),
+            r(root, node) AS (
+              SELECT node1, node2 FROM e WHERE node1 IN ('S1','S2','S3')
+              UNION
+              SELECT r.root, e.node2 FROM r JOIN e ON e.node1 = r.node)
+            SELECT root AS node1, 'reachable' AS label, node AS node2 FROM r
+        """,
+        "reachable_distributed": f"""
             WITH RECURSIVE e AS (
               SELECT node2 AS node1, node1 AS node2 FROM ({_EDGE_SQL_SUPP})
               UNION ALL
@@ -1411,6 +1463,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id + 10000, vec_id FROM embeddings WHERE vec_id < 50
         """,
         "ivf_ann": f"""
+            SELECT query_id, vec_id, score
+            FROM read_parquet('{_fixture("ivf_ann.parquet")}')
+        """,
+        # IVFIndex.build trains the same centroids (same seed/sample
+        # protocol) as ivf_topk_cosine, so partition-pruned search over
+        # the same probes returns the same top-k — one fixture serves both.
+        "ivf_index": f"""
             SELECT query_id, vec_id, score
             FROM read_parquet('{_fixture("ivf_ann.parquet")}')
         """,

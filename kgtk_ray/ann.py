@@ -209,6 +209,10 @@ class IVFIndex:
                 files, columns=[self.id_col, self.vec_col]).map_batches(
                 lambda df, b=b: df.assign(bucket=b),
                 batch_format="pandas"))
+        if not parts:
+            raise FileNotFoundError(
+                f"IVFIndex at {self.path!r}: none of the probed bucket "
+                f"partitions {needed} exist — wrong path or empty index?")
         sub = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
         qref = ray.put((Q, probes))
         id_col = self.id_col
