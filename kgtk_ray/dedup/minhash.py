@@ -34,6 +34,11 @@ Dataset = ray.data.Dataset
 
 _P = (1 << 61) - 1  # Mersenne prime for the universal hash family
 
+# verify-stage broadcast gate: collect candidate shingles to the driver
+# only when both bounds hold; otherwise the pair-partitioned join path
+_VERIFY_BROADCAST_DOCS = 200_000
+_VERIFY_BROADCAST_BYTES = 512 * 1024 * 1024
+
 
 _POW = 1099511628211  # FNV-ish odd multiplier for the rolling hash
 
@@ -108,20 +113,53 @@ def minhash_signatures(ds: Dataset, *, text_col: str = "text",
 
 def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
-                  threshold: float = 0.8, seed: int = 42) -> Dataset:
+                  threshold: float = 0.8, seed: int = 42,
+                  persist_shingles: bool = True) -> Dataset:
     """Near-dup clustering; returns ``(doc_id, cluster)`` where cluster is
-    the minimum member id (singletons map to themselves)."""
+    the minimum member id (singletons map to themselves).
+
+    ``persist_shingles=True`` (default) shingles the corpus ONCE into a
+    materialized ``(doc, sh_bytes)`` table (~8 bytes per distinct k-gram,
+    spilled by the object store): signatures/bands derive from the bytes
+    and the exact-Jaccard verify reuses the same table, so the text is
+    read and shingled exactly once.  ``False`` is the storage-lean path
+    for corpora whose shingle table exceeds cluster spill capacity: the
+    verify pass re-reads and re-shingles only the candidate docs instead
+    (extra corpus pass + recompute, no 8x intermediate).
+    """
     assert num_perm % bands == 0
     r = num_perm // bands
     a, b = _perm_params(num_perm, seed)
 
-    # 1+2: signatures and band buckets in one pass; keep shingle sets for verify
+    # 1: shingle pass — (doc, sh_bytes); bytes because Ray's
+    # pandas->Arrow conversion mangles list cells into tensor extension
+    # types, and binary columns shuffle zero-copy
+    def shingle(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": df[id_col].to_numpy(),
+            "sh": [_shingle_hashes(t, shingle_k).astype(np.int64).tobytes()
+                   for t in df[text_col].astype(str)],
+        })
+
+    sh_table = None
+    if persist_shingles:
+        sh_table = ds.map_batches(shingle, batch_format="pandas").materialize()
+
+    # 2: signatures and band buckets in one pass over the shingle bytes
+    # (persisted path) or the raw text (lean path)
     def sig_and_bands(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy()
-        sigs = np.stack([
-            _signature(_shingle_hashes(t, shingle_k), a, b)
-            for t in df[text_col].astype(str)
-        ])  # (n_docs, num_perm)
+        ids = df["doc" if "sh" in df else id_col].to_numpy()
+        if "sh" in df:
+            sigs = np.stack([
+                _signature(np.frombuffer(s, dtype=np.int64)
+                           .astype(np.uint64), a, b)
+                for s in df["sh"]
+            ])
+        else:
+            sigs = np.stack([
+                _signature(_shingle_hashes(t, shingle_k), a, b)
+                for t in df[text_col].astype(str)
+            ])  # (n_docs, num_perm)
         # bucket id per (doc, band): mix each band's r rows in one
         # vectorized pass over the whole batch
         chunks = sigs.reshape(len(ids), bands, r)
@@ -137,7 +175,8 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
                 "int64").ravel(),
         })
 
-    flat = ds.map_batches(sig_and_bands, batch_format="pandas")
+    flat = (sh_table if sh_table is not None else ds).map_batches(
+        sig_and_bands, batch_format="pandas")
 
     # 3: candidate pairs per (band,bucket) group — bucketed self-merge
     # (one vectorized pandas merge per hash bucket; LSH buckets are
@@ -157,11 +196,17 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 
     from ..ops._bucket import bucketed_group_apply
 
-    # candidate pairs may repeat across bands (a true near-dup collides
-    # in many); verification is idempotent and true pairs are few, so a
-    # global pair dedup shuffle costs more than the duplicate verifies
-    cand = bucketed_group_apply(flat, ["band", "bucket"],
-                                pairs).materialize()
+    # candidate pairs repeat across bands (a true near-dup collides in
+    # most of the 32 bands, so the raw pair stream is ~bands x the unique
+    # set); dedup them BEFORE verification — the verify step ships both
+    # docs' shingle bytes per pair, so each duplicate pair would re-ship
+    # kilobytes where the dedup shuffle moves a 2-int row
+    raw_pairs = bucketed_group_apply(flat, ["band", "bucket"], pairs)
+    cand = bucketed_group_apply(
+        raw_pairs.map_batches(lambda df: df.drop_duplicates(["a", "b"]),
+                              batch_format="pandas"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"])).materialize()
 
     ids = ds.select_columns([id_col])
     if cand.count() == 0:
@@ -170,10 +215,11 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
             batch_format="pandas")
 
     # 4: verify with exact shingle-set Jaccard, pair-partitioned: the
-    # corpus is semi-joined down to the candidate docs (broadcast id set
-    # below the limit, hash semi-join above), those docs are re-shingled
-    # once, and the shingle sets meet their pairs via two hash joins on
-    # doc id — no driver-side shingle dict, no candidate collect.
+    # shingle table (persisted path) or the corpus (lean path) is
+    # semi-joined down to the candidate docs (broadcast id set below the
+    # limit, hash semi-join above), and the shingle sets meet their pairs
+    # via two hash joins on doc id — no driver-side shingle dict, no
+    # candidate collect.
     idt = _id_type(ids, id_col)
     # per-batch-distinct candidate ids; ifexists' broadcast set build
     # dedups globally without an extra shuffle
@@ -183,46 +229,70 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 
     from ..ops.shuffle import ifexists
 
-    cand_docs = ifexists(ds, needed, input_keys=[id_col],
-                         filter_keys=["doc"])
-    sh = cand_docs.map_batches(
-        lambda df: pd.DataFrame({
-            "doc": df[id_col].to_numpy(),
-            # shingle sets travel as raw int64 bytes: binary columns
-            # shuffle zero-copy, and Ray's pandas->Arrow conversion
-            # mangles list cells into tensor extension types
-            "sh": [_shingle_hashes(t, shingle_k).astype(np.int64).tobytes()
-                   for t in df[text_col].astype(str)],
-        }), batch_format="pandas")
+    if sh_table is not None:
+        sh = ifexists(sh_table, needed, input_keys=["doc"],
+                      filter_keys=["doc"]).materialize()
+    else:
+        cand_docs = ifexists(ds, needed, input_keys=[id_col],
+                             filter_keys=["doc"])
+        sh = cand_docs.map_batches(shingle,
+                                   batch_format="pandas").materialize()
 
-    sh_fields = {"doc": idt, "sh": pa.large_binary()}
-    with_a = bucketed_join(
-        cand.map_batches(lambda df: df.rename(columns={"a": "doc"}),
-                         batch_format="pandas"),
-        sh, "doc", left_fields={"doc": idt, "b": idt},
-        right_fields=sh_fields) \
-        .map_batches(lambda df: df.rename(columns={"doc": "a", "sh": "sh_a",
-                                                   "b": "doc"}),
-                     batch_format="pandas")
-    with_both = bucketed_join(
-        with_a, sh, "doc",
-        left_fields={"doc": idt, "a": idt, "sh_a": pa.large_binary()},
-        right_fields=sh_fields) \
-        .map_batches(lambda df: df.rename(columns={"doc": "b",
-                                                   "sh": "sh_b"}),
-                     batch_format="pandas")
+    def _jaccard_ok(x: bytes, y: bytes) -> bool:
+        xv = np.frombuffer(x, dtype=np.int64)
+        yv = np.frombuffer(y, dtype=np.int64)
+        inter = np.intersect1d(xv, yv, assume_unique=True).size
+        union = xv.size + yv.size - inter
+        return (inter / union if union else 1.0) >= threshold
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        keep = np.empty(len(df), dtype=bool)
-        for i, (x, y) in enumerate(zip(df["sh_a"], df["sh_b"])):
-            x = np.frombuffer(x, dtype=np.int64)
-            y = np.frombuffer(y, dtype=np.int64)
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            union = x.size + y.size - inter
-            keep[i] = (inter / union if union else 1.0) >= threshold
-        return df.loc[keep, ["a", "b"]]
+    # size gate: candidate shingle sets are the SMALL side (only docs
+    # that collided in some LSH band).  Under the limit, broadcast them
+    # once (ray.put) and verify in a single map over the pairs — no
+    # per-pair shingle shipping.  Above it, fall back to the fully
+    # pair-partitioned path: two hash joins deliver each doc's shingles
+    # to its pairs, nothing is collected.
+    if sh.count() <= _VERIFY_BROADCAST_DOCS and \
+            sh.size_bytes() <= _VERIFY_BROADCAST_BYTES:
+        sdf = sh.to_pandas()
+        shref = ray.put(dict(zip(sdf["doc"], sdf["sh"])))
 
-    verified = with_both.map_batches(verify, batch_format="pandas")
+        def verify_b(df: pd.DataFrame) -> pd.DataFrame:
+            shmap = ray.get(shref)
+            empty = b""
+            keep = np.fromiter(
+                (_jaccard_ok(shmap.get(x, empty), shmap.get(y, empty))
+                 for x, y in zip(df["a"], df["b"])),
+                dtype=bool, count=len(df))
+            return df.loc[keep, ["a", "b"]]
+
+        verified = cand.map_batches(verify_b, batch_format="pandas")
+    else:
+        sh_fields = {"doc": idt, "sh": pa.large_binary()}
+        with_a = bucketed_join(
+            cand.map_batches(lambda df: df.rename(columns={"a": "doc"}),
+                             batch_format="pandas"),
+            sh, "doc", left_fields={"doc": idt, "b": idt},
+            right_fields=sh_fields) \
+            .map_batches(lambda df: df.rename(columns={"doc": "a",
+                                                       "sh": "sh_a",
+                                                       "b": "doc"}),
+                         batch_format="pandas")
+        with_both = bucketed_join(
+            with_a, sh, "doc",
+            left_fields={"doc": idt, "a": idt, "sh_a": pa.large_binary()},
+            right_fields=sh_fields) \
+            .map_batches(lambda df: df.rename(columns={"doc": "b",
+                                                       "sh": "sh_b"}),
+                         batch_format="pandas")
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            keep = np.fromiter(
+                (_jaccard_ok(x, y)
+                 for x, y in zip(df["sh_a"], df["sh_b"])),
+                dtype=bool, count=len(df))
+            return df.loc[keep, ["a", "b"]]
+
+        verified = with_both.map_batches(verify, batch_format="pandas")
 
     # 5: size-gated clustering (driver union-find under the limit,
     # distributed min-label propagation above — see _cluster.py)
