@@ -440,18 +440,124 @@ def _empty_edge_result() -> Dataset:
          "node2": pd.Series([], dtype=str)}))
 
 
+# Node-count gate for the dense-vector iterative path: below it the
+# per-node state (rank / hub / authority) is an n-float numpy vector
+# broadcast per iteration, and each iteration is ONE map pass over a
+# static int-encoded edge index — no shuffle at all.  Above it the
+# fully distributed join loop runs (flat driver RSS, node-scale state
+# stays a Dataset).  4M nodes ~ 32 MB of vector + ~400 MB of per-actor
+# name index — comfortable on a 128 GiB worker, far below web scale.
+DENSE_NODE_LIMIT = 4_000_000
+
+
+def _dense_edge_index(e: Dataset, names: np.ndarray):
+    """Int32-encode the edge list against the sorted node-name array:
+    one pass, materialized once, reused every iteration.  ``names`` is
+    broadcast via ``ray.put``; each map task builds the pd.Index from
+    shared storage (cheap at the gated scale)."""
+    names_ref = ray.put(names)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        idx = pd.Index(ray.get(names_ref))
+        return pd.DataFrame({
+            "src": idx.get_indexer(df["node1"].astype(str)).astype("int32"),
+            "dst": idx.get_indexer(df["node2"].astype(str)).astype("int32"),
+        })
+
+    return e.map_batches(encode, batch_format="pandas").materialize()
+
+
+def _vector_sum_pass(eidx: Dataset, fn, n: int) -> np.ndarray:
+    """Run ``fn(src, dst) -> contribution vector of length n`` per edge
+    batch and sum the per-batch partials on the driver.  Each partial is
+    one dense float64 bincount shipped as a single binary cell, so the
+    driver receives num_blocks x 8n bytes — bounded by DENSE_NODE_LIMIT."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = fn(df["src"].to_numpy(), df["dst"].to_numpy())
+        return pd.DataFrame({"v": [v.tobytes()]})
+
+    out = np.zeros(n, dtype=np.float64)
+    for row in eidx.map_batches(partial,
+                                batch_format="pandas").take_all():
+        out += np.frombuffer(row["v"], dtype=np.float64)
+    return out
+
+
+def _dense_pagerank(e: Dataset, nodes: Dataset, *, damping: float,
+                    iters: int) -> Dataset:
+    names = nodes.to_pandas()["node"].sort_values().to_numpy()
+    n = len(names)
+    eidx = _dense_edge_index(e, names)
+    outdeg = _vector_sum_pass(
+        eidx, lambda s, d, n=n: np.bincount(s, minlength=n)
+        .astype(np.float64), n)
+    safe_deg = np.maximum(outdeg, 1.0)  # zero-outdeg nodes emit nothing
+    base = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        wref = ray.put(rank / safe_deg)
+
+        def contrib(s, d, n=n, wref=wref):
+            w = ray.get(wref)
+            return np.bincount(d, weights=w[s], minlength=n)
+
+        sums = _vector_sum_pass(eidx, contrib, n)
+        rank = base + damping * sums
+    out = pd.DataFrame({"node1": names, "label": "pagerank",
+                        "node2": [f"{v:.10f}" for v in rank]})
+    return ray.data.from_pandas(out)
+
+
+def _dense_hits(e: Dataset, nodes: Dataset, *, iters: int) -> Dataset:
+    names = nodes.to_pandas()["node"].sort_values().to_numpy()
+    n = len(names)
+    eidx = _dense_edge_index(e, names)
+    hub = np.ones(n)
+    hub_norm = 1.0
+    auth, auth_norm = hub, 1.0
+
+    def half(vec: np.ndarray, norm: float, reverse: bool):
+        wref = ray.put(vec / norm)
+
+        def contrib(s, d, n=n, wref=wref, reverse=reverse):
+            w = ray.get(wref)
+            if reverse:
+                s, d = d, s
+            return np.bincount(d, weights=w[s], minlength=n)
+
+        sums = _vector_sum_pass(eidx, contrib, n)
+        return sums, float(np.sqrt((sums * sums).sum()) or 1.0)
+
+    for _ in range(iters):
+        auth, auth_norm = half(hub, hub_norm, reverse=False)
+        hub, hub_norm = half(auth, auth_norm, reverse=True)
+
+    def fmt(vec: np.ndarray, norm: float, label: str) -> pd.DataFrame:
+        return pd.DataFrame({"node1": names, "label": label,
+                             "node2": [f"{v:.10f}" for v in vec / norm]})
+
+    return ray.data.from_pandas(pd.concat(
+        [fmt(hub, hub_norm, "hub"), fmt(auth, auth_norm, "authority")],
+        ignore_index=True))
+
+
 def hits(edges: Dataset, *, iters: int = 10,
          num_partitions: int = 16) -> Dataset:
     """HITS hub/authority scores (reference: graph-tool hits in
     graph-statistics, kgtk/cli/graph_statistics.py:104-180).
 
-    Distributed power iteration: the hub/authority vectors are Datasets
-    hash-joined to the edge set each round; the matrix-vector products
-    are grouped sums (:func:`grouped_aggregate`); only the scalar
-    normalization constants reach the driver.  Nodes absent from a
-    grouped sum implicitly score 0 (inner joins drop their zero
-    contributions) and are restored by the final left join over the full
-    node set.  Returns ``(node1, label in {hub, authority}, node2=score)``.
+    Size-gated: graphs under ``DENSE_NODE_LIMIT`` nodes run the
+    dense-vector path (int-encoded edge index materialized once, the
+    hub/authority vectors broadcast per half-round, per-batch bincount
+    partials summed on the driver — zero shuffles per iteration).
+    Above the gate, distributed power iteration: the hub/authority
+    vectors are Datasets hash-joined to the edge set each round; the
+    matrix-vector products are grouped sums (:func:`grouped_aggregate`);
+    only the scalar normalization constants reach the driver.  Nodes
+    absent from a grouped sum implicitly score 0 (inner joins drop their
+    zero contributions) and are restored by the final left join over the
+    full node set.  Returns ``(node1, label in {hub, authority},
+    node2=score)``.
     """
     import pyarrow as pa
 
@@ -462,8 +568,11 @@ def hits(edges: Dataset, *, iters: int = 10,
         lambda df: df.astype(str), batch_format="pandas") \
         .repartition(num_partitions).materialize()
     nodes = _distinct_nodes(e).repartition(num_partitions).materialize()
-    if nodes.count() == 0:
+    n_nodes = nodes.count()
+    if n_nodes == 0:
         return _empty_edge_result()
+    if n_nodes <= DENSE_NODE_LIMIT:
+        return _dense_hits(e, nodes, iters=iters)
     # Loop state per side: UNNORMALIZED sums (node, s) plus the scalar
     # L2 norm — normalization folds into the next join's map (score =
     # s/norm), so each half-round is ONE join + ONE grouped sum + a
@@ -520,11 +629,16 @@ def pagerank(edges: Dataset, *, damping: float = 0.85, iters: int = 10,
     """Power-iteration PageRank (reference: graph-tool pagerank in
     graph-statistics).  Returns ``(node1, "pagerank", score)`` rows.
 
-    Distributed: out-degrees fold into the edge dataset once before the
-    loop (one hash join); each round joins the rank Dataset to the edge
-    set, aggregates contributions with :func:`grouped_aggregate` and
-    rebuilds the rank table with a left join over the node set.  No
-    edge- or node-sized structure ever lives on the driver.
+    Size-gated: under ``DENSE_NODE_LIMIT`` nodes the dense-vector path
+    runs (int-encoded edge index materialized once, rank vector
+    broadcast per iteration, per-batch bincount partials summed on the
+    driver — zero shuffles per iteration; driver RSS is O(nodes),
+    bounded by the gate).  Above it, fully distributed: out-degrees
+    fold into the edge dataset once before the loop (one hash join);
+    each round joins the rank Dataset to the edge set, aggregates
+    contributions with :func:`grouped_aggregate` and rebuilds the rank
+    table with a left join over the node set.  No edge- or node-sized
+    structure ever lives on the driver.
     """
     import pyarrow as pa
 
@@ -537,6 +651,8 @@ def pagerank(edges: Dataset, *, damping: float = 0.85, iters: int = 10,
     n = nodes.count()
     if n == 0:
         return _empty_edge_result()
+    if n <= DENSE_NODE_LIMIT:
+        return _dense_pagerank(e, nodes, damping=damping, iters=iters)
     outdeg = _node_counts(e, "node1", "outdeg")
     # (node=src, dst, outdeg): joined once, reused every iteration
     ej = bucketed_join(
