@@ -60,9 +60,15 @@ _UNSTRINGIFY_ESCAPES = {
     "\\r": "\r",
     "\\|": "|",
     "\\'": "'",
+    "\\a": "\a",
+    "\\b": "\b",
+    "\\f": "\f",
+    "\\v": "\v",
 }
 _UNESCAPE_RE = re.compile(r"\\(.)")
-_UNESCAPE_MAP = {"\\": "\\", '"': '"', "'": "'", "t": "\t", "n": "\n", "r": "\r", "|": "|"}
+_UNESCAPE_MAP = {"\\": "\\", '"': '"', "'": "'", "t": "\t", "n": "\n",
+                 "r": "\r", "|": "|", "a": "\a", "b": "\b", "f": "\f",
+                 "v": "\v"}
 
 
 def stringify(s: str) -> str:

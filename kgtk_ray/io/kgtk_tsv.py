@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.csv
 import ray.data
+from ray.data.datasource import BlockBasedFileDatasink
 
 from ..format import KGTK_EDGE_COLUMNS, resolve_column_aliases
 
@@ -65,39 +66,43 @@ def _order_columns(names: list[str]) -> list[str]:
     return head + [c for c in names if c not in head]
 
 
-def write_kgtk_tsv(ds: ray.data.Dataset, path: str) -> None:
-    """Write a Dataset as KGTK TSV part files under ``path`` (a directory,
-    each part carrying the header line).
+class _KgtkTsvDatasink(BlockBasedFileDatasink):
+    """KGTK TSV sink through Ray's filesystem-aware datasink machinery.
 
     Values are written verbatim (cells already carry KGTK string-sigil
     encoding, and may legitimately contain double quotes — pyarrow's
     CSV writer refuses those under ``quoting_style="none"``, so each
-    task writes its blocks as raw tab-joined lines); nulls become
-    empty cells.
+    block is written as raw tab-joined lines); nulls become empty
+    cells.  Each part file carries the header line.  Going through
+    ``BlockBasedFileDatasink`` (rather than ``open()`` inside a
+    ``map_batches`` task) means the path is resolved to a pyarrow
+    filesystem — ``local://`` pins the write to the driver node, and
+    shared/remote filesystems (NFS, s3://, hdfs://) work from any
+    worker — so multi-node clusters don't scatter part files across
+    worker-local disks.
     """
-    import os
-    import uuid
 
-    first = ds.take_batch(1, batch_format="pyarrow")
-    order = _order_columns(list(first.column_names))
-    os.makedirs(path, exist_ok=True)
-    header = "\t".join(order)
+    def __init__(self, path: str, **kwargs):
+        super().__init__(path, file_format="tsv", **kwargs)
 
-    def write_block(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    def write_block_to_file(self, block, file) -> None:
+        t = block.to_arrow()
+        order = _order_columns(list(t.column_names))
         cols = [pc.fill_null(pc.cast(t[c], pa.string()), "").to_pandas()
                 for c in order]
         lines = cols[0].str.cat(cols[1:], sep="\t") if len(cols) > 1 \
             else cols[0]
-        part = os.path.join(path, f"part-{uuid.uuid4().hex}.tsv")
-        with open(part, "w") as f:
-            f.write(header + "\n")
-            for line in lines:
-                f.write(line + "\n")
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+        buf = "\t".join(order) + "\n"
+        file.write(buf.encode("utf-8"))
+        if len(lines):
+            file.write(("\n".join(lines) + "\n").encode("utf-8"))
 
-    counts = ds.map_batches(write_block, batch_format="pyarrow")
-    counts.sum("rows")  # drive the write
+
+def write_kgtk_tsv(ds: ray.data.Dataset, path: str) -> None:
+    """Write a Dataset as KGTK TSV part files under ``path`` (a directory,
+    each part carrying the header line).  Filesystem-aware: see
+    :class:`_KgtkTsvDatasink`."""
+    ds.write_datasink(_KgtkTsvDatasink(path))
 
 
 def read_edges_parquet(path: str | list[str], *, columns: list[str] | None = None,

@@ -28,6 +28,13 @@ Dataset = ray.data.Dataset
 BUCKET_COL = "__bucket__"
 DEFAULT_NUM_BUCKETS = 64
 
+# batch_size for the pre-shuffle tag passes: Ray bundles input blocks
+# into tasks of at least this many rows, so a fragmented upstream (a
+# union of many small reads can arrive as hundreds of tiny blocks)
+# coalesces here instead of paying per-block task overhead through the
+# whole shuffle.  Large blocks are unaffected (one task per block).
+MIN_BUNDLE_ROWS = 32768
+
 
 def bucket_ids(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> pd.Series:
     """Deterministic (cross-process stable) bucket id per row."""
@@ -89,8 +96,10 @@ def bucketed_join(
         return f
 
     tagged = left.map_batches(tagger(0, left_fields),
-                              batch_format="pyarrow").union(
-        right.map_batches(tagger(1, right_fields), batch_format="pyarrow"))
+                              batch_format="pyarrow",
+                              batch_size=MIN_BUNDLE_ROWS).union(
+        right.map_batches(tagger(1, right_fields), batch_format="pyarrow",
+                          batch_size=MIN_BUNDLE_ROWS))
 
     pd_how = {"inner": "inner", "left": "left"}[how]
 
@@ -140,6 +149,7 @@ def bucketed_group_apply(
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         return fn(df.drop(columns=[BUCKET_COL]))
 
-    return (ds.map_batches(tag, batch_format="pandas")
+    return (ds.map_batches(tag, batch_format="pandas",
+                           batch_size=MIN_BUNDLE_ROWS)
             .groupby(BUCKET_COL)
             .map_groups(apply, batch_format="pandas"))

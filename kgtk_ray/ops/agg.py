@@ -81,5 +81,7 @@ def grouped_aggregate(
         drop = [c for c in g.columns if c.startswith("__")]
         return g.drop(columns=drop)[keys + out_order]
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    from ._bucket import MIN_BUNDLE_ROWS
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=MIN_BUNDLE_ROWS)
     return bucketed_group_apply(partials, keys, merge, num_buckets=num_buckets)

@@ -301,6 +301,28 @@ class _RowValidator:
         return df
 
 
+def _schema_pa_fields(ds: Dataset) -> dict:
+    """Map a Dataset's schema (Arrow or pandas-block) to the explicit
+    ``{name: pyarrow type}`` dict ``bucketed_join`` needs, casting
+    unknown/object columns to string."""
+    out: dict = {}
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            out[name] = pa.string() if pa.types.is_null(typ) else typ
+            continue
+        t = np.dtype(typ) if not isinstance(typ, np.dtype) else typ
+        if t == np.bool_:
+            out[name] = pa.bool_()
+        elif np.issubdtype(t, np.integer):
+            out[name] = pa.int64()
+        elif np.issubdtype(t, np.floating):
+            out[name] = pa.float64()
+        else:
+            out[name] = pa.string()
+    return out
+
+
 def _group_phase(checked: Dataset, rules: dict[str, dict],
                  num_partitions: int) -> Dataset:
     """minoccurs / maxoccurs / mustoccur / requires / prohibits: one
@@ -312,6 +334,9 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
     must_props = [p for p, r in rules.items() if r.get("mustoccur")]
     if not group_props and not must_props:
         return checked
+    # consumed three times below (schema, partial counts, verdict join)
+    # — pin it so the row phase doesn't re-execute per consumer
+    checked = checked.materialize()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["_ok"]]
@@ -342,6 +367,13 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
                 n = have.get(p, 0)
                 if n == 0 and "minoccurs" not in r:
                     continue
+                if n == 0 and r.get("minoccurs", 0) > 0:
+                    # zero valid occurrences: there are no rows of this
+                    # prop to mark, so reject the whole group (reference
+                    # reports it via report_occurance_violations,
+                    # propertypatternvalidator.py:2104)
+                    whole = True
+                    continue
                 if n < r.get("minoccurs", 0) or n > r.get("maxoccurs",
                                                           np.inf):
                     bad_props.append(p)
@@ -360,12 +392,11 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
     viol = bucketed_group_apply(counts, ["node1"], scan,
                                 num_buckets=num_partitions)
 
+    # left_fields from the actual schema so extra input columns
+    # (e.g. 'node1;label', 'source') survive the group-rule join
     joined = bucketed_join(
         checked, viol, "node1",
-        left_fields={"node1": pa.string(), "label": pa.string(),
-                     "node2": pa.string(), "id": pa.string(),
-                     "_ok": pa.bool_(), "reason": pa.string(),
-                     "_matched": pa.string()},
+        left_fields=_schema_pa_fields(checked),
         right_fields={"node1": pa.string(), "bad": pa.string(),
                       "whole": pa.int64()},
         how="left", num_buckets=num_partitions)
@@ -512,9 +543,11 @@ def validate_properties(
     if synthetic_id:
         edges = edges.map_batches(lambda df: df.assign(id=""),
                                   batch_format="pandas")
+    from ._bucket import MIN_BUNDLE_ROWS
     checked = edges.map_batches(
         _RowValidator, fn_constructor_args=(rules,),
-        batch_format="pandas", concurrency=(1, 8))
+        batch_format="pandas", batch_size=MIN_BUNDLE_ROWS,
+        concurrency=(1, 8))
 
     checked = _group_phase(checked, rules, num_partitions)
     checked = _distinct_phase(checked, rules, num_partitions)

@@ -19,6 +19,7 @@ so groups stay small and skew-free at any corpus size.
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -90,37 +91,90 @@ def unreify_values(
     """
     import ray
 
+    from ._bucket import bucketed_group_apply
+
     out_label = new_label if new_label is not None else value_label
 
-    # pass 1: the value-node id set (distinct trigger subjects).  This is
-    # broadcast via ray.put — the reified-node set of a partition window
-    # is assumed broadcastable (same assumption as the reference, which
-    # buffers whole groups in memory); a join-based variant would key the
-    # referring edges on node2 instead.
+    # pass 1: the value-node ids (distinct trigger subjects).  Size-gated:
+    # under BROADCAST_LIMIT the set ships once via ray.put and membership
+    # is a vectorized isin (one shuffle total); above it — a reified dump
+    # has an edge-scale value-node set — nothing is collected: two left
+    # hash joins annotate each edge with "node1 is a value node" /
+    # "node2 is a value node" flags instead (three shuffles total).
+    from .shuffle import BROADCAST_LIMIT
+
     trig = edges.map_batches(
         lambda df: df.loc[(df["label"] == trigger_label)
-                          & (df["node2"] == trigger_node2), ["node1"]],
-        batch_format="pandas")
-    vids = set(trig.to_pandas()["node1"].astype(str))
-    vref = ray.put(vids)
+                          & (df["node2"] == trigger_node2), ["node1"]]
+        .drop_duplicates(),
+        batch_format="pandas").materialize()
 
-    # pass 2: re-key referring edges by the value node they point at so
-    # one bucketed shuffle co-locates them with the value node's own
-    # edges (its value_label edge in particular).
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        v = ray.get(vref)
-        df = df.copy()
-        inbound = df["node2"].astype(str).isin(v) & ~df["node1"].astype(str).isin(v)
-        df["__in__"] = inbound
-        df["__k__"] = df["node1"].astype(str).where(~inbound,
-                                                    df["node2"].astype(str))
-        return df
+    if trig.count() <= BROADCAST_LIMIT:
+        vids = set(trig.to_pandas()["node1"].astype(str))
+        vref = ray.put(vids)
 
-    both = edges.map_batches(tag, batch_format="pandas")
+        # re-key referring edges by the value node they point at so one
+        # bucketed shuffle co-locates them with the value node's own
+        # edges (its value_label edge in particular).
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            v = ray.get(vref)
+            df = df.copy()
+            n1v = df["node1"].astype(str).isin(v)
+            df["__isv__"] = n1v
+            df["__in__"] = df["node2"].astype(str).isin(v) & ~n1v
+            df["__k__"] = df["node1"].astype(str).where(
+                ~df["__in__"], df["node2"].astype(str))
+            return df
+
+        both = edges.map_batches(tag, batch_format="pandas")
+    else:
+        import pyarrow as pa
+
+        from ._bucket import bucketed_join
+
+        vm = trig.map_batches(
+            lambda df: pd.DataFrame({"__k__": df["node1"].astype(str),
+                                     "__m__": np.int8(1)}),
+            batch_format="pandas")
+        vm_fields = {"__k__": pa.string(), "__m__": pa.int8()}
+        e_fields = {"__k__": pa.string(), "node1": pa.string(),
+                    "label": pa.string(), "node2": pa.string()}
+
+        def key_on(col: str):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                out = df[["node1", "label", "node2"]].astype(str).copy()
+                out["__k__"] = out[col]
+                return out
+            return f
+
+        e1 = bucketed_join(
+            edges.map_batches(key_on("node1"), batch_format="pandas"),
+            vm, "__k__", left_fields=e_fields, right_fields=vm_fields,
+            how="left").map_batches(
+            lambda df: df.assign(__isv__=df["__m__"].notna())
+            .drop(columns=["__m__", "__k__"]),
+            batch_format="pandas")
+        e1_fields = {"__k__": pa.string(), "node1": pa.string(),
+                     "label": pa.string(), "node2": pa.string(),
+                     "__isv__": pa.bool_()}
+        e2 = bucketed_join(
+            e1.map_batches(lambda df: df.assign(__k__=df["node2"]),
+                           batch_format="pandas"),
+            vm, "__k__", left_fields=e1_fields, right_fields=vm_fields,
+            how="left")
+
+        def finish_flags(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            isv = df["__isv__"].astype(bool)
+            df["__isv__"] = isv
+            df["__in__"] = df["__m__"].notna() & ~isv
+            df["__k__"] = df["node1"].where(~df["__in__"], df["node2"])
+            return df.drop(columns=["__m__"])
+
+        both = e2.map_batches(finish_flags, batch_format="pandas")
 
     def collapse(df: pd.DataFrame) -> pd.DataFrame:
-        v = ray.get(vref)
-        is_v = df["node1"].astype(str).isin(v)
+        is_v = df["__isv__"]
         through = df.loc[~df["__in__"] & ~is_v, ["node1", "label", "node2"]]
         vals = (df.loc[is_v & ~df["__in__"] & (df["label"] == value_label),
                        ["node1", "node2"]]
@@ -136,5 +190,4 @@ def unreify_values(
                        ["node1", "label", "node2"]]
         return pd.concat([direct, quals, through], ignore_index=True)
 
-    from ._bucket import bucketed_group_apply
     return bucketed_group_apply(both, ["__k__"], collapse)
