@@ -36,5 +36,6 @@ def dedup_exact(ds: Dataset, *, text_col: str = "text",
 
     from ..ops._bucket import bucketed_group_apply
     out = bucketed_group_apply(
-        ds.map_batches(local, batch_format="pandas"), ["__h__"], first)
+        ds.map_batches(local, batch_format="pandas"), ["__h__"], first,
+        arrow_tag=True)
     return out.drop_columns(["__h__"])

@@ -43,6 +43,31 @@ def bucket_ids(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> pd.Se
     return (h % num_buckets).astype("int64")
 
 
+def schema_pa_fields(ds: Dataset) -> dict:
+    """Map a Dataset's schema (Arrow or pandas-block) to the explicit
+    ``{name: pyarrow type}`` dict :func:`bucketed_join` needs, casting
+    unknown/object columns to string."""
+    import numpy as np
+    import pyarrow as pa
+
+    out: dict = {}
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            out[name] = pa.string() if pa.types.is_null(typ) else typ
+            continue
+        t = np.dtype(typ) if not isinstance(typ, np.dtype) else typ
+        if t == np.bool_:
+            out[name] = pa.bool_()
+        elif np.issubdtype(t, np.integer):
+            out[name] = pa.int64()
+        elif np.issubdtype(t, np.floating):
+            out[name] = pa.float64()
+        else:
+            out[name] = pa.string()
+    return out
+
+
 def bucketed_join(
     left: Dataset,
     right: Dataset,
@@ -131,6 +156,7 @@ def bucketed_group_apply(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     *,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    arrow_tag: bool = False,
 ) -> Dataset:
     """Hash-partition on ``keys`` and run ``fn`` once per bucket.
 
@@ -138,18 +164,38 @@ def bucketed_group_apply(
     in its bucket (and nothing else) and must itself group on ``keys``
     (pandas groupby / drop_duplicates / merge) — that inner grouping is
     the vectorized replacement for per-key UDF dispatch.
+
+    ``arrow_tag=True`` appends the bucket column to zero-copy Arrow
+    blocks (only the key columns are converted for hashing), so blocks
+    stay Arrow through the all-to-all — cheaper to serialize than
+    object-dtype pandas at scale.  Leave it off for inputs whose cells
+    don't survive a pandas->Arrow round-trip (ndarray cells become
+    tensor-extension columns).
     """
     keys = list(keys)
-
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[BUCKET_COL] = bucket_ids(df, keys, num_buckets)
-        return df
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         return fn(df.drop(columns=[BUCKET_COL]))
 
-    return (ds.map_batches(tag, batch_format="pandas",
-                           batch_size=MIN_BUNDLE_ROWS)
-            .groupby(BUCKET_COL)
+    if arrow_tag:
+        import pyarrow as pa
+
+        def tag_a(t: "pa.Table") -> "pa.Table":
+            kdf = t.select(keys).to_pandas().astype(str)
+            h = pd.util.hash_pandas_object(kdf, index=False)
+            bucket = (h.to_numpy() % num_buckets).astype("int64")
+            return t.append_column(BUCKET_COL, pa.array(bucket))
+
+        tagged = ds.map_batches(tag_a, batch_format="pyarrow",
+                                batch_size=MIN_BUNDLE_ROWS)
+    else:
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[BUCKET_COL] = bucket_ids(df, keys, num_buckets)
+            return df
+
+        tagged = ds.map_batches(tag, batch_format="pandas",
+                                batch_size=MIN_BUNDLE_ROWS)
+
+    return (tagged.groupby(BUCKET_COL)
             .map_groups(apply, batch_format="pandas"))

@@ -84,4 +84,5 @@ def grouped_aggregate(
     from ._bucket import MIN_BUNDLE_ROWS
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=MIN_BUNDLE_ROWS)
-    return bucketed_group_apply(partials, keys, merge, num_buckets=num_buckets)
+    return bucketed_group_apply(partials, keys, merge,
+                                num_buckets=num_buckets, arrow_tag=True)

@@ -301,26 +301,7 @@ class _RowValidator:
         return df
 
 
-def _schema_pa_fields(ds: Dataset) -> dict:
-    """Map a Dataset's schema (Arrow or pandas-block) to the explicit
-    ``{name: pyarrow type}`` dict ``bucketed_join`` needs, casting
-    unknown/object columns to string."""
-    out: dict = {}
-    sch = ds.schema()
-    for name, typ in zip(sch.names, sch.types):
-        if isinstance(typ, pa.DataType):
-            out[name] = pa.string() if pa.types.is_null(typ) else typ
-            continue
-        t = np.dtype(typ) if not isinstance(typ, np.dtype) else typ
-        if t == np.bool_:
-            out[name] = pa.bool_()
-        elif np.issubdtype(t, np.integer):
-            out[name] = pa.int64()
-        elif np.issubdtype(t, np.floating):
-            out[name] = pa.float64()
-        else:
-            out[name] = pa.string()
-    return out
+from ._bucket import schema_pa_fields as _schema_pa_fields  # noqa: E402
 
 
 def _group_phase(checked: Dataset, rules: dict[str, dict],

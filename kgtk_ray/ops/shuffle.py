@@ -62,6 +62,15 @@ def compact(
          (node1,label,node2) key leaves each batch as one row);
       2. global ``groupby(keys).map_groups`` applies the same
          associative merge to the partials.
+
+    ``presorted`` is accepted for reference CLI compatibility
+    (kgtk/reshape/kgtkcompact.py:287-313 streams adjacent key runs
+    instead of buffering) but is an execution hint only: the bucketed
+    shuffle handles sorted and unsorted input identically, and the
+    OUTPUT row set is the same either way.  Output row ORDER is
+    unspecified (KGTK rows are unordered, docs/specification.md:24) —
+    the reference's presorted mode additionally preserves input order,
+    which a distributed shuffle deliberately does not.
     """
     keys = list(key_columns) if key_columns else _default_edge_keys(ds.schema().names)
 
@@ -110,7 +119,8 @@ def compact(
     # per distinct (node1,label,node2).
     from ._bucket import bucketed_group_apply
     partial = ds.map_batches(merge_df, batch_format="pandas")
-    return bucketed_group_apply(partial, keys, merge_bucket)
+    return bucketed_group_apply(partial, keys, merge_bucket,
+                                arrow_tag=True)
 
 
 def unique_counts(
@@ -237,7 +247,14 @@ def ifexists(ds: Dataset, filter_ds: Dataset, *, input_keys=None,
              filter_keys=None) -> Dataset:
     """Semi-join: keep input rows whose key exists in the filter file
     (reference kgtk/iff/kgtkifexists.py, which caches the filter key set
-    in one process's memory)."""
+    in one process's memory).
+
+    Order note: the reference's ``--preserve-order`` / cache-input mode
+    (kgtkifexists.py:17-21) emits surviving rows in input order.  Rows
+    here are unordered (docs/specification.md:24): the broadcast path
+    happens to preserve per-block order, the join path does not — pipe
+    through :func:`sort_edges` for a deterministic order.
+    """
     return _semi_anti(ds, filter_ds, anti=False, input_keys=input_keys,
                       filter_keys=filter_keys)
 
@@ -416,10 +433,18 @@ def lift(
 
         return ds.map_batches(f, batch_format="pandas")
 
-    # join path: the merged label table is already materialized above
+    # join path: the merged label table is already materialized above.
+    # bucketed_join, not Dataset.join — the latter crashes whenever a
+    # hash partition receives zero rows on either side (see
+    # _bucket.bucketed_join's docstring), which a small or skewed label
+    # table can always produce.
+    from ._bucket import bucketed_join, schema_pa_fields
+
     out = ds.map_batches(drop_label_rows, batch_format="pandas")
-    n_parts = max(2, min(64, n_labels // 1_000_000 + 2))
+    n_buckets = max(16, min(256, n_labels // 1_000_000 + 16))
     present = [c for c in out_cols if c in ds.schema().names]
+    left_fields = schema_pa_fields(ds)
+    left_fields["__lift_key__"] = pa.string()
     for c in present:
         lifted_name = c + suffix
         rhs = merged.map_batches(
@@ -431,12 +456,18 @@ def lift(
             lambda df, col=c: df.assign(
                 __lift_key__=df[col].fillna("").astype(str)),
             batch_format="pandas")
-        out = lhs.join(rhs, "left_outer", num_partitions=n_parts,
-                       on=("__lift_key__",)).drop_columns(["__lift_key__"])
+        out = bucketed_join(
+            lhs, rhs, "__lift_key__",
+            left_fields=dict(left_fields),
+            right_fields={"__lift_key__": pa.string(),
+                          lifted_name: pa.string()},
+            how="left", num_buckets=n_buckets).drop_columns(
+            ["__lift_key__"])
         out = out.map_batches(
             lambda df, new=lifted_name: df.assign(
                 **{new: df[new].fillna("")}),
             batch_format="pandas")
+        left_fields[lifted_name] = pa.string()
     return out
 
 

@@ -43,29 +43,38 @@ def tumbling_window(events: Dataset, *, ts_col: str = "ts", key_col: str = "user
 def sliding_window(events: Dataset, *, ts_col: str = "ts",
                    key_col: str = "user_id", value_col: str = "value",
                    window_s: int = 3600, slide_s: int = 1800) -> Dataset:
-    """Sliding (overlapping) window aggregate: each event lands in
-    ``window_s / slide_s`` windows.  Vectorized: the batch is replicated
-    once per overlap position with shifted window starts (no per-row
-    Python), then the same two-phase grouped aggregate as tumbling.
+    """Sliding (overlapping) window aggregate.  Windows start at every
+    multiple of ``slide_s``; an event at ``ts`` belongs to each window
+    whose start satisfies ``start <= ts < start + window_s`` — i.e.
+    ``ceil(window_s / slide_s)`` windows, one fewer for events whose
+    in-slide offset pushes the oldest candidate window out of range
+    when ``slide_s`` does not divide ``window_s``.  Vectorized: the
+    batch is replicated once per overlap position with shifted window
+    starts (no per-row Python); only the oldest replica can overshoot
+    and only in the non-divisor case, so only it is mask-filtered.
+    Then the same two-phase grouped aggregate as tumbling.
 
     Returns columns: ``<key_col>, window_start, n, total, vmin, vmax``.
     """
-    if window_s % slide_s:
-        raise ValueError("window_s must be a multiple of slide_s")
-    k = window_s // slide_s
+    if slide_s <= 0 or window_s <= 0:
+        raise ValueError("window_s and slide_s must be positive")
+    k = -(-window_s // slide_s)  # ceil
 
     def assign(t: pa.Table) -> pa.Table:
-        # every event is in exactly k windows: starts floor(ts/slide)-j*slide
+        # candidate starts: floor(ts/slide) - j*slide for j in 0..k-1
         base = pc.floor_temporal(t[ts_col], multiple=slide_s, unit="second")
-        tables = [
-            pa.table({
-                key_col: t[key_col],
-                "window_start": pc.subtract(
-                    base, pa.scalar(pd.Timedelta(seconds=j * slide_s))),
-                value_col: t[value_col],
-            })
-            for j in range(k)
-        ]
+        tables = []
+        for j in range(k):
+            start = pc.subtract(
+                base, pa.scalar(pd.Timedelta(seconds=j * slide_s)))
+            sub = pa.table({key_col: t[key_col], "window_start": start,
+                            value_col: t[value_col]})
+            if j == k - 1 and window_s % slide_s:
+                # oldest replica: keep only ts < start + window_s
+                keep = pc.less(pc.subtract(t[ts_col], start),
+                               pa.scalar(pd.Timedelta(seconds=window_s)))
+                sub = sub.filter(keep)
+            tables.append(sub)
         return pa.concat_tables(tables)
 
     b = events.map_batches(assign, batch_format="pyarrow")

@@ -44,14 +44,33 @@ class SentenceEmbedder:
             # deterministic fallback: feature-hash token counts into
             # `dim` buckets, l2-normalize.  Stable across runs/processes.
             self.model = None
+        # token -> (bucket, weight), grows across batches for the
+        # lifetime of the actor (the payoff of the actor pool: the hash
+        # is computed once per distinct token, not once per occurrence)
+        self._tok_cache: dict[str, tuple[int, float]] = {}
 
     def _fake_embed(self, texts: pd.Series) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
-        for i, t in enumerate(texts):
-            for tok in str(t).lower().split():
+        ex = texts.reset_index(drop=True).str.lower().str.split().explode()
+        ex = ex[ex.notna()]
+        if not len(ex):
+            return out
+        cache = self._tok_cache
+        toks = ex.to_numpy()
+        for t in pd.unique(toks):
+            if t not in cache:
                 h = int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], "little")
-                out[i, h % self.dim] += 1.0 + (h >> 32) % 7 * 0.1
+                    hashlib.md5(t.encode()).digest()[:8], "little")
+                cache[t] = (h % self.dim, 1.0 + (h >> 32) % 7 * 0.1)
+        lut = pd.DataFrame.from_dict(cache, orient="index",
+                                     columns=["b", "w"])
+        hit = lut.reindex(toks)
+        rows = ex.index.to_numpy().astype(np.int64)
+        # unbuffered in-order accumulation == the original += loop
+        # (row-major token order preserved, so float32 rounding is
+        # bit-identical to the scalar version the fixtures pin)
+        np.add.at(out, (rows, hit["b"].to_numpy().astype(np.int64)),
+                  hit["w"].to_numpy())
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         np.divide(out, norms, out=out, where=norms > 0)
         return out

@@ -292,3 +292,36 @@ def test_reachable_distributed_matches_driver(ray_session):
         assert drv == dist, (kw, drv, dist)
     assert ("a", "d") in norm(reachable_nodes(edges, ["a"],
                                               distributed=True))
+
+
+def test_sliding_window_non_divisor_slide():
+    # window 90s, slide 60s: each event is in ceil(90/60)=2 candidate
+    # windows, but the older one only when (ts mod 60) < 30
+    from kgtk_ray.ops.window import sliding_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:10", "2024-01-01 00:00:45",
+         "2024-01-01 00:01:10", "2024-01-01 00:02:59"])
+    df = pd.DataFrame({"ts": ts, "user_id": ["u"] * 4,
+                       "value": [1.0, 2.0, 3.0, 4.0]})
+    got = sliding_window(ray.data.from_pandas(df), window_s=90,
+                         slide_s=60).to_pandas()
+
+    # brute-force oracle: every minute boundary, events in [s, s+90)
+    import numpy as np
+    starts = pd.date_range("2023-12-31 23:59:00", "2024-01-01 00:03:00",
+                           freq="60s")
+    exp = []
+    for s in starts:
+        m = (df.ts >= s) & (df.ts < s + pd.Timedelta(seconds=90))
+        if m.any():
+            v = df.loc[m, "value"]
+            exp.append(("u", s, int(m.sum()), v.sum(), v.min(), v.max()))
+    exp_df = pd.DataFrame(exp, columns=["user_id", "window_start", "n",
+                                        "total", "vmin", "vmax"])
+    got = got.sort_values("window_start").reset_index(drop=True)
+    exp_df = exp_df.sort_values("window_start").reset_index(drop=True)
+    got["window_start"] = pd.to_datetime(got["window_start"])
+    pd.testing.assert_frame_equal(
+        got[exp_df.columns].astype({"n": "int64"}), exp_df.astype({"n": "int64"}),
+        check_dtype=False)

@@ -141,3 +141,28 @@ def test_reject_kind():
     pats = [("deprecated_prop", "reject", "True")]
     out = run(edges, pats)
     assert list(out.node1) == ["b"]
+
+
+def test_zero_count_minoccurs_rejects_whole_group():
+    # Q2 has a size prop whose only row FAILS validation (node2 not a
+    # number), so its valid count is zero — the reference reports a
+    # minoccurs violation for the group even though no valid size row
+    # exists to mark (propertypatternvalidator.py:2104)
+    edges = [edge("Q1", "size", "5"), edge("Q1", "name", "a"),
+             edge("Q2", "size", "x"), edge("Q2", "name", "b")]
+    pats = [("size", "node2_type", "number"),
+            ("size", "minoccurs", "1")]
+    out = run(edges, pats)
+    assert set(out.node1) == {"Q1"}
+    rej = run(edges, pats, emit="reject")
+    assert set(rej.node1) == {"Q2"}
+
+
+def test_group_rules_preserve_extra_columns():
+    edges = [dict(edge("Q1", "name", "x"), source="wiki", **{"node1;label": "Q"}),
+             dict(edge("Q1", "name", "y"), source="web", **{"node1;label": "Q"}),
+             dict(edge("Q2", "name", "z"), source="wiki", **{"node1;label": "R"})]
+    pats = [("name", "maxoccurs", "1")]
+    out = run(edges, pats)
+    assert "source" in out.columns and "node1;label" in out.columns
+    assert set(out.source) == {"wiki"} and set(out["node1;label"]) == {"R"}

@@ -216,3 +216,32 @@ def test_text_embedding_deterministic():
     assert np.allclose(v[0], v[1])       # same text -> same vector
     assert not np.allclose(v[0], v[2])
     assert abs(np.linalg.norm(v[0]) - 1.0) < 1e-5
+
+
+def test_unreify_values_distributed_join_path_matches_broadcast():
+    from kgtk_ray.ops.unreify import unreify_values
+
+    rows_in = []
+    for i in range(40):
+        v = f"V{i}"
+        rows_in += [(v, "rdf:type", "wikibase:QuantityValue"),
+                    (v, "quantity:amount", str(i)),
+                    (v, "quantity:unit", "Q11573"),
+                    (f"Q{i}", "P2044", v)]
+    rows_in.append(("Q1", "plain", "Q2"))
+    ds = edges(rows_in)
+
+    kw = dict(trigger_label="rdf:type", trigger_node2="wikibase:QuantityValue",
+              value_label="quantity:amount", new_label=None)
+    broadcast = rows(unreify_values(ds, **kw))
+
+    import kgtk_ray.ops.shuffle as S
+    import kgtk_ray.ops.unreify as U
+    old = S.BROADCAST_LIMIT
+    S.BROADCAST_LIMIT = 0  # force the two-join path
+    try:
+        joined = rows(unreify_values(ds, **kw))
+    finally:
+        S.BROADCAST_LIMIT = old
+    assert joined == broadcast
+    assert len(broadcast) > 0
