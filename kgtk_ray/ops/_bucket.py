@@ -150,6 +150,69 @@ def bucketed_join(
                         batch_format="pandas"))
 
 
+def bucketed_semi_anti(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    *,
+    left_fields: dict,
+    anti: bool = False,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> Dataset:
+    """Distributed semi (``anti=False``) / anti (``anti=True``) join on
+    the bucketed shuffle: keep left rows whose ``on`` value does (not)
+    appear anywhere in ``right``.  Same motivation as
+    :func:`bucketed_join` — ``Dataset.join``'s left_semi/left_anti modes
+    crash whenever a hash partition receives zero rows on either side,
+    which a small input against a large filter set produces routinely.
+    ``right`` needs only the ``on`` column (other columns are ignored);
+    duplicate right keys are fine (per-bucket set semantics).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key_type = left_fields[on]
+    lcols = list(left_fields)
+
+    def tagger(side: int):
+        def f(t: "pa.Table") -> "pa.Table":
+            cols = {}
+            for name, typ in left_fields.items():
+                if side == 0 and name in t.column_names:
+                    cols[name] = pc.cast(t[name], typ)
+                elif side == 1 and name == on:
+                    cols[name] = pc.cast(t[on], typ)
+                else:
+                    cols[name] = pa.nulls(t.num_rows, typ)
+            key = pd.Series(cols[on].to_pandas()).astype(str)
+            bucket = (pd.util.hash_pandas_object(key, index=False)
+                      % num_buckets).astype("int64")
+            cols["__side__"] = pa.array(
+                np.full(t.num_rows, side, dtype=np.int8))
+            cols[BUCKET_COL] = pa.array(bucket.to_numpy())
+            return pa.table(cols)
+        return f
+
+    tagged = left.map_batches(tagger(0), batch_format="pyarrow",
+                              batch_size=MIN_BUNDLE_ROWS).union(
+        right.map_batches(tagger(1), batch_format="pyarrow",
+                          batch_size=MIN_BUNDLE_ROWS))
+    _ = key_type  # key column already cast side-consistently above
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df.loc[df["__side__"] == 0, lcols]
+        rkeys = df.loc[df["__side__"] == 1, on].unique()
+        mask = lhs[on].isin(rkeys)
+        if anti:
+            mask = ~mask
+        return lhs[mask]
+
+    return (tagged.groupby(BUCKET_COL)
+            .map_groups(lambda df: merge(df.drop(columns=[BUCKET_COL])),
+                        batch_format="pandas"))
+
+
 def bucketed_group_apply(
     ds: Dataset,
     keys: Sequence[str],

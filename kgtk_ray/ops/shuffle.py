@@ -227,7 +227,12 @@ def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
 
         return ds.map_batches(f, batch_format="pyarrow")
 
-    # large filter side: hash-partitioned semi/anti join on a derived key col
+    # large filter side: bucketed semi/anti join on a derived key col
+    # (not Dataset.join, whose left_semi/left_anti crash whenever a hash
+    # partition receives zero rows — routine for a small input against a
+    # large filter set)
+    from ._bucket import bucketed_semi_anti, schema_pa_fields
+
     def addkey(df: pd.DataFrame, cols) -> pd.DataFrame:
         df = df.copy()
         df["__key__"] = _key_expr(df, cols)
@@ -237,9 +242,11 @@ def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
     right = filter_ds.map_batches(
         lambda d: addkey(d, fkeys)[["__key__"]].drop_duplicates(),
         batch_format="pandas")
-    joined = left.join(right, "left_anti" if anti else "left_semi",
-                       num_partitions=max(2, min(64, n_filter // 1_000_000 + 2)),
-                       on=("__key__",))
+    left_fields = schema_pa_fields(ds)
+    left_fields["__key__"] = pa.string()
+    joined = bucketed_semi_anti(
+        left, right, "__key__", left_fields=left_fields, anti=anti,
+        num_buckets=max(16, min(256, n_filter // 1_000_000 + 16)))
     return joined.drop_columns(["__key__"])
 
 

@@ -325,3 +325,22 @@ def test_sliding_window_non_divisor_slide():
     pd.testing.assert_frame_equal(
         got[exp_df.columns].astype({"n": "int64"}), exp_df.astype({"n": "int64"}),
         check_dtype=False)
+
+
+def test_ifexists_bucketed_join_path_matches_broadcast():
+    import kgtk_ray.ops.shuffle as S
+
+    ds = edges([(f"n{i}", "p", f"m{i % 5}") for i in range(20)])
+    flt = edges([("n1", "p", "x"), ("n3", "p", "x"), ("n5", "p", "x"),
+                 ("nope", "p", "x"), ("n1", "p", "y")])
+    kw = dict(input_keys=["node1"], filter_keys=["node1"])
+    want_semi = rows(S.ifexists(ds, flt, **kw))
+    want_anti = rows(S.ifnotexists(ds, flt, **kw))
+    old = S.BROADCAST_LIMIT
+    S.BROADCAST_LIMIT = 0  # force the bucketed semi/anti join path
+    try:
+        assert rows(S.ifexists(ds, flt, **kw)) == want_semi
+        assert rows(S.ifnotexists(ds, flt, **kw)) == want_anti
+    finally:
+        S.BROADCAST_LIMIT = old
+    assert len(want_semi) == 3 and len(want_anti) == 17
