@@ -33,6 +33,9 @@ DEFAULT_NUM_BUCKETS = 64
 # union of many small reads can arrive as hundreds of tiny blocks)
 # coalesces here instead of paying per-block task overhead through the
 # whole shuffle.  Large blocks are unaffected (one task per block).
+# 32k measured best on the headline pipeline: halving it to widen the
+# combiner stage from 15 to 30 tasks LOST ~0.8s — the larger local
+# combine ratio beats raw task width.
 MIN_BUNDLE_ROWS = 32768
 
 
