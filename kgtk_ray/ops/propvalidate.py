@@ -476,6 +476,8 @@ def _chain_phase(checked: Dataset, rules: dict[str, dict],
         ["node1", "dt"], lambda df: df.drop_duplicates(),
         num_buckets=num_partitions).materialize()
 
+    from .shuffle import BROADCAST_LIMIT
+
     checked = checked.materialize()
     for prop, kind, wanted in chains:
         col = "node2" if kind == "node2_chain" else "id"
@@ -488,20 +490,57 @@ def _chain_phase(checked: Dataset, rules: dict[str, dict],
                 {"v": df.loc[(df["label"] == p) & df["_ok"],
                              c].astype(str).drop_duplicates()}),
             batch_format="pandas")
-        bad_vals = ifnotexists(vals, targets, input_keys=["v"],
-                               filter_keys=["node1"]).to_pandas()
-        bset = ray.put(set(bad_vals["v"]))
+        bad = ifnotexists(vals, targets, input_keys=["v"],
+                          filter_keys=["node1"]).materialize()
 
-        def mark(df: pd.DataFrame, p=prop, c=col, k=kind) -> pd.DataFrame:
-            b = ray.get(bset)
-            hit = ((df["label"] == p)
-                   & df[c].astype(str).isin(b)).to_numpy()
-            df = df.copy()
+        if bad.count() <= BROADCAST_LIMIT:
+            bset = ray.put(set(bad.to_pandas()["v"]))
+
+            def mark(df: pd.DataFrame, p=prop, c=col, k=kind,
+                     bset=bset) -> pd.DataFrame:
+                b = ray.get(bset)
+                hit = ((df["label"] == p)
+                       & df[c].astype(str).isin(b)).to_numpy()
+                df = df.copy()
+                df.loc[hit & df["_ok"], "reason"] = k
+                df.loc[hit, "_ok"] = False
+                return df
+
+            checked = checked.map_batches(mark, batch_format="pandas")
+            continue
+
+        # entity-scale failing-value set (a chained prop over a large
+        # graph): never collected — one bucketed left join keyed on the
+        # chain column (null key for non-prop rows, which match nothing)
+        # annotates the hits instead.
+        from ._bucket import bucketed_join
+
+        keyed = checked.map_batches(
+            lambda df, p=prop, c=col: df.assign(
+                __cv__=df[c].astype(str).where(df["label"] == p, None)),
+            batch_format="pandas")
+        badm = bad.map_batches(
+            lambda df: pd.DataFrame({"__cv__": df["v"].astype(str),
+                                     "__bad__": np.int8(1)}),
+            batch_format="pandas")
+        lf = _schema_pa_fields(checked)
+        lf["__cv__"] = pa.string()
+        joined = bucketed_join(
+            keyed, badm, "__cv__", left_fields=lf,
+            right_fields={"__cv__": pa.string(), "__bad__": pa.int8()},
+            how="left", num_buckets=num_partitions)
+
+        def mark_joined(df: pd.DataFrame, k=kind) -> pd.DataFrame:
+            hit = df["__bad__"].notna().to_numpy()
+            df = df.drop(columns=["__cv__", "__bad__"]).copy()
+            df["_ok"] = df["_ok"].astype(bool)
             df.loc[hit & df["_ok"], "reason"] = k
             df.loc[hit, "_ok"] = False
+            df["_ok"] = df["_ok"].astype(bool)
             return df
 
-        checked = checked.map_batches(mark, batch_format="pandas")
+        checked = joined.map_batches(
+            mark_joined, batch_format="pandas").materialize()
     return checked
 
 

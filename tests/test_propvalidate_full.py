@@ -166,3 +166,26 @@ def test_group_rules_preserve_extra_columns():
     out = run(edges, pats)
     assert "source" in out.columns and "node1;label" in out.columns
     assert set(out.source) == {"wiki"} and set(out["node1;label"]) == {"R"}
+
+
+def test_chain_join_path_matches_broadcast():
+    # forcing BROADCAST_LIMIT=0 exercises both the bucketed semi/anti
+    # inside ifnotexists and the chain phase's join-based mark
+    import kgtk_ray.ops.shuffle as S
+
+    edges_in = []
+    for i in range(30):
+        edges_in.append(edge(f"N{i}", "typ", "good" if i % 3 else "bad"))
+        edges_in.append(edge(f"S{i}", "located_in", f"N{i}"))
+    pats = [("typ", "node2_values", "good"), ("typ", "isa", "place"),
+            ("located_in", "node2_chain", "place")]
+    want = run(edges_in, pats)
+    key = lambda df: sorted(map(tuple, df[sorted(df.columns)].astype(str)
+                                .to_numpy().tolist()))
+    old = S.BROADCAST_LIMIT
+    S.BROADCAST_LIMIT = 0
+    try:
+        got = run(edges_in, pats)
+    finally:
+        S.BROADCAST_LIMIT = old
+    assert key(got) == key(want) and len(want) == 40
