@@ -527,6 +527,21 @@ def _q_paths(sf: str):
                  ["R0", "R1", "R2", "R3", "R4"], max_hops=2)
 
 
+def _q_paths_distributed(sf: str):
+    """Same all-simple-paths as ``paths`` but through the Dataset-state
+    frontier (one bucketed_join + one dedup shuffle per hop; driver sees
+    only counters) — oracle-checks the scale path."""
+    from kgtk_ray.ops import paths
+    sup_nat = _edges_supplier(sf).map_batches(
+        lambda df: pd.DataFrame({"node1": df.node2, "label": "in_nation",
+                                 "node2": df.node1}),
+        batch_format="pandas")
+    edges = sup_nat.union(_edges_nation(sf).drop_columns(["n_name"]))
+    return paths(edges, ["S1", "S2", "S3"],
+                 ["R0", "R1", "R2", "R3", "R4"], max_hops=2,
+                 distributed=True, num_partitions=4)
+
+
 def _q_export_neo4j(sf: str):
     from kgtk_ray.io import export_neo4j
     return export_neo4j(_edges_nation(sf).drop_columns(["n_name"]))
@@ -838,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3 ---
         "reachable_distributed": _q_reachable_distributed,
         "ivf_index": _q_ivf_index,
+        "paths_distributed": _q_paths_distributed,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1255,6 +1271,17 @@ def oracle_sql() -> dict[str, str]:
                    AND node2 IN (SELECT node1 FROM valid_region))
         """,
         "paths": """
+            SELECT 'S'||CAST(s_suppkey AS VARCHAR) AS node1,
+                   'path' AS label,
+                   'R'||CAST(n_regionkey AS VARCHAR) AS node2,
+                   'S'||CAST(s_suppkey AS VARCHAR)
+                     ||'->N'||CAST(s_nationkey AS VARCHAR)
+                     ||'->R'||CAST(n_regionkey AS VARCHAR) AS path,
+                   CAST(2 AS BIGINT) AS hops
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            WHERE s_suppkey IN (1, 2, 3)
+        """,
+        "paths_distributed": """
             SELECT 'S'||CAST(s_suppkey AS VARCHAR) AS node1,
                    'path' AS label,
                    'R'||CAST(n_regionkey AS VARCHAR) AS node2,

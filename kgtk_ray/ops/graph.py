@@ -226,16 +226,27 @@ def _reachable_distributed(edges: Dataset, roots: Sequence[str], *,
 
 
 def paths(edges: Dataset, sources: Sequence[str], targets: Sequence[str], *,
-          max_hops: int = 4) -> Dataset:
+          max_hops: int = 4, distributed: bool = False,
+          num_partitions: int = 16) -> Dataset:
     """All simple paths of length <= max_hops from sources to targets
     (reference kgtk/cli/paths.py — graph-tool ``all_paths`` in memory).
 
-    Implementation mirrors :func:`reachable_nodes`: the (small) path
-    frontier is broadcast each round and extended by a vectorized merge
-    against the (stationary) edge dataset.  Returns
+    Default implementation mirrors :func:`reachable_nodes`: the (small)
+    path frontier is broadcast each round and extended by a vectorized
+    merge against the (stationary) edge dataset.  Returns
     ``(node1=source, label="path", node2=target, path="a->b->c", hops)``.
     Cycles are cut by refusing to revisit a node already on the path.
+
+    ``distributed=True`` keeps the path frontier as a Dataset and
+    extends it with one ``bucketed_join`` + one dedup shuffle per hop —
+    the driver sees only the frontier count.  Use it when the path
+    fan-out (combinatorial in dense regions) exceeds driver memory;
+    output is identical (both paths tested equal).
     """
+    if distributed:
+        return _paths_distributed(edges, sources, targets,
+                                  max_hops=max_hops,
+                                  num_partitions=num_partitions)
     eds = edges.select_columns(["node1", "node2"]).materialize()
     tset = set(map(str, targets))
 
@@ -277,6 +288,80 @@ def paths(edges: Dataset, sources: Sequence[str], targets: Sequence[str], *,
     out = pd.DataFrame({"node1": f["src"], "label": "path", "node2": f["node"],
                         "path": f["path"], "hops": f["hops"].astype("int64")})
     return ray.data.from_pandas(out.drop_duplicates().reset_index(drop=True))
+
+
+def _paths_distributed(edges: Dataset, sources: Sequence[str],
+                       targets: Sequence[str], *, max_hops: int,
+                       num_partitions: int) -> Dataset:
+    """Dataset-state all-simple-paths: per hop, one ``bucketed_join``
+    of the frontier against the edge table keyed on the current node
+    plus one dedup shuffle; found paths accumulate as a Dataset union.
+    Driver-resident state: the frontier row COUNT only."""
+    import pyarrow as pa
+
+    from ._bucket import bucketed_group_apply, bucketed_join
+
+    eds = edges.select_columns(["node1", "node2"]).map_batches(
+        lambda df: df.astype(str), batch_format="pandas").materialize()
+    tref = ray.put(set(map(str, targets)))
+
+    src = [str(s) for s in sources]
+    frontier = ray.data.from_pandas(pd.DataFrame(
+        {"src": src, "node": src, "path": src}))
+    e_fields = {"node1": pa.string(), "node2": pa.string(),
+                "__k__": pa.string()}
+    f_fields = {"src": pa.string(), "node": pa.string(),
+                "path": pa.string(), "__k__": pa.string()}
+    found: Dataset | None = None
+    for hop in range(1, max_hops + 1):
+        lhs = eds.map_batches(lambda df: df.assign(__k__=df["node1"]),
+                              batch_format="pandas")
+        rhs = frontier.map_batches(
+            lambda df: df.assign(__k__=df["node"].astype(str)),
+            batch_format="pandas")
+        j = bucketed_join(lhs, rhs, "__k__", left_fields=e_fields,
+                          right_fields=f_fields, how="inner",
+                          num_buckets=num_partitions)
+
+        def extend(df: pd.DataFrame) -> pd.DataFrame:
+            keep = [n2 not in p.split("->")
+                    for n2, p in zip(df["node2"], df["path"])]
+            m = df[keep]
+            return pd.DataFrame({"src": m["src"].astype(str),
+                                 "node": m["node2"].astype(str),
+                                 "path": m["path"] + "->" + m["node2"]})
+
+        nxt = bucketed_group_apply(
+            j.map_batches(extend, batch_format="pandas"),
+            ["src", "node", "path"], lambda df: df.drop_duplicates(),
+            num_buckets=num_partitions).materialize()
+        if nxt.count() == 0:
+            break
+
+        def hits(df: pd.DataFrame, hop=hop) -> pd.DataFrame:
+            t = ray.get(tref)
+            h = df[df["node"].isin(t)].copy()
+            h["hops"] = np.int64(hop)
+            return h
+
+        hit = nxt.map_batches(hits, batch_format="pandas")
+        found = hit if found is None else found.union(hit)
+        frontier = nxt
+
+    if found is None:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node1": pd.Series([], dtype=str),
+             "label": pd.Series([], dtype=str),
+             "node2": pd.Series([], dtype=str),
+             "path": pd.Series([], dtype=str),
+             "hops": pd.Series([], dtype="int64")}))
+
+    return found.map_batches(
+        lambda df: pd.DataFrame(
+            {"node1": df["src"].astype(str), "label": "path",
+             "node2": df["node"].astype(str), "path": df["path"],
+             "hops": df["hops"].astype("int64")}),
+        batch_format="pandas")
 
 
 def connected_components(edges: Dataset, *, max_iters: int = 50,

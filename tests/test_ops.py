@@ -344,3 +344,15 @@ def test_ifexists_bucketed_join_path_matches_broadcast():
     finally:
         S.BROADCAST_LIMIT = old
     assert len(want_semi) == 3 and len(want_anti) == 17
+
+
+def test_paths_distributed_matches_driver():
+    from kgtk_ray.ops.graph import paths
+
+    ed = edges([("a", "p", "b"), ("b", "p", "c"), ("b", "p", "d"),
+                ("c", "p", "d"), ("d", "p", "a"), ("a", "p", "d")])
+    kw = dict(max_hops=3)
+    want = rows(paths(ed, ["a"], ["d"], **kw))
+    got = rows(paths(ed, ["a"], ["d"], distributed=True,
+                     num_partitions=4, **kw))
+    assert got == want and len(want) == 3  # a->d, a->b->d, a->b->c->d
