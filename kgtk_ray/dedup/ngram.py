@@ -1,8 +1,14 @@
 """Word n-gram Jaccard near-duplicate detection.
 
-Exact Jaccard over word n-gram sets, with MinHash-LSH candidate
-generation to avoid the pairwise scan (the verify step recomputes the
-exact n-gram Jaccard, so the result is exact up to LSH recall).
+Each document is re-texted as its ``\\x00``-joined word-n-gram stream
+and pushed through the MinHash-LSH + verify pipeline.  Precision note:
+the verify step computes Jaccard over CHARACTER shingles of that
+stream (window ``max(8, 4n)``), which tracks — but is not identical
+to — Jaccard over the n-gram SETS themselves: shared grams produce
+shared character windows, so similarity ordering is preserved, but the
+threshold acts on the shingle measure.  Deterministic, fixture-pinned
+behavior (scripts/make_fixtures.py implements the same measure
+independently).
 """
 from __future__ import annotations
 

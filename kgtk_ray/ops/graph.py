@@ -462,6 +462,10 @@ def _name_clusters_ds(labels: Dataset, method: str,
         # 'first' documented deviation: equals 'lowest' (see caller)
         return labels
     if method in ("numbered", "prefixed"):
+        # dense 0..k-1 numbering is inherently a global enumeration: the
+        # distinct-component list (component-count scale, << node count)
+        # is collected and the rename map broadcast once.  The default
+        # 'lowest' naming stays fully distributed.
         distinct = bucketed_group_apply(
             labels.map_batches(lambda df: df[["comp"]].drop_duplicates(),
                                batch_format="pandas"),
