@@ -82,8 +82,13 @@ class _KgtkTsvDatasink(BlockBasedFileDatasink):
     worker-local disks.
     """
 
-    def __init__(self, path: str, **kwargs):
-        super().__init__(path, file_format="tsv", **kwargs)
+    def __init__(self, path: str, *, compression: str | None = None,
+                 **kwargs):
+        # pyarrow's filesystem.open_output_stream auto-compresses by
+        # path suffix, so the extension alone selects the codec
+        ext = "tsv" if compression is None else \
+            f"tsv.{ {'gzip': 'gz', 'bz2': 'bz2', 'lz4': 'lz4', 'zstd': 'zst'}[compression] }"
+        super().__init__(path, file_format=ext, **kwargs)
 
     def write_block_to_file(self, block, file) -> None:
         t = block.to_arrow()
@@ -98,11 +103,16 @@ class _KgtkTsvDatasink(BlockBasedFileDatasink):
             file.write(("\n".join(lines) + "\n").encode("utf-8"))
 
 
-def write_kgtk_tsv(ds: ray.data.Dataset, path: str) -> None:
+def write_kgtk_tsv(ds: ray.data.Dataset, path: str, *,
+                   compression: str | None = None) -> None:
     """Write a Dataset as KGTK TSV part files under ``path`` (a directory,
     each part carrying the header line).  Filesystem-aware: see
-    :class:`_KgtkTsvDatasink`."""
-    ds.write_datasink(_KgtkTsvDatasink(path))
+    :class:`_KgtkTsvDatasink`.  ``compression`` in
+    ``{gzip, bz2, lz4, zstd}`` writes codec-wrapped parts with the
+    matching extension (the reference writer compresses by output
+    extension, kgtk/io/kgtkwriter.py); ``read_kgtk_tsv_any`` reads them
+    back transparently."""
+    ds.write_datasink(_KgtkTsvDatasink(path, compression=compression))
 
 
 def read_edges_parquet(path: str | list[str], *, columns: list[str] | None = None,

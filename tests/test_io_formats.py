@@ -3,6 +3,8 @@
 import gzip
 import json
 
+import pytest
+
 import pandas as pd
 import ray.data
 
@@ -76,3 +78,18 @@ def test_plain_tsv_writer_still_works(ray_session, tmp_path):
     write_kgtk_tsv(ray.data.from_pandas(EDGES), str(tmp_path / "out"))
     files = list((tmp_path / "out").iterdir())
     assert files
+
+
+@pytest.mark.parametrize("codec", ["gzip", "zstd"])
+def test_write_kgtk_tsv_compressed_roundtrip(tmp_path, codec):
+    import glob
+
+    out = str(tmp_path / codec)
+    write_kgtk_tsv(ray.data.from_pandas(EDGES), out, compression=codec)
+    files = glob.glob(out + "/*")
+    assert files and files[0].rsplit(".", 1)[-1] in ("gz", "zst")
+    back = read_kgtk_tsv_any(files).to_pandas()
+    want = EDGES.astype(str)
+    key = lambda df: sorted(map(tuple, df[sorted(df.columns)].astype(str)
+                                .to_numpy().tolist()))
+    assert key(back) == key(want)
