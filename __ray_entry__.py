@@ -742,6 +742,23 @@ def _q_multimodal(sf: str):
         batch_format="pandas")
 
 
+def _q_frame_sample(sf: str):
+    """Frame-sampling fan-out over the seeded media table; digest per
+    frame = (ts_ms, byte length, first byte) vs the single-process
+    fixture (scripts/make_fixtures.py:ref_frame_sample)."""
+    from kgtk_ray.multimodal import sample_frames, synthesize_media
+    out = sample_frames(synthesize_media(256), num_frames=4)
+    return out.map_batches(
+        lambda t: pd.DataFrame({
+            "media_id": t["media_id"].to_pandas().astype("int64"),
+            "frame_idx": t["frame_idx"].to_pandas().astype("int64"),
+            "ts_ms": t["ts_ms"].to_pandas().astype("int64"),
+            "n_bytes": [len(b) for b in t["payload"].to_pylist()],
+            "b0": [b[0] for b in t["payload"].to_pylist()],
+        }).astype({"n_bytes": "int64", "b0": "int64"}),
+        batch_format="pyarrow")
+
+
 def _q_generate_mediawiki(sf: str):
     from kgtk_ray.io import generate_mediawiki_jsons
     n = rd.read_parquet(f"{sf}/nation.parquet")
@@ -854,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reachable_distributed": _q_reachable_distributed,
         "ivf_index": _q_ivf_index,
         "paths_distributed": _q_paths_distributed,
+        "frame_sample": _q_frame_sample,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1511,6 +1529,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": f"""
             SELECT media_id, f0
             FROM read_parquet('{_fixture("multimodal.parquet")}')
+        """,
+        "frame_sample": f"""
+            SELECT media_id, frame_idx, ts_ms, n_bytes, b0
+            FROM read_parquet('{_fixture("frame_sample.parquet")}')
         """,
         "generate_mediawiki": f"""
             SELECT qnode, doc

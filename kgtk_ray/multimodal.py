@@ -43,14 +43,21 @@ class DeterministicFakeDecoder:
         self.dim = dim
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = []
-        for buf in t["payload"].to_pylist():
-            b = np.frombuffer(buf or b"\x00", dtype=np.uint8)
-            hist = np.bincount(b % self.dim, minlength=self.dim).astype(np.float32)
-            n = np.linalg.norm(hist)
-            feats.append((hist / n if n else hist).tolist())
+        # one segment-bincount over the concatenated payload bytes —
+        # no per-row Python in the decode loop
+        bufs = [(b or b"\x00") for b in t["payload"].to_pylist()]
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                           count=len(bufs))
+        seg = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        hist = np.bincount(seg * self.dim + flat % self.dim,
+                           minlength=len(bufs) * self.dim) \
+            .reshape(len(bufs), self.dim).astype(np.float32)
+        norms = np.linalg.norm(hist, axis=1, keepdims=True)
+        np.divide(hist, norms, out=hist, where=norms > 0)
         return t.append_column(
-            "features", pa.array(feats, pa.list_(pa.float32(), self.dim)))
+            "features", pa.array(hist.tolist(),
+                                 pa.list_(pa.float32(), self.dim)))
 
 
 class LibraryDecoder:
@@ -77,6 +84,77 @@ def decode_features(media: Dataset, *, decoder=DeterministicFakeDecoder,
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+class DeterministicFakeResizer:
+    """Stand-in resize: re-derives a payload of exactly
+    ``width*height`` bytes by tiling/truncating the source bytes and
+    updates the size metadata — the real plumbing (schema rewrite,
+    payload replacement, actor state) without PIL."""
+
+    def __init__(self, width: int = 32, height: int = 32):
+        self.w, self.h = int(width), int(height)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        size = self.w * self.h
+        out = []
+        for buf in t["payload"].to_pylist():
+            b = buf or b"\x00"
+            reps = -(-size // len(b))
+            out.append((b * reps)[:size])
+        cols = {name: t[name] for name in t.column_names}
+        cols["payload"] = pa.array(out, pa.large_binary())
+        cols["width"] = pa.array([self.w] * t.num_rows, pa.int32())
+        cols["height"] = pa.array([self.h] * t.num_rows, pa.int32())
+        return pa.table(cols)
+
+
+def resize_media(media: Dataset, *, width: int = 32, height: int = 32,
+                 resizer=DeterministicFakeResizer,
+                 concurrency: int | tuple = 2, batch_size: int = 64,
+                 num_cpus: float = 0.5) -> Dataset:
+    """Actor-pool resize stage (PIL-backed in a real deployment; the
+    deterministic fake keeps the plumbing testable here)."""
+    return media.map_batches(
+        resizer, fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus)
+
+
+def sample_frames(media: Dataset, *, num_frames: int = 4,
+                  batch_size: int = 32) -> Dataset:
+    """Frame sampling: one input media row fans out to ``num_frames``
+    rows ``(media_id, frame_idx, ts_ms, payload)``.  The fake
+    "decoder" treats the payload as the timeline and slices it into
+    contiguous windows (ffmpeg would seek+decode in a real deployment);
+    ``ts_ms`` is the frame's offset on the declared duration (payload
+    length when duration is unknown).  Small batches: the fan-out
+    multiplies large binary rows."""
+    k = int(num_frames)
+
+    def frames(t: pa.Table) -> pa.Table:
+        ids, idxs, tss, outs = [], [], [], []
+        for mid, buf, dur in zip(t["media_id"].to_pylist(),
+                                 t["payload"].to_pylist(),
+                                 t["duration_ms"].to_pylist()):
+            b = buf or b"\x00"
+            n = len(b)
+            base = dur if dur and dur > 0 else n
+            for i in range(k):
+                lo, hi = (n * i) // k, (n * (i + 1)) // k
+                ids.append(mid)
+                idxs.append(i)
+                tss.append((base * i) // k)
+                outs.append(b[lo:max(hi, lo + 1)])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "ts_ms": pa.array(tss, pa.int64()),
+            "payload": pa.array(outs, pa.large_binary()),
+        })
+
+    return media.map_batches(frames, batch_format="pyarrow",
+                             batch_size=batch_size)
 
 
 def synthesize_media(n: int = 64, *, kind: str = "image", seed: int = 42) -> Dataset:

@@ -268,6 +268,25 @@ def ref_multimodal(n=256, *, dim=64, seed=42) -> pd.DataFrame:
                          "f0": np.asarray(f0, dtype="float64")})
 
 
+def ref_frame_sample(n=256, *, k=4, seed=42) -> pd.DataFrame:
+    """Frame-sampling digest: media payload sliced into k contiguous
+    windows; digest per frame = (ts_ms, byte length, first byte)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for mid in range(n):
+        payload = rng.integers(0, 256, size=int(rng.integers(256, 2048)),
+                               dtype=np.uint8).tobytes()
+        ln = len(payload)
+        for i in range(k):
+            lo, hi = (ln * i) // k, (ln * (i + 1)) // k
+            frame = payload[lo:max(hi, lo + 1)]
+            rows.append((mid, i, (ln * i) // k, len(frame), frame[0]))
+    return pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms",
+                                       "n_bytes", "b0"]).astype(
+        {"media_id": "int64", "frame_idx": "int64", "ts_ms": "int64",
+         "n_bytes": "int64", "b0": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # mediawiki jsons (nation-derived, sf-independent)
 # ---------------------------------------------------------------------------
@@ -336,6 +355,7 @@ def main() -> None:
     save(ref_ivf(emb), "ivf_ann.parquet")
     save(ref_text_embedding(docs), "text_embedding.parquet")
     save(ref_multimodal(), "multimodal.parquet")
+    save(ref_frame_sample(), "frame_sample.parquet")
     save(ref_mediawiki(nation), "mediawiki.parquet")
 
 

@@ -187,3 +187,46 @@ def test_cluster_pairs_distributed_path_matches_driver():
     pd.testing.assert_frame_equal(driver, dist)
     cm = dict(zip(driver.doc_id, driver.cluster))
     assert cm[2] == 0 and cm[6] == 5 and cm[8] == 7 and cm[3] == 3
+
+
+def test_resize_and_frame_sample_plumbing():
+    from kgtk_ray.multimodal import (
+        resize_media, sample_frames, synthesize_media,
+    )
+
+    media = synthesize_media(16)
+    resized = resize_media(media, width=8, height=4).to_pandas()
+    assert (resized["width"] == 8).all() and (resized["height"] == 4).all()
+    assert all(len(p) == 32 for p in resized["payload"])
+
+    frames = sample_frames(media, num_frames=4).to_pandas()
+    assert len(frames) == 64
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    # frame windows tile the payload: per media, lengths sum to the
+    # original payload length
+    orig = media.to_pandas().set_index("media_id")["payload"].str.len()
+    got = frames.assign(n=frames["payload"].str.len()) \
+        .groupby("media_id")["n"].sum()
+    assert (got == orig.loc[got.index]).all()
+
+
+def test_fake_decoder_vectorized_matches_scalar():
+    import numpy as np
+    import pyarrow as pa
+    from kgtk_ray.multimodal import DeterministicFakeDecoder
+
+    rng = np.random.default_rng(3)
+    bufs = [rng.integers(0, 256, size=int(rng.integers(1, 500)),
+                         dtype=np.uint8).tobytes() for _ in range(50)] + [b""]
+    t = pa.table({"media_id": pa.array(range(51), pa.int64()),
+                  "payload": pa.array(bufs, pa.large_binary())})
+    dec = DeterministicFakeDecoder(dim=64)
+    got = np.asarray(dec(t)["features"].to_pylist(), dtype=np.float32)
+    # scalar reference
+    want = []
+    for buf in bufs:
+        b = np.frombuffer(buf or b"\x00", dtype=np.uint8)
+        hist = np.bincount(b % 64, minlength=64).astype(np.float32)
+        n = np.linalg.norm(hist)
+        want.append(hist / n if n else hist)
+    assert np.array_equal(got, np.asarray(want, dtype=np.float32))
