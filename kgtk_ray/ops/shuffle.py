@@ -210,6 +210,14 @@ def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
                              f_sch.names if f_sch else [],
                              input_keys, filter_keys)
     n_filter = filter_ds.count()
+    if n_filter == 0:
+        # empty filter: semi keeps nothing, anti keeps everything (an
+        # empty pandas-block Dataset loses its columns through
+        # to_pandas(), so short-circuit before the key projection)
+        if anti:
+            return ds
+        return ds.map_batches(lambda df: df.iloc[:0],
+                              batch_format="pandas")
     if n_filter <= BROADCAST_LIMIT:
         # broadcast the filter-side keys once as an Arrow array; the
         # per-batch filter is a zero-copy pyarrow is_in (no pandas

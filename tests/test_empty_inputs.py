@@ -1,0 +1,78 @@
+"""Degenerate-input sweep: every core operator must handle an EMPTY
+(but schema-bearing) edge table without raising — empty partitions and
+drained frontiers are routine at scale, and Ray 2.49's own join/sort
+paths have empty-input crash modes the bucketed primitives exist to
+avoid."""
+import pandas as pd
+import pytest
+import ray.data
+
+import kgtk_ray.ops as O
+
+
+def empty_edges():
+    return ray.data.from_pandas(pd.DataFrame({
+        "node1": pd.Series([], dtype=str),
+        "label": pd.Series([], dtype=str),
+        "node2": pd.Series([], dtype=str)}))
+
+
+def small_edges():
+    return ray.data.from_pandas(pd.DataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        columns=["node1", "label", "node2"]))
+
+
+def n_rows(ds):
+    return len(ds.to_pandas())
+
+
+def test_empty_through_row_ops():
+    e = empty_edges()
+    assert n_rows(O.kgtk_filter(e, subj=["a"])) == 0
+    assert n_rows(O.ifempty(e, columns=["node2"])) == 0
+    assert n_rows(O.add_id(e)) == 0
+    assert n_rows(O.expand_lists(e)) == 0
+    lowered, label_edges = O.lower_labels(e)
+    assert n_rows(lowered) == 0 and n_rows(label_edges) == 0
+
+
+def test_empty_through_shuffle_ops():
+    e = empty_edges()
+    assert n_rows(O.compact(e)) == 0
+    assert n_rows(O.unique_counts(e, "node2")) == 0
+    assert n_rows(O.dedup_exact_edges(e)) == 0
+
+
+def test_empty_filter_side_semi_anti():
+    e, f = small_edges(), empty_edges()
+    kw = dict(input_keys=["node1"], filter_keys=["node1"])
+    assert n_rows(O.ifexists(e, f, **kw)) == 0
+    assert n_rows(O.ifnotexists(e, f, **kw)) == 2
+
+
+def test_empty_input_side_semi_anti():
+    e, f = empty_edges(), small_edges()
+    kw = dict(input_keys=["node1"], filter_keys=["node1"])
+    assert n_rows(O.ifexists(e, f, **kw)) == 0
+    assert n_rows(O.ifnotexists(e, f, **kw)) == 0
+
+
+def test_empty_graph_ops():
+    e = empty_edges()
+    from kgtk_ray.ops.graph import connected_components, pagerank, paths
+
+    assert n_rows(pagerank(e, iters=1)) == 0
+    assert n_rows(connected_components(e)) == 0
+    assert n_rows(paths(e, ["a"], ["b"], max_hops=2)) == 0
+    assert n_rows(paths(e, ["a"], ["b"], max_hops=2, distributed=True)) == 0
+
+
+def test_empty_windows():
+    from kgtk_ray.ops.window import tumbling_window
+
+    ev = ray.data.from_pandas(pd.DataFrame({
+        "ts": pd.Series([], dtype="datetime64[ns]"),
+        "user_id": pd.Series([], dtype=str),
+        "value": pd.Series([], dtype=float)}))
+    assert n_rows(tumbling_window(ev)) == 0
