@@ -872,6 +872,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index": _q_ivf_index,
         "paths_distributed": _q_paths_distributed,
         "frame_sample": _q_frame_sample,
+        # --- modified in round 3 (distributed rewrite / rule-engine fixes);
+        #     keep inside the sample window so the rewrites get driver rows ---
+        "unreify_values": _q_unreify_values,
+        "validate_properties": _q_validate_properties,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -884,8 +888,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgtk_join": _q_join,
         "lift": _q_lift,
         "add_id": _q_add_id,
-        "add_id_num": _q_add_id_num,
-        "add_id_prefix": _q_add_id_prefix,
         "expand": _q_expand,
         "normalize_nodes": _q_normalize_nodes,
         "explode": _q_explode,
@@ -909,7 +911,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "import_ntriples": _q_import_ntriples,
         "generate_ntriples": _q_generate_ntriples,
         "unreify_rdf": _q_unreify,
-        "validate_properties": _q_validate_properties,
         "paths": _q_paths,
         "export_neo4j": _q_export_neo4j,
         "export_entities": _q_export_entities,
@@ -921,8 +922,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "import_wikidata": _q_import_wikidata,
         "import_conceptnet": _q_import_conceptnet,
         "generate_ttl": _q_generate_ttl,
-        "unreify_values": _q_unreify_values,
         "graph_statistics": _q_graph_statistics,
+        "add_id_num": _q_add_id_num,
+        "add_id_prefix": _q_add_id_prefix,
     }
 
 
