@@ -412,6 +412,44 @@ def _q_fingerprint(sf: str):
     return fingerprint(docs).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_repetition(sf: str):
+    from kgtk_ray.text import repetition_signals
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    out = repetition_signals(docs)
+    return _round_cols(out, ["dup_word_frac", "top_word_frac",
+                             "top_bigram_frac", "mean_word_len"], 6)
+
+
+def _q_gopher_filter(sf: str):
+    from kgtk_ray.text import gopher_filter
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_filter(docs, min_tokens=30, max_dup_word_frac=0.55,
+                         max_top_word_frac=0.13)
+
+
+def _q_dup_ngrams(sf: str):
+    from kgtk_ray.text import corpus_dup_ngram_frac
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    out = corpus_dup_ngram_frac(docs, k=3, min_docs=2)
+    return _round_cols(out, ["dup_gram_frac"], 6)
+
+
+def _q_pii_scrub(sf: str):
+    from kgtk_ray.text import scrub_pii
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    # the corpus text carries no PII, so append deterministic synthetic
+    # PII (mirrored verbatim in the oracle SQL) so the redaction
+    # kernels are actually exercised
+    aug = docs.map_batches(lambda df: pd.DataFrame({
+        "doc_id": df.doc_id,
+        "text": df.text + " contact user" + df.doc_id.astype(str)
+                + "@mail.example.com or +1 555 01"
+                + (df.doc_id % 89).astype(str) + " from 10."
+                + (df.doc_id % 200).astype(str) + ".0."
+                + (df.doc_id % 250).astype(str)}), batch_format="pandas")
+    return scrub_pii(aug)
+
+
 def _q_topk_cosine(sf: str):
     from kgtk_ray.ann import topk_cosine
     import pyarrow.parquet as pq
@@ -876,6 +914,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     keep inside the sample window so the rewrites get driver rows ---
         "unreify_values": _q_unreify_values,
         "validate_properties": _q_validate_properties,
+        # --- new in round 3: corpus quality / repetition / PII ops ---
+        "repetition": _q_repetition,
+        "gopher_filter": _q_gopher_filter,
+        "dup_ngrams": _q_dup_ngrams,
+        "pii_scrub": _q_pii_scrub,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1184,6 +1227,89 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(l_discount), 4) AS avg_disc,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "repetition": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ), b AS (
+              SELECT *, list_transform(
+                          list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                          s -> s[1] || ' ' || s[2]) AS bigrams
+              FROM t
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   ROUND(1.0 - len(list_distinct(toks))*1.0/len(toks), 6)
+                     AS dup_word_frac,
+                   ROUND(list_max(list_transform(list_distinct(toks),
+                           w -> len(list_filter(toks, x -> x = w))))
+                         *1.0/len(toks), 6) AS top_word_frac,
+                   CASE WHEN len(bigrams) > 0 THEN
+                     ROUND(list_max(list_transform(list_distinct(bigrams),
+                             g -> len(list_filter(bigrams, x -> x = g))))
+                           *1.0/len(bigrams), 6) END AS top_bigram_frac,
+                   ROUND(len(regexp_replace(text, '\s', '', 'g'))
+                         *1.0/len(toks), 6) AS mean_word_len
+            FROM b
+        """,
+        "gopher_filter": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, len(toks) AS n,
+                     1.0 - len(list_distinct(toks))*1.0/len(toks) AS dupf,
+                     list_max(list_transform(list_distinct(toks),
+                       w -> len(list_filter(toks, x -> x = w))))
+                       *1.0/len(toks) AS topf,
+                     len(regexp_replace(text, '\s', '', 'g'))
+                       *1.0/len(toks) AS mwl
+              FROM t
+            )
+            SELECT doc_id, text FROM m
+            WHERE n BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+              AND dupf <= 0.55 AND topf <= 0.13
+        """,
+        "dup_ngrams": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(
+                       list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                                toks[3:len(toks)]),
+                       s -> s[1]||' '||s[2]||' '||s[3])) AS gram
+              FROM t
+            ), cnt AS (
+              SELECT gram, count(DISTINCT doc_id) AS ndocs
+              FROM g GROUP BY gram
+            )
+            SELECT g.doc_id, count(*) AS n_grams,
+                   ROUND(sum(CASE WHEN cnt.ndocs >= 2 THEN 1 ELSE 0 END)
+                         *1.0/count(*), 6) AS dup_gram_frac
+            FROM g JOIN cnt USING (gram) GROUP BY g.doc_id
+        """,
+        "pii_scrub": r"""
+            WITH a AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com or +1 555 01'
+                       || CAST(doc_id % 89 AS VARCHAR) || ' from 10.'
+                       || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                       || CAST(doc_id % 250 AS VARCHAR) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS text
+            FROM a
         """,
         "langid": f"""
             SELECT doc_id,

@@ -153,6 +153,7 @@ def run_bench() -> dict:
     timed("minhash_dedup", lambda: E._q_minhash(SF_DIR).count())
     timed("topk_cosine", lambda: E._q_topk_cosine(SF_DIR).count())
     timed("langid", lambda: E._q_langid(SF_DIR).count())
+    timed("dup_ngrams", lambda: E._q_dup_ngrams(SF_DIR).count())
 
     # distributed pagerank on the full lineitem edge table (the graph
     # iteratives' scale check: rank state stays a Dataset; driver RSS

@@ -8,7 +8,15 @@ from .normalize import (
     normalize_whitespace_series,
     normalize_punctuation_series,
 )
+from .repetition import (
+    repetition_signals,
+    gopher_filter,
+    corpus_dup_ngram_frac,
+)
+from .pii import scrub_pii, scrub_series
 
 __all__ = ["langid", "quality_score", "token_counts", "fingerprint",
            "winnowing_fingerprints", "normalize_text", "normalize_text_series",
-           "normalize_whitespace_series", "normalize_punctuation_series"]
+           "normalize_whitespace_series", "normalize_punctuation_series",
+           "repetition_signals", "gopher_filter", "corpus_dup_ngram_frac",
+           "scrub_pii", "scrub_series"]

@@ -76,3 +76,15 @@ def test_empty_windows():
         "user_id": pd.Series([], dtype=str),
         "value": pd.Series([], dtype=float)}))
     assert n_rows(tumbling_window(ev)) == 0
+
+
+def test_empty_through_text_quality_ops():
+    from kgtk_ray.text import (corpus_dup_ngram_frac, gopher_filter,
+                               repetition_signals, scrub_pii)
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype=str)}))
+    assert n_rows(repetition_signals(docs)) == 0
+    assert n_rows(gopher_filter(docs)) == 0
+    assert n_rows(corpus_dup_ngram_frac(docs)) == 0
+    assert n_rows(scrub_pii(docs)) == 0
