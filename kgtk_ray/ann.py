@@ -24,6 +24,27 @@ def _norm_rows(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
 
+def _list_matrix(t, vec_col: str, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from an Arrow ``list<float>`` (or Ray tensor
+    extension) column without the per-row object round-trip
+    ``np.stack`` pays on pandas blocks: one flatten of the child values
+    buffer + reshape (embeddings are fixed-dim, no nulls)."""
+    import pyarrow as pa
+    col = t.column(vec_col)
+    arr = col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+    if isinstance(arr.type, pa.ExtensionType):
+        # Ray re-encodes list columns that round-trip through pandas
+        # blocks as its ArrowTensorType extension; its to_numpy is
+        # already the (n, dim) matrix
+        X = np.asarray(arr.to_numpy(zero_copy_only=False))
+        if X.dtype == object:
+            X = np.stack(X)
+    else:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        X = flat.reshape(len(arr), -1)
+    return X.astype(dtype, copy=False)
+
+
 def topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> Dataset:
     """Returns (query_id, vec_id, score) rows: top-``k`` corpus vectors
@@ -32,23 +53,27 @@ def topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
     Q = _norm_rows(np.asarray(queries, dtype=np.float64))
     qref = ray.put(Q)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t) -> dict:
+        if t.num_rows == 0:
+            return {"query_id": np.empty(0, dtype=np.int64),
+                    id_col: np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float64)}
         Qm = ray.get(qref)
-        X = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        X = _norm_rows(_list_matrix(t, vec_col))
         sims = Qm @ X.T  # (n_q, n_batch)
-        ids = df[id_col].to_numpy()
+        ids = t[id_col].to_numpy()
         n_take = min(k, sims.shape[1])
         # local top-k per query
         part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
         rows_q = np.repeat(np.arange(len(Qm)), n_take)
         rows_i = part.ravel()
-        return pd.DataFrame({
+        return {
             "query_id": rows_q.astype("int64"),
             id_col: ids[rows_i],
             "score": sims[rows_q, rows_i].astype("float64"),
-        })
+        }
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", id_col], ascending=[False, True],
@@ -93,12 +118,16 @@ def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
     qref = ray.put((Q, {int(q): set(map(int, probe[q])) for q in range(len(Q))}))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t) -> pd.DataFrame:
         Cm = ray.get(cref)
         Qm, probes = ray.get(qref)
-        X = _norm_rows(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        if t.num_rows == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        X = _norm_rows(_list_matrix(t, vec_col))
         bucket = (X @ Cm.T).argmax(axis=1)
-        ids = df[id_col].to_numpy()
+        ids = t[id_col].to_numpy()
         frames = []
         for qi in range(len(Qm)):
             mask = np.isin(bucket, list(probes[qi]))
@@ -117,7 +146,7 @@ def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
                                  "score": pd.Series(dtype="float64")})
         return pd.concat(frames, ignore_index=True)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["score", id_col], ascending=[False, True],
@@ -173,15 +202,16 @@ class IVFIndex:
                     C[c] = _norm_rows(S[m].mean(axis=0, keepdims=True))[0]
         cref = ray.put(C)
 
-        def tag(df: pd.DataFrame) -> pd.DataFrame:
+        def tag(t):
+            import pyarrow as pa
             Cm = ray.get(cref)
-            X = _norm_rows(np.stack(df[vec_col].to_numpy())
-                           .astype(np.float64))
-            df = df.copy()
-            df["bucket"] = (X @ Cm.T).argmax(axis=1).astype("int64")
-            return df
+            if t.num_rows == 0:
+                return t.append_column("bucket", pa.array([], pa.int64()))
+            X = _norm_rows(_list_matrix(t, vec_col))
+            bucket = (X @ Cm.T).argmax(axis=1).astype("int64")
+            return t.append_column("bucket", pa.array(bucket))
 
-        ds.map_batches(tag, batch_format="pandas").write_parquet(
+        ds.map_batches(tag, batch_format="pyarrow").write_parquet(
             path, partition_cols=["bucket"])
         return cls(path, C, vec_col=vec_col, id_col=id_col)
 
@@ -194,36 +224,38 @@ class IVFIndex:
         probe = np.argsort(-(Q @ self.centroids.T), axis=1)[:, :nprobe]
         probes = {int(q): {int(b) for b in probe[q]} for q in range(len(Q))}
         needed = sorted(set().union(*probes.values()))
-        # one read per probed partition (hive dirs drop the bucket
-        # column from the files; re-attach it per partition)
-        parts = []
+        # ONE dataset over only the probed partitions' files; the
+        # bucket id comes back as a hive partition column, so the
+        # vector column never round-trips through pandas
+        files = []
         for b in needed:
             d = os.path.join(self.path, f"bucket={b}")
-            if not os.path.isdir(d):
-                continue
-            files = [os.path.join(d, f) for f in os.listdir(d)
-                     if f.endswith(".parquet")]
-            if not files:
-                continue
-            parts.append(ray.data.read_parquet(
-                files, columns=[self.id_col, self.vec_col]).map_batches(
-                lambda df, b=b: df.assign(bucket=b),
-                batch_format="pandas"))
-        if not parts:
+            if os.path.isdir(d):
+                files += [os.path.join(d, f) for f in os.listdir(d)
+                          if f.endswith(".parquet")]
+        if not files:
             raise FileNotFoundError(
                 f"IVFIndex at {self.path!r}: none of the probed bucket "
                 f"partitions {needed} exist — wrong path or empty index?")
-        sub = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        from ray.data.datasource.partitioning import Partitioning
+        sub = ray.data.read_parquet(
+            files, partitioning=Partitioning("hive", base_dir=self.path),
+            columns=[self.id_col, self.vec_col, "bucket"])
         qref = ray.put((Q, probes))
         id_col = self.id_col
         vec_col = self.vec_col
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
+        def partial(t) -> pd.DataFrame:
             Qm, pr = ray.get(qref)
-            X = _norm_rows(np.stack(df[vec_col].to_numpy())
-                           .astype(np.float64))
-            bucket = df["bucket"].to_numpy()
-            ids = df[id_col].to_numpy()
+            if t.num_rows == 0:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     id_col: pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            X = _norm_rows(_list_matrix(t, vec_col))
+            import pyarrow as pa
+            # hive partition values arrive as strings
+            bucket = t["bucket"].cast(pa.int64()).to_numpy()
+            ids = t[id_col].to_numpy()
             frames = []
             for qi in range(len(Qm)):
                 mask = np.isin(bucket, list(pr[qi]))
@@ -242,7 +274,7 @@ class IVFIndex:
                                      "score": pd.Series(dtype="float64")})
             return pd.concat(frames, ignore_index=True)
 
-        partials = sub.map_batches(partial, batch_format="pandas")
+        partials = sub.map_batches(partial, batch_format="pyarrow")
 
         def final(g: pd.DataFrame) -> pd.DataFrame:
             return g.sort_values(["score", id_col],
