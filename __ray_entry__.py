@@ -450,6 +450,28 @@ def _q_pii_scrub(sf: str):
     return scrub_pii(aug)
 
 
+def _q_chunk_text(sf: str):
+    from kgtk_ray.text import chunk_text
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_text(docs, size=128, overlap=32)
+
+
+def _q_sample_per_group(sf: str):
+    from kgtk_ray.ops import sample_per_group
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return sample_per_group(docs, group_col="source", id_col="doc_id", n=10)
+
+
+def _q_weighted_sample(sf: str):
+    from kgtk_ray.ops import weighted_sample
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return weighted_sample(docs, rate_col="source", id_col="doc_id",
+                           rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                           default_rate=0.1)
+
+
 def _q_topk_cosine(sf: str):
     from kgtk_ray.ann import topk_cosine
     import pyarrow.parquet as pq
@@ -919,6 +941,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "dup_ngrams": _q_dup_ngrams,
         "pii_scrub": _q_pii_scrub,
+        "chunk_text": _q_chunk_text,
+        "sample_per_group": _q_sample_per_group,
+        "weighted_sample": _q_weighted_sample,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1310,6 +1335,30 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                      '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS text
             FROM a
+        """,
+        "chunk_text": """
+            WITH n AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(text) > 0
+                          THEN (len(text)-1)//96 + 1 ELSE 0 END AS nc
+              FROM documents
+            ), e AS (
+              SELECT doc_id, text, unnest(range(nc)) AS chunk_id FROM n
+            )
+            SELECT doc_id, chunk_id,
+                   substr(text, CAST(chunk_id*96 AS INT) + 1, 128) AS chunk
+            FROM e
+        """,
+        "sample_per_group": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+              ORDER BY (doc_id*2654435761)%4294967296, doc_id) <= 10
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id*2654435761)%4294967296) % 10000 <
+              CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                          WHEN 'src2' THEN 2500 ELSE 1000 END
         """,
         "langid": f"""
             SELECT doc_id,

@@ -34,7 +34,8 @@ from .graph import (
 from .window import tumbling_window
 from .unreify import unreify_rdf_statements, unreify_values
 from .propvalidate import validate_properties
-from .sample import every_nth, record_limit, tail, initial_skip
+from .sample import (every_nth, record_limit, tail, initial_skip,
+                     sample_per_group, weighted_sample)
 
 __all__ = [
     "kgtk_filter", "ifempty", "ifnotempty", "calc_percentage", "expand_lists",
@@ -44,5 +45,5 @@ __all__ = [
     "clean_edges", "explode_node2", "implode_node2", "degrees", "graph_statistics",
     "reachable_nodes", "connected_components", "paths", "tumbling_window",
     "unreify_rdf_statements", "unreify_values", "hits", "validate_properties", "every_nth", "record_limit",
-    "tail", "initial_skip",
+    "tail", "initial_skip", "sample_per_group", "weighted_sample",
 ]

@@ -61,3 +61,65 @@ def initial_skip(ds: Dataset, count: int, *, key: str) -> Dataset:
         return df[~df[key].isin(s)]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# Knuth multiplicative hash on an integer id: deterministic, order-free,
+# and computable identically in SQL ((id * 2654435761) % 4294967296 —
+# products stay under 2^63 for any id < 2^31, so BIGINT arithmetic in
+# the oracle matches numpy uint64 exactly).
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def _id_hash(ids) -> "np.ndarray":
+    import numpy as np
+    a = np.asarray(ids, dtype=np.uint64)
+    return (a * np.uint64(_KNUTH)) % np.uint64(_MOD32)
+
+
+def sample_per_group(ds: Dataset, *, group_col: str, id_col: str,
+                     n: int, num_buckets: int = 64) -> Dataset:
+    """Deterministic per-group sample: the ``n`` rows of each group
+    with the smallest ``(knuth_hash(id), id)`` — a training-mix
+    curation primitive (cap every source/domain/language at n docs)
+    that is reproducible across runs, block orders and cluster sizes.
+
+    Distributed shape: a per-batch partial top-n per group (the
+    combiner), then one bucketed shuffle on the group key and a
+    vectorized per-bucket top-n — group cardinality never hits the
+    driver.  SQL oracle: ``QUALIFY row_number() OVER (PARTITION BY g
+    ORDER BY (id*2654435761)%4294967296, id) <= n``.
+    """
+    from ._bucket import bucketed_group_apply, MIN_BUNDLE_ROWS
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__h__=_id_hash(df[id_col].to_numpy()))
+        df = df.sort_values(["__h__", id_col], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(n)
+
+    partial = ds.map_batches(topn, batch_format="pandas",
+                             batch_size=MIN_BUNDLE_ROWS)
+    out = bucketed_group_apply(partial, [group_col], topn,
+                               num_buckets=num_buckets)
+    return out.drop_columns(["__h__"])
+
+
+def weighted_sample(ds: Dataset, *, rate_col: str, id_col: str,
+                    rates: dict, default_rate: float = 0.0,
+                    scale: int = 10000) -> Dataset:
+    """Per-category sampling rates (data mixing): keep a row iff
+    ``knuth_hash(id) % scale < rate[category] * scale``.  Deterministic
+    in the id — the same document is kept or dropped regardless of
+    block order, run, or cluster size, so mixes are reproducible and
+    resumable.  Stateless map_batches; rates dict is closure-captured
+    (small)."""
+    import numpy as np
+    thresholds = {k: int(round(v * scale)) for k, v in rates.items()}
+    default_thr = int(round(default_rate * scale))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = _id_hash(df[id_col].to_numpy()) % np.uint64(scale)
+        thr = df[rate_col].map(thresholds).fillna(default_thr).to_numpy()
+        return df[h < thr]
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1,0 +1,77 @@
+"""Unit tests for text chunking and deterministic sampling operators."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from kgtk_ray.ops import sample_per_group, weighted_sample
+from kgtk_ray.ops.sample import _id_hash
+from kgtk_ray.text import chunk_text
+
+
+def _ds(rows, parallelism=2):
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(parallelism)
+
+
+def test_chunk_text_boundaries():
+    ds = _ds([
+        {"doc_id": 1, "text": "abcdefghij"},   # len 10
+        {"doc_id": 2, "text": "xy"},
+        {"doc_id": 3, "text": ""},
+    ])
+    out = (chunk_text(ds, size=4, overlap=1).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    # stride 3: starts 0,3,6,9 for len 10
+    d1 = out[out.doc_id == 1]
+    assert d1.chunk.tolist() == ["abcd", "defg", "ghij", "j"]
+    assert d1.chunk_id.tolist() == [0, 1, 2, 3]
+    assert out[out.doc_id == 2].chunk.tolist() == ["xy"]
+    assert (out.doc_id == 3).sum() == 0  # empty doc -> no chunks
+
+
+def test_chunk_text_overlap_validation():
+    ds = _ds([{"doc_id": 1, "text": "abc"}])
+    with pytest.raises(ValueError):
+        chunk_text(ds, size=4, overlap=4)
+
+
+def test_chunk_text_reconstruction():
+    # non-overlapping chunks concatenate back to the original text
+    text = "the quick brown fox jumps over the lazy dog" * 3
+    ds = _ds([{"doc_id": 7, "text": text}], parallelism=1)
+    out = (chunk_text(ds, size=16, overlap=0).to_pandas()
+           .sort_values("chunk_id"))
+    assert "".join(out.chunk) == text
+
+
+def test_sample_per_group_deterministic_topn():
+    rows = [{"doc_id": i, "src": f"s{i % 3}"} for i in range(60)]
+    ds = _ds(rows, parallelism=4)
+    out = sample_per_group(ds, group_col="src", id_col="doc_id", n=5) \
+        .to_pandas()
+    assert len(out) == 15
+    assert out.groupby("src").size().tolist() == [5, 5, 5]
+    # matches the explicit definition: n smallest (hash, id) per group
+    df = pd.DataFrame(rows)
+    df["h"] = _id_hash(df.doc_id.to_numpy())
+    want = (df.sort_values(["h", "doc_id"]).groupby("src").head(5))
+    assert set(out.doc_id) == set(want.doc_id)
+    # block-order independence
+    out2 = sample_per_group(_ds(rows[::-1], parallelism=7),
+                            group_col="src", id_col="doc_id", n=5).to_pandas()
+    assert set(out2.doc_id) == set(out.doc_id)
+
+
+def test_weighted_sample_rates():
+    rows = [{"doc_id": i, "src": "keep_all" if i % 2 else "drop_all"}
+            for i in range(200)]
+    ds = _ds(rows, parallelism=3)
+    out = weighted_sample(ds, rate_col="src", id_col="doc_id",
+                          rates={"keep_all": 1.0, "drop_all": 0.0}).to_pandas()
+    assert set(out.src) == {"keep_all"}
+    assert len(out) == 100
+    # half rate keeps roughly half (deterministic exact set)
+    out2 = weighted_sample(ds, rate_col="src", id_col="doc_id",
+                           rates={"keep_all": 0.5, "drop_all": 0.5}).to_pandas()
+    h = _id_hash(np.arange(200)) % np.uint64(10000)
+    assert len(out2) == int((h < 5000).sum())
