@@ -450,6 +450,16 @@ def _q_pii_scrub(sf: str):
     return scrub_pii(aug)
 
 
+def _q_decontaminate(sf: str):
+    from kgtk_ray.text import decontaminate
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ev = docs.map_batches(lambda df: df[df.doc_id % 50 == 0],
+                          batch_format="pandas")
+    corpus = docs.map_batches(lambda df: df[df.doc_id % 50 != 0],
+                              batch_format="pandas")
+    return decontaminate(corpus, ev, k=4)
+
+
 def _q_chunk_text(sf: str):
     from kgtk_ray.text import chunk_text
     docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -944,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": _q_chunk_text,
         "sample_per_group": _q_sample_per_group,
         "weighted_sample": _q_weighted_sample,
+        "decontaminate": _q_decontaminate,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -956,12 +967,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgtk_join": _q_join,
         "lift": _q_lift,
         "add_id": _q_add_id,
-        "expand": _q_expand,
         "normalize_nodes": _q_normalize_nodes,
         "explode": _q_explode,
         "clean_repair": _q_clean_repair,
         "calc": _q_calc,
-        "cat": _q_cat,
+        "topk_cosine": _q_topk_cosine,
         "sort": _q_sort,
         "dedup_exact": _q_dedup_exact,
         "degrees": _q_degrees,
@@ -975,7 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "token_counts": _q_tokens,
         "fingerprint": _q_fingerprint,
-        "topk_cosine": _q_topk_cosine,
+        "cat": _q_cat,
         "import_ntriples": _q_import_ntriples,
         "generate_ntriples": _q_generate_ntriples,
         "unreify_rdf": _q_unreify,
@@ -991,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "import_conceptnet": _q_import_conceptnet,
         "generate_ttl": _q_generate_ttl,
         "graph_statistics": _q_graph_statistics,
+        "expand": _q_expand,
         "add_id_num": _q_add_id_num,
         "add_id_prefix": _q_add_id_prefix,
     }
@@ -1335,6 +1346,27 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                      '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS text
             FROM a
+        """,
+        "decontaminate": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(
+                       list_zip(toks[1:len(toks)-3], toks[2:len(toks)-2],
+                                toks[3:len(toks)-1], toks[4:len(toks)]),
+                       s -> s[1]||' '||s[2]||' '||s[3]||' '||s[4])) AS gram
+              FROM t
+            ), ev AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+            ), hit AS (
+              SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 50 != 0
+            )
+            SELECT doc_id, text FROM t
+            WHERE doc_id % 50 != 0
+              AND doc_id NOT IN (SELECT doc_id FROM hit)
         """,
         "chunk_text": """
             WITH n AS (

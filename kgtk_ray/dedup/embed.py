@@ -26,21 +26,25 @@ def embedding_dedup(ds: Dataset, *, vec_col: str = "embedding",
     planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
     pref = ray.put(planes)
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(t_in) -> pd.DataFrame:
+        from ..ann import _list_matrix
         W = ray.get(pref)
-        X = np.stack(df[vec_col].to_numpy())
+        # keep float32 (the parquet storage dtype): the verify cosine
+        # must be bit-identical to the fixture oracle's float32 math
+        X = _list_matrix(t_in, vec_col, dtype=np.float32)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        ids = t_in[id_col].to_numpy()
         rows = []
         for t in range(n_tables):
             signs = (X @ W[t].T) > 0
             key = (signs * (1 << np.arange(n_planes))).sum(axis=1)
             rows.append(pd.DataFrame({
-                "doc": df[id_col].to_numpy(), "table": t, "bucket": key,
+                "doc": ids, "table": t, "bucket": key,
                 "vec": [v for v in X],
             }))
         return pd.concat(rows, ignore_index=True)
 
-    flat = ds.map_batches(bucketize, batch_format="pandas")
+    flat = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         # bucketed self-merge + one einsum for every candidate cosine;

@@ -75,3 +75,30 @@ def test_weighted_sample_rates():
                            rates={"keep_all": 0.5, "drop_all": 0.5}).to_pandas()
     h = _id_hash(np.arange(200)) % np.uint64(10000)
     assert len(out2) == int((h < 5000).sum())
+
+
+def test_decontaminate_removes_and_marks():
+    from kgtk_ray.text import decontaminate
+    corpus = _ds([
+        {"doc_id": 1, "text": "alpha beta gamma delta unrelated"},
+        {"doc_id": 2, "text": "totally different words here now"},
+        {"doc_id": 3, "text": "x alpha beta gamma y"},
+    ], parallelism=3)
+    ev = _ds([{"doc_id": 100, "text": "eval set alpha beta gamma end"}],
+             parallelism=1)
+    kept = decontaminate(corpus, ev, k=3).to_pandas()
+    assert sorted(kept.doc_id) == [2]  # docs 1 and 3 share 'alpha beta gamma'
+    marked = (decontaminate(corpus, ev, k=3, mode="mark").to_pandas()
+              .sort_values("doc_id"))
+    assert marked.contaminated.tolist() == [True, False, True]
+    # k larger than any shared span -> nothing removed
+    all_kept = decontaminate(corpus, ev, k=6).to_pandas()
+    assert len(all_kept) == 3
+
+
+def test_decontaminate_empty_eval_set():
+    from kgtk_ray.text import decontaminate
+    corpus = _ds([{"doc_id": 1, "text": "a b c d"}], parallelism=1)
+    ev = _ds([{"doc_id": 9, "text": "zz"}], parallelism=1)  # no 3-grams
+    out = decontaminate(corpus, ev, k=3).to_pandas()
+    assert len(out) == 1
