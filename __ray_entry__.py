@@ -450,6 +450,16 @@ def _q_pii_scrub(sf: str):
     return scrub_pii(aug)
 
 
+def _q_lm_score(sf: str):
+    from kgtk_ray.text import unigram_logprob
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ref = docs.map_batches(lambda df: df[df.doc_id % 10 == 0],
+                           batch_format="pandas")
+    corpus = docs.map_batches(lambda df: df[df.doc_id % 10 != 0],
+                              batch_format="pandas")
+    return _round_cols(unigram_logprob(corpus, ref), ["lm_score"], 6)
+
+
 def _q_decontaminate(sf: str):
     from kgtk_ray.text import decontaminate
     docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -955,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_group": _q_sample_per_group,
         "weighted_sample": _q_weighted_sample,
         "decontaminate": _q_decontaminate,
+        "lm_score": _q_lm_score,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -967,7 +978,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgtk_join": _q_join,
         "lift": _q_lift,
         "add_id": _q_add_id,
-        "normalize_nodes": _q_normalize_nodes,
         "explode": _q_explode,
         "clean_repair": _q_clean_repair,
         "calc": _q_calc,
@@ -1002,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generate_ttl": _q_generate_ttl,
         "graph_statistics": _q_graph_statistics,
         "expand": _q_expand,
+        "normalize_nodes": _q_normalize_nodes,
         "add_id_num": _q_add_id_num,
         "add_id_prefix": _q_add_id_prefix,
     }
@@ -1346,6 +1357,26 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                      '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS text
             FROM a
+        """,
+        "lm_score": r"""
+            WITH ref AS (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE doc_id % 10 = 0
+            ), cnt AS (
+              SELECT tok, count(*) AS c FROM ref GROUP BY tok
+            ), stats AS (
+              SELECT (SELECT count(*) FROM ref) AS n,
+                     (SELECT count(*) FROM cnt) AS v
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE doc_id % 10 != 0
+            )
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   ROUND(avg(ln((coalesce(c.c, 0) + 0.5)
+                                / (s.n + 0.5 * s.v))), 6) AS lm_score
+            FROM toks t LEFT JOIN cnt c USING (tok), stats s
+            GROUP BY t.doc_id
         """,
         "decontaminate": r"""
             WITH t AS (

@@ -129,6 +129,18 @@ def run_bench() -> dict:
     # job swings with page-cache flushes of the parquet sink, and the
     # median is the stable estimator of steady state.
     run_headline()
+    if os.environ.get("GRAFT_STATS"):
+        # per-stage profile of one run (reads the sink dataset's stats
+        # after a full execution) — printed to stderr so the JSON line
+        # on stdout stays parseable
+        shutil.rmtree(out_dir, ignore_errors=True)
+        pages = rd.read_parquet(pages_path, override_num_blocks=2 * NUM_CPUS)
+        edges = kg_pipeline_from_pages(
+            pages, alias, DOC_PATTERNS,
+            concurrency=max(2, NUM_CPUS // 2),
+            link_batch_size=max(4096, min(16384, 512 * NUM_CPUS)))
+        edges.write_parquet(out_dir)
+        print(edges.stats(), file=sys.stderr)
     runs = []
     for _ in range(3):
         t0 = time.time()

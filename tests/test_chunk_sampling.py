@@ -102,3 +102,35 @@ def test_decontaminate_empty_eval_set():
     ev = _ds([{"doc_id": 9, "text": "zz"}], parallelism=1)  # no 3-grams
     out = decontaminate(corpus, ev, k=3).to_pandas()
     assert len(out) == 1
+
+
+def test_unigram_logprob_hand_values():
+    import math
+    from kgtk_ray.text import unigram_logprob
+    ref = _ds([{"doc_id": 100, "text": "a a b"}], parallelism=1)
+    corpus = _ds([
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "zzz"},     # fully OOV
+        {"doc_id": 3, "text": ""},        # no tokens -> dropped
+    ], parallelism=3)
+    out = (unigram_logprob(corpus, ref).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # model: N=3 tokens, V=2 types; p(a)=(2+.5)/(3+1), p(b)=(1+.5)/4, p(oov)=.5/4
+    pa_, pb, poov = 2.5 / 4, 1.5 / 4, 0.5 / 4
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.n_tokens.tolist() == [2, 1]
+    assert out.lm_score.iloc[0] == pytest.approx(
+        (math.log(pa_) + math.log(pb)) / 2)
+    assert out.lm_score.iloc[1] == pytest.approx(math.log(poov))
+
+
+def test_unigram_logprob_vocab_cap():
+    from kgtk_ray.text import unigram_logprob
+    ref = _ds([{"doc_id": 100, "text": "a a a b b c"}], parallelism=1)
+    corpus = _ds([{"doc_id": 1, "text": "a c"}], parallelism=1)
+    # cap vocab to the 2 most frequent types (a, b): c becomes OOV and
+    # N/V shrink to the capped model (N=5, V=2)
+    out = unigram_logprob(corpus, ref, max_vocab=2).to_pandas()
+    import math
+    want = (math.log(3.5 / 6) + math.log(0.5 / 6)) / 2
+    assert out.lm_score.iloc[0] == pytest.approx(want)
