@@ -30,8 +30,9 @@ from .graph import (
     connected_components,
     paths,
     hits,
+    pagerank,
 )
-from .window import tumbling_window
+from .window import tumbling_window, sliding_window, session_window
 from .unreify import unreify_rdf_statements, unreify_values
 from .propvalidate import validate_properties
 from .sample import (every_nth, record_limit, tail, initial_skip,
@@ -43,7 +44,8 @@ __all__ = [
     "reorder_columns", "cat", "compact", "unique_counts", "ifexists", "ifnotexists",
     "kgtk_join", "lift", "sort_edges", "dedup_exact_edges", "validate_edges",
     "clean_edges", "explode_node2", "implode_node2", "degrees", "graph_statistics",
-    "reachable_nodes", "connected_components", "paths", "tumbling_window",
+    "reachable_nodes", "connected_components", "paths", "pagerank",
+    "tumbling_window", "sliding_window", "session_window",
     "unreify_rdf_statements", "unreify_values", "hits", "validate_properties", "every_nth", "record_limit",
     "tail", "initial_skip", "sample_per_group", "weighted_sample",
 ]
