@@ -1,0 +1,42 @@
+"""Property-based test for compact — the canonicalization workhorse —
+against a naive single-process reference over randomized edge tables
+(lists, empties, duplicate keys, arbitrary block splits).  The oracles
+pin it on real corpora; this pins block-order/batch-boundary
+independence on adversarial shapes."""
+import pandas as pd
+import pytest
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+import kgtk_ray.ops as O
+import ray.data as rd
+from kgtk_ray.format import merge_list_cells
+
+TOK = st.sampled_from(["a", "b", "c", "x|y", "", "q1", "v2"])
+ROW = st.tuples(st.sampled_from(["n1", "n2", "n3"]),
+                st.sampled_from(["p", "q"]),
+                st.sampled_from(["m1", "m2"]),
+                TOK)
+
+
+def naive_compact(rows):
+    """Single-process reference: group on (node1,label,node2), merge
+    the qualifier column into a sorted-unique | list."""
+    df = pd.DataFrame(rows, columns=["node1", "label", "node2", "extra"])
+    out = (df.groupby(["node1", "label", "node2"], as_index=False)
+           .agg(extra=("extra",
+                       lambda s: merge_list_cells(s.dropna().astype(str)))))
+    return sorted(map(tuple, out.to_numpy().tolist()))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(ROW, min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=5))
+def test_compact_matches_naive_any_block_split(rows, parallelism):
+    ds = rd.from_pandas(pd.DataFrame(
+        rows, columns=["node1", "label", "node2", "extra"])) \
+        .repartition(parallelism)
+    got = O.compact(ds, ["node1", "label", "node2"]).to_pandas()
+    got_rows = sorted(map(tuple, got[["node1", "label", "node2",
+                                      "extra"]].to_numpy().tolist()))
+    assert got_rows == naive_compact(rows)
