@@ -476,6 +476,43 @@ def _q_chunk_text(sf: str):
     return chunk_text(docs, size=128, overlap=32)
 
 
+def _q_semdedup(sf: str):
+    """Plant exact duplicates (vectors 0..49 re-appear as vec_id+10000,
+    as in embedding_dedup): identical vectors always share a k-means
+    cluster and have cosine 1.0, so each planted copy is the semantic
+    duplicate of its lower-id original, while the raw table has no pair
+    above eps (max pairwise cosine ~0.51) — the keep flag is plain SQL.
+    The cluster column (k-means-dependent) is pytest-checked against a
+    single-process replay instead (tests/test_semdedup.py)."""
+    from kgtk_ray.dedup import semdedup
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    dup = emb.map_batches(
+        lambda df: df[df.vec_id < 50].assign(
+            vec_id=lambda d: d.vec_id + 10000),
+        batch_format="pandas")
+    return semdedup(emb.union(dup), eps=0.95).drop_columns(["cluster"])
+
+
+def _q_pack_sequences(sf: str):
+    from kgtk_ray.text import pack_sequences
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(docs, max_tokens=512, n_bins=16)
+
+
+def _q_dedup_against(sf: str):
+    """Corpus = documents; reference = the doc_id%7==0 subset (same
+    text, separate id namespace).  Every %7 doc is trivially flagged
+    (Jaccard 1 with its own copy); the interesting rows are the corpus
+    docs that are genuine near-dups of a %7 doc — fixture oracle from
+    the single-process replay (scripts/make_fixtures.py)."""
+    from kgtk_ray.dedup import dedup_against
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ref = docs.map_batches(
+        lambda df: df[df.doc_id % 7 == 0].rename(columns={"doc_id": "ref_id"}),
+        batch_format="pandas")
+    return dedup_against(docs, ref, ref_id_col="ref_id")
+
+
 def _q_sample_per_group(sf: str):
     from kgtk_ray.ops import sample_per_group
     docs = rd.read_parquet(f"{sf}/documents.parquet",
@@ -966,6 +1003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "decontaminate": _q_decontaminate,
         "lm_score": _q_lm_score,
+        "semdedup": _q_semdedup,
+        "pack_sequences": _q_pack_sequences,
+        "dedup_against": _q_dedup_against,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1398,6 +1438,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM t
             WHERE doc_id % 50 != 0
               AND doc_id NOT IN (SELECT doc_id FROM hit)
+        """,
+        "semdedup": """
+            SELECT vec_id, TRUE AS keep FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000, FALSE FROM embeddings WHERE vec_id < 50
+        """,
+        "pack_sequences": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_tokens,
+                     ((doc_id*2654435761)%4294967296)%16 AS bin,
+                     row_number() OVER (
+                       PARTITION BY ((doc_id*2654435761)%4294967296)%16
+                       ORDER BY doc_id) AS rn
+              FROM documents
+            ), packed AS (
+              SELECT doc_id, n_tokens, bin, rn,
+                     CAST(0 AS BIGINT) AS seq, n_tokens AS acc
+              FROM toks WHERE rn = 1
+              UNION ALL
+              SELECT t.doc_id, t.n_tokens, t.bin, t.rn,
+                     CASE WHEN p.acc > 0 AND p.acc + t.n_tokens > 512
+                          THEN p.seq + 1 ELSE p.seq END,
+                     CASE WHEN p.acc > 0 AND p.acc + t.n_tokens > 512
+                          THEN t.n_tokens ELSE p.acc + t.n_tokens END
+              FROM packed p JOIN toks t ON t.bin = p.bin AND t.rn = p.rn + 1
+            )
+            SELECT doc_id, n_tokens, bin, seq FROM packed
+        """,
+        "dedup_against": f"""
+            SELECT * FROM read_parquet('{_fixture("dedup_against.parquet")}')
         """,
         "chunk_text": """
             WITH n AS (

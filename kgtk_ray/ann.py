@@ -83,16 +83,17 @@ def topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
-def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
-                    vec_col: str = "embedding", id_col: str = "vec_id",
-                    n_centroids: int = 16, nprobe: int = 4,
-                    sample_size: int = 2048, seed: int = 42) -> Dataset:
-    """IVF-style ANN: coarse centroids from a seeded sample (a few
-    Lloyd iterations on the driver), vectors scanned only in the
-    ``nprobe`` buckets nearest each query.  Approximate; recall grows
-    with nprobe."""
-    # deterministic id-hash sample, order-normalized by id: the centroid
-    # seed set must not depend on Ray block structure or task order
+def train_centroids(ds: Dataset, *, n_centroids: int = 16,
+                    sample_size: int = 2048, seed: int = 42,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic coarse k-means centroids: an id-hash sample
+    (order-normalized by id, so the seed set is independent of Ray
+    block structure and task order), then 5 Lloyd iterations on the
+    driver.  The sample is bounded at ~``sample_size`` rows — the only
+    driver-side materialization on any centroid-based path.  Shared by
+    :func:`ivf_topk_cosine`, :class:`IVFIndex` and
+    :func:`kgtk_ray.dedup.semdedup`."""
     stride = max(1, ds.count() // sample_size)
 
     def samp(df: pd.DataFrame) -> pd.DataFrame:
@@ -112,6 +113,20 @@ def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
             m = assign == c
             if m.any():
                 C[c] = _norm_rows(S[m].mean(axis=0, keepdims=True))[0]
+    return C
+
+
+def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_centroids: int = 16, nprobe: int = 4,
+                    sample_size: int = 2048, seed: int = 42) -> Dataset:
+    """IVF-style ANN: coarse centroids from a seeded sample (a few
+    Lloyd iterations on the driver), vectors scanned only in the
+    ``nprobe`` buckets nearest each query.  Approximate; recall grows
+    with nprobe."""
+    C = train_centroids(ds, n_centroids=n_centroids,
+                        sample_size=sample_size, seed=seed,
+                        vec_col=vec_col, id_col=id_col)
     cref = ray.put(C)
 
     Q = _norm_rows(np.asarray(queries, dtype=np.float64))

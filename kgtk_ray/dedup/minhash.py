@@ -88,6 +88,19 @@ def _signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def _band_buckets(sigs: np.ndarray, bands: int, r: int) -> np.ndarray:
+    """(n_docs, bands) int64 LSH bucket ids: each band's ``r``
+    signature rows mixed with the rolling-hash multiplier in one
+    vectorized pass over the whole batch."""
+    chunks = sigs.reshape(sigs.shape[0], bands, r)
+    mix = np.power(np.uint64(_POW), np.arange(r, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        buckets = (chunks * mix).sum(axis=2, dtype=np.uint64)
+        buckets *= np.uint64(0x9E3779B97F4A7C15)
+        buckets ^= buckets >> np.uint64(29)
+    return (buckets & np.uint64(0x7FFFFFFFFFFFFFFF)).astype("int64")
+
+
 def minhash_signatures(ds: Dataset, *, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 128,
                        shingle_k: int = 5, seed: int = 42) -> Dataset:
@@ -160,19 +173,11 @@ def minhash_dedup(ds: Dataset, *, text_col: str = "text", id_col: str = "doc_id"
                 _signature(_shingle_hashes(t, shingle_k), a, b)
                 for t in df[text_col].astype(str)
             ])  # (n_docs, num_perm)
-        # bucket id per (doc, band): mix each band's r rows in one
-        # vectorized pass over the whole batch
-        chunks = sigs.reshape(len(ids), bands, r)
-        mix = np.power(np.uint64(_POW), np.arange(r, dtype=np.uint64))
-        with np.errstate(over="ignore"):
-            buckets = (chunks * mix).sum(axis=2, dtype=np.uint64)
-            buckets *= np.uint64(0x9E3779B97F4A7C15)
-            buckets ^= buckets >> np.uint64(29)
+        buckets = _band_buckets(sigs, bands, r)
         return pd.DataFrame({
             "doc": np.repeat(ids, bands),
             "band": np.tile(np.arange(bands), len(ids)),
-            "bucket": (buckets & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(
-                "int64").ravel(),
+            "bucket": buckets.ravel(),
         })
 
     flat = (sh_table if sh_table is not None else ds).map_batches(

@@ -230,6 +230,59 @@ def ref_ivf(emb: pd.DataFrame, *, k=10, n_centroids=16, nprobe=4,
 # text embedding digest (deterministic hashing fallback)
 # ---------------------------------------------------------------------------
 
+def ref_dedup_against(docs: pd.DataFrame, *, num_perm=128, bands=32,
+                      shingle_k=5, threshold=0.8, seed=42) -> pd.DataFrame:
+    """Single-process replay of dedup_against(documents, documents
+    where doc_id%7==0): corpus doc flagged iff exact shingle Jaccard
+    >= threshold to some reference doc among LSH band-collision
+    candidates (hot buckets capped at 64 per side in ascending doc
+    order)."""
+    from kgtk_ray.dedup.minhash import (_band_buckets, _perm_params,
+                                        _shingle_hashes, _signature)
+    r = num_perm // bands
+    a, b = _perm_params(num_perm, seed)
+    corpus = docs.sort_values("doc_id")
+    ref = corpus[corpus["doc_id"] % 7 == 0]
+
+    def side(df):
+        sh = {int(d): _shingle_hashes(str(t), shingle_k)
+              for d, t in zip(df["doc_id"], df["text"])}
+        sigs = np.stack([_signature(sh[int(d)], a, b) for d in df["doc_id"]])
+        buckets = _band_buckets(sigs, bands, r)
+        return sh, dict(zip(df["doc_id"].astype(int), buckets))
+
+    sh_c, bk_c = side(corpus)
+    sh_r, bk_r = side(ref)
+
+    # (band, bucket) -> docs per side, ascending id, capped at 64
+    from collections import defaultdict
+    cmap, rmap = defaultdict(list), defaultdict(list)
+    for d in sorted(bk_c):
+        for band in range(bands):
+            key = (band, int(bk_c[d][band]))
+            if len(cmap[key]) < 64:
+                cmap[key].append(d)
+    for d in sorted(bk_r):
+        for band in range(bands):
+            key = (band, int(bk_r[d][band]))
+            if len(rmap[key]) < 64:
+                rmap[key].append(d)
+
+    cand = {(x, y) for key, xs in cmap.items() if key in rmap
+            for x in xs for y in rmap[key]}
+    flagged = set()
+    for x, y in sorted(cand):
+        xv, yv = sh_c[x], sh_r[y]
+        inter = np.intersect1d(xv, yv, assume_unique=True).size
+        union = xv.size + yv.size - inter
+        if (inter / union if union else 1.0) >= threshold:
+            flagged.add(x)
+    return pd.DataFrame({
+        "doc_id": corpus["doc_id"].astype("int64").to_numpy(),
+        "dup": corpus["doc_id"].isin(flagged).to_numpy(),
+    })
+
+
 def ref_text_embedding(docs: pd.DataFrame, *, dim=64) -> pd.DataFrame:
     import hashlib
     e0, e1 = [], []
@@ -357,6 +410,7 @@ def main() -> None:
     save(ref_multimodal(), "multimodal.parquet")
     save(ref_frame_sample(), "frame_sample.parquet")
     save(ref_mediawiki(nation), "mediawiki.parquet")
+    save(ref_dedup_against(docs), "dedup_against.parquet")
 
 
 if __name__ == "__main__":
