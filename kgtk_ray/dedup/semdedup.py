@@ -57,6 +57,12 @@ def semdedup(ds: Dataset, *, vec_col: str = "embedding",
     from ..ann import _list_matrix, _norm_rows, train_centroids
     from ..ops._bucket import bucketed_group_apply
 
+    if ds.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            "cluster": pd.Series(dtype="int64"),
+            "keep": pd.Series(dtype=bool)}))
+
     C = train_centroids(ds, n_centroids=n_clusters,
                         sample_size=sample_size, seed=seed,
                         vec_col=vec_col, id_col=id_col)

@@ -88,3 +88,22 @@ def test_empty_through_text_quality_ops():
     assert n_rows(gopher_filter(docs)) == 0
     assert n_rows(corpus_dup_ngram_frac(docs)) == 0
     assert n_rows(scrub_pii(docs)) == 0
+
+
+def test_empty_through_pack_and_against():
+    from kgtk_ray.dedup import dedup_against, semdedup
+    from kgtk_ray.text import pack_sequences
+    emb = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series([], dtype="int64"),
+        "embedding": pd.Series([], dtype=object)}))
+    assert n_rows(semdedup(emb)) == 0
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype=str)}))
+    small = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "text": ["some text here"]}))
+    assert n_rows(pack_sequences(docs)) == 0
+    # empty corpus against a non-empty reference, and vice versa
+    assert n_rows(dedup_against(docs, small)) == 0
+    out = dedup_against(small, docs).to_pandas()
+    assert len(out) == 1 and not out["dup"].any()
