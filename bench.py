@@ -166,6 +166,9 @@ def run_bench() -> dict:
     timed("topk_cosine", lambda: E._q_topk_cosine(SF_DIR).count())
     timed("langid", lambda: E._q_langid(SF_DIR).count())
     timed("dup_ngrams", lambda: E._q_dup_ngrams(SF_DIR).count())
+    timed("semdedup", lambda: E._q_semdedup(SF_DIR).count())
+    timed("pack_sequences", lambda: E._q_pack_sequences(SF_DIR).count())
+    timed("dedup_against", lambda: E._q_dedup_against(SF_DIR).count())
 
     # distributed pagerank on the full lineitem edge table (the graph
     # iteratives' scale check: rank state stays a Dataset; driver RSS
