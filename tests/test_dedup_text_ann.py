@@ -171,6 +171,16 @@ def test_ivf_index_partition_pruned(tmp_path):
     assert len(buckets) >= 2
 
 
+def test_ivf_index_missing_partitions_error(tmp_path):
+    """Probing an index path with no bucket partitions raises a
+    descriptive FileNotFoundError, not an IndexError."""
+    from kgtk_ray.ann import IVFIndex
+    C = np.eye(4, 8, dtype=np.float32)
+    idx = IVFIndex(str(tmp_path / "nonexistent"), C)
+    with pytest.raises(FileNotFoundError, match="probed bucket"):
+        idx.search(np.eye(1, 8), k=3, nprobe=2)
+
+
 def test_cluster_pairs_distributed_path_matches_driver():
     """The size gate defaults near-dup clustering to the driver
     union-find; force the distributed min-label propagation and assert
