@@ -520,6 +520,15 @@ def _q_sample_per_group(sf: str):
     return sample_per_group(docs, group_col="source", id_col="doc_id", n=10)
 
 
+def _q_split_dataset(sf: str):
+    from kgtk_ray.ops import split_dataset
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return split_dataset(docs, id_col="doc_id",
+                         fractions={"train": 0.8, "valid": 0.1,
+                                    "test": 0.1})
+
+
 def _q_weighted_sample(sf: str):
     from kgtk_ray.ops import weighted_sample
     docs = rd.read_parquet(f"{sf}/documents.parquet",
@@ -1006,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "pack_sequences": _q_pack_sequences,
         "dedup_against": _q_dedup_against,
+        "split_dataset": _q_split_dataset,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1494,6 +1504,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id*2654435761)%4294967296) % 10000 <
               CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                           WHEN 'src2' THEN 2500 ELSE 1000 END
+        """,
+        "split_dataset": """
+            SELECT doc_id, source,
+                   CASE WHEN ((doc_id*2654435761)%4294967296)%10000 < 8000
+                        THEN 'train'
+                        WHEN ((doc_id*2654435761)%4294967296)%10000 < 9000
+                        THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "langid": f"""
             SELECT doc_id,

@@ -104,6 +104,39 @@ def sample_per_group(ds: Dataset, *, group_col: str, id_col: str,
     return out.drop_columns(["__h__"])
 
 
+def split_dataset(ds: Dataset, *, id_col: str,
+                  fractions: dict | None = None,
+                  split_col: str = "split", scale: int = 10000) -> Dataset:
+    """Deterministic train/valid/test split: adds ``split_col`` by
+    hash-range assignment — ``knuth_hash(id) % scale`` falls into
+    consecutive ranges sized by ``fractions`` (insertion order).
+    Same guarantees as :func:`weighted_sample`: a document's split is
+    a pure function of its id, so splits are reproducible across runs,
+    block orders and cluster sizes, and rows never leak between splits
+    on re-runs.  Fractions must sum to 1.  SQL oracle shape:
+    ``CASE WHEN h < 9000 THEN 'train' WHEN h < 9500 THEN 'valid' ...``.
+    """
+    import numpy as np
+    fractions = fractions or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    names = list(fractions)
+    bounds = np.cumsum([int(round(fractions[n] * scale))
+                        for n in names])
+    bounds[-1] = scale  # rounding guard: last range absorbs the slack
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = (_id_hash(df[id_col].to_numpy())
+             % np.uint64(scale)).astype("int64")
+        idx = np.searchsorted(bounds, h, side="right")
+        df = df.copy()
+        df[split_col] = np.array(names, dtype=object)[idx]
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def weighted_sample(ds: Dataset, *, rate_col: str, id_col: str,
                     rates: dict, default_rate: float = 0.0,
                     scale: int = 10000) -> Dataset:

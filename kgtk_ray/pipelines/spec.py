@@ -70,11 +70,18 @@ def _builtin_ops() -> None:
         "text_normalize": normalize_text,
         "validate_properties": O.validate_properties,
     }
-    from ..dedup import minhash_dedup, simhash_dedup
+    from ..dedup import (dedup_against, minhash_dedup, semdedup,
+                         simhash_dedup)
     from ..io.importers import import_atomic, import_conceptnet
     from ..io.rdf import generate_wikidata_ttl
+    from ..text import chunk_text, pack_sequences, scrub_pii
     builtins["minhash_dedup"] = minhash_dedup
     builtins["simhash_dedup"] = simhash_dedup
+    builtins["semdedup"] = semdedup
+    builtins["dedup_against"] = dedup_against
+    builtins["pack_sequences"] = pack_sequences
+    builtins["chunk_text"] = chunk_text
+    builtins["scrub_pii"] = scrub_pii
     builtins["import_conceptnet"] = import_conceptnet
     builtins["import_atomic"] = import_atomic
     builtins["generate_wikidata_ttl"] = generate_wikidata_ttl

@@ -223,6 +223,28 @@ def test_dedup_against_join_path(monkeypatch):
     pd.testing.assert_frame_equal(broad, joined)
 
 
+def test_split_dataset():
+    from kgtk_ray.ops import split_dataset
+    import pytest
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype="int64")})
+    out = split_dataset(ray.data.from_pandas(df), id_col="doc_id",
+                        fractions={"train": 0.8, "valid": 0.1,
+                                   "test": 0.1}).to_pandas()
+    counts = out["split"].value_counts()
+    # hash-range assignment: proportions approximate on 2000 ids
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert set(counts.index) == {"train", "valid", "test"}
+    # deterministic: re-running assigns identically
+    out2 = split_dataset(ray.data.from_pandas(df),
+                         id_col="doc_id").to_pandas()
+    out3 = split_dataset(ray.data.from_pandas(df),
+                         id_col="doc_id").to_pandas()
+    pd.testing.assert_frame_equal(out2, out3)
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_dataset(ray.data.from_pandas(df), id_col="doc_id",
+                      fractions={"train": 0.5})
+
+
 def test_dedup_against_empty_reference():
     cds = ray.data.from_pandas(
         pd.DataFrame({"doc_id": [1, 2], "text": ["aaaa bbbb", "cccc dddd"]}))
