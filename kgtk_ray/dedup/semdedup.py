@@ -40,9 +40,10 @@ import ray.data
 
 Dataset = ray.data.Dataset
 
-# rows per chunk in the intra-cluster pairwise matmul: bounds peak
-# memory at chunk * m floats for an m-member cluster
-_PAIRWISE_CHUNK = 1024
+# float budget per pairwise-matmul chunk: the (chunk, m) sims matrix
+# for an m-member cluster is capped at ~128 MB float32 regardless of
+# cluster size (chunk adapts down for huge clusters)
+_PAIRWISE_BUDGET = 32 * 1024 * 1024
 
 
 def semdedup(ds: Dataset, *, vec_col: str = "embedding",
@@ -96,9 +97,11 @@ def semdedup(ds: Dataset, *, vec_col: str = "embedding",
                 X = np.frombuffer(b"".join(sub["vec"]),
                                   dtype=np.float32).reshape(m, -1)
                 # chunked upper-triangular pass: rows [s, e) vs all
-                # earlier rows — peak memory O(chunk * m)
-                for s in range(1, m, _PAIRWISE_CHUNK):
-                    e = min(s + _PAIRWISE_CHUNK, m)
+                # earlier rows — peak memory O(chunk * m), chunk sized
+                # to the float budget
+                chunk = max(16, _PAIRWISE_BUDGET // m)
+                for s in range(1, m, chunk):
+                    e = min(s + chunk, m)
                     sims = X[s:e] @ X[: e - 1].T  # (e-s, e-1)
                     # row s+i may only look at columns < s+i
                     ahead = np.arange(s, e)[:, None] <= \
