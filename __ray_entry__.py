@@ -529,6 +529,20 @@ def _q_split_dataset(sf: str):
                                     "test": 0.1})
 
 
+def _q_dedup_spans(sf: str):
+    from kgtk_ray.text import dedup_spans
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_spans(docs, k=3)
+
+
+def _q_corpus_stats(sf: str):
+    from kgtk_ray.ops import grouped_profile
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["source", "n_chars"])
+    return _round_cols(grouped_profile(docs, group_col="source",
+                                       value_col="n_chars"), ["mean"], 6)
+
+
 def _q_weighted_sample(sf: str):
     from kgtk_ray.ops import weighted_sample
     docs = rd.read_parquet(f"{sf}/documents.parquet",
@@ -1016,6 +1030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "dedup_against": _q_dedup_against,
         "split_dataset": _q_split_dataset,
+        "dedup_spans": _q_dedup_spans,
+        "corpus_stats": _q_corpus_stats,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1389,6 +1405,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sum(CASE WHEN cnt.ndocs >= 2 THEN 1 ELSE 0 END)
                          *1.0/count(*), 6) AS dup_gram_frac
             FROM g JOIN cnt USING (gram) GROUP BY g.doc_id
+        """,
+        "dedup_spans": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws,1) AS i
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents)
+            ), sp AS (
+              SELECT doc_id, (i-1)//3 AS span_idx,
+                     string_agg(word, ' ' ORDER BY i) AS span_text
+              FROM w GROUP BY doc_id, (i-1)//3
+            ), keep AS (
+              SELECT doc_id, span_idx, span_text,
+                     row_number() OVER (PARTITION BY span_text
+                                        ORDER BY doc_id, span_idx) AS rn
+              FROM sp
+            )
+            SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS text
+            FROM keep WHERE rn = 1 GROUP BY doc_id
+        """,
+        "corpus_stats": r"""
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total,
+                   ROUND(avg(n_chars), 6) AS mean,
+                   min(n_chars) AS vmin, max(n_chars) AS vmax,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90
+            FROM documents GROUP BY source
         """,
         "pii_scrub": r"""
             WITH a AS (

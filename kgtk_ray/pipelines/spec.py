@@ -74,7 +74,7 @@ def _builtin_ops() -> None:
                          simhash_dedup)
     from ..io.importers import import_atomic, import_conceptnet
     from ..io.rdf import generate_wikidata_ttl
-    from ..text import chunk_text, pack_sequences, scrub_pii
+    from ..text import chunk_text, dedup_spans, pack_sequences, scrub_pii
     builtins["minhash_dedup"] = minhash_dedup
     builtins["simhash_dedup"] = simhash_dedup
     builtins["semdedup"] = semdedup
@@ -82,6 +82,8 @@ def _builtin_ops() -> None:
     builtins["pack_sequences"] = pack_sequences
     builtins["chunk_text"] = chunk_text
     builtins["scrub_pii"] = scrub_pii
+    builtins["dedup_spans"] = dedup_spans
+    builtins["grouped_profile"] = O.grouped_profile
     builtins["import_conceptnet"] = import_conceptnet
     builtins["import_atomic"] = import_atomic
     builtins["generate_wikidata_ttl"] = generate_wikidata_ttl

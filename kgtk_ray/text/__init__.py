@@ -18,10 +18,11 @@ from .chunk import chunk_text
 from .decontam import decontaminate
 from .lm import unigram_logprob
 from .pack import pack_sequences
+from .spans import dedup_spans
 
 __all__ = ["langid", "quality_score", "token_counts", "fingerprint",
            "winnowing_fingerprints", "normalize_text", "normalize_text_series",
            "normalize_whitespace_series", "normalize_punctuation_series",
            "repetition_signals", "gopher_filter", "corpus_dup_ngram_frac",
            "scrub_pii", "scrub_series", "chunk_text", "decontaminate", "unigram_logprob",
-           "pack_sequences"]
+           "pack_sequences", "dedup_spans"]

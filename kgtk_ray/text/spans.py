@@ -1,0 +1,87 @@
+"""Global sub-document span deduplication (C4 style).
+
+The C4 corpus pipeline (Raffel et al. 2020, "Exploring the Limits of
+Transfer Learning with a Unified Text-to-Text Transformer", §2.2)
+removes every repeated three-sentence span from the corpus, keeping
+only its first occurrence, then reassembles the documents from the
+surviving spans.  This module re-expresses that as a Ray Data
+pipeline over fixed-``k``-word spans (the synthetic corpus carries no
+sentence punctuation, so the span unit is a word window; the shape is
+identical for sentence spans — swap the splitter):
+
+1. one row-expanding ``map_batches`` pass splits each document into
+   consecutive ``k``-word spans (the trailing partial span counts);
+   each document is produced whole inside a single task, so span
+   indices are exact;
+2. one hash-bucketed shuffle keyed on the span text groups every
+   occurrence of a span into the same bucket, where the global first
+   occurrence — minimum ``(doc_id, span_idx)`` — survives a vectorized
+   ``drop_duplicates``; the winner is a total order, so the result is
+   deterministic across block orders and cluster sizes;
+3. one bucketed shuffle on ``doc_id`` reassembles surviving spans in
+   span order.
+
+Scale: both shuffles move each span string exactly once; there is no
+driver-side state.  Documents whose every span was seen earlier
+disappear from the output (C4 likewise drops emptied documents).
+"""
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from ..ops._bucket import MIN_BUNDLE_ROWS, bucketed_group_apply
+
+Dataset = ray.data.Dataset
+
+
+def dedup_spans(ds: Dataset, *, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 3,
+                num_buckets: int = 32) -> Dataset:
+    """Remove every repeated ``k``-word span corpus-wide (keep the
+    occurrence with the smallest ``(id_col, span position)``) and
+    reassemble documents from their surviving spans.
+
+    Returns ``(id_col, text_col)``; documents with no surviving spans
+    (or no tokens) are dropped.
+    """
+
+    def to_spans(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "span_idx": pd.Series([], dtype="int64"),
+                                 "span_text": pd.Series([], dtype=str)})
+        pos = ex.groupby(level=0).cumcount()
+        frame = pd.DataFrame({
+            id_col: df[id_col].reindex(ex.index).to_numpy(),
+            "span_idx": (pos // k).to_numpy(),
+            "word": ex.to_numpy(),
+        })
+        spans = (frame.groupby([id_col, "span_idx"], sort=False)["word"]
+                 .agg(" ".join).reset_index(name="span_text"))
+        return spans
+
+    spans = ds.map_batches(to_spans, batch_format="pandas",
+                           batch_size=MIN_BUNDLE_ROWS)
+
+    # global keep-first: all occurrences of a span text land in one
+    # bucket (hash of the exact text), where the minimal (doc, idx)
+    # occurrence wins — exact even under 64-bit hash-bucket collisions,
+    # because the dedup key is the text itself.
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([id_col, "span_idx"], kind="mergesort")
+                .drop_duplicates("span_text"))
+
+    kept = bucketed_group_apply(spans, ["span_text"], keep_first,
+                                num_buckets=num_buckets, arrow_tag=True)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("span_idx", kind="mergesort")
+        out = (df.groupby(id_col, sort=False)["span_text"]
+               .agg(" ".join).reset_index(name=text_col))
+        return out
+
+    return bucketed_group_apply(kept, [id_col], reassemble,
+                                num_buckets=num_buckets, arrow_tag=True)

@@ -1,0 +1,114 @@
+"""Unit tests for global span dedup (C4-style) and grouped profiling."""
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from kgtk_ray.ops import grouped_profile
+from kgtk_ray.text import dedup_spans
+
+
+def _ds(rows, parallelism=2):
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(parallelism)
+
+
+def _run(ds, **kw):
+    return (dedup_spans(ds, **kw).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_dedup_spans_keeps_first_occurrence():
+    # span unit = 2 words; "a b" appears in docs 1 and 2 -> doc 2 loses it
+    ds = _ds([
+        {"doc_id": 1, "text": "a b c d"},
+        {"doc_id": 2, "text": "a b x y"},
+    ])
+    out = _run(ds, k=2)
+    assert out.text.tolist() == ["a b c d", "x y"]
+
+
+def test_dedup_spans_within_doc_and_trailing_partial():
+    # doc 1: spans "p q", "p q", "r" -> second "p q" removed, partial kept
+    ds = _ds([{"doc_id": 1, "text": "p q p q r"},
+              {"doc_id": 2, "text": "r"}])
+    out = _run(ds, k=2)
+    # "r" in doc 1 (span_idx 2) precedes doc 2's "r" (doc order wins)
+    assert out.doc_id.tolist() == [1]
+    assert out.text.tolist() == ["p q r"]
+
+
+def test_dedup_spans_drops_fully_duplicated_docs():
+    ds = _ds([
+        {"doc_id": 10, "text": "u v w"},
+        {"doc_id": 11, "text": "u v w"},   # exact dup -> vanishes
+        {"doc_id": 12, "text": ""},        # tokenless -> vanishes
+    ])
+    out = _run(ds, k=3)
+    assert out.doc_id.tolist() == [10]
+    assert out.text.tolist() == ["u v w"]
+
+
+def test_dedup_spans_deterministic_across_block_orders():
+    rng = np.random.default_rng(7)
+    vocab = list("abcdefgh")
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=rng.integers(3, 20)))}
+            for i in range(80)]
+    a = _run(_ds(rows, parallelism=1), k=3)
+    b = _run(_ds(list(reversed(rows)), parallelism=7), k=3)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_spans_matches_naive_reference():
+    rng = np.random.default_rng(11)
+    vocab = list("xyzw")
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=rng.integers(1, 12)))}
+            for i in range(60)]
+    k = 2
+    seen, expect = set(), {}
+    for r in rows:  # rows are doc_id-ordered, matching the op's winner rule
+        words = r["text"].split()
+        kept = []
+        for s in range(0, len(words), k):
+            span = " ".join(words[s:s + k])
+            if span not in seen:
+                seen.add(span)
+                kept.append(span)
+        if kept:
+            expect[r["doc_id"]] = " ".join(kept)
+    out = _run(_ds(rows, parallelism=5), k=k)
+    assert dict(zip(out.doc_id, out.text)) == expect
+
+
+def test_dedup_spans_empty_input():
+    ds = _ds([{"doc_id": 1, "text": "a"}]).filter(lambda r: False)
+    assert dedup_spans(ds).to_pandas().empty
+
+
+def test_grouped_profile_exact_stats():
+    rng = np.random.default_rng(3)
+    rows = [{"g": f"s{i % 3}", "v": int(rng.integers(0, 50))}
+            for i in range(400)]
+    out = (grouped_profile(_ds(rows, parallelism=6), group_col="g",
+                           value_col="v", quantiles=(0.5, 0.9, 0.25))
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    df = pd.DataFrame(rows)
+    for _, row in out.iterrows():
+        vals = np.sort(df.loc[df.g == row.g, "v"].to_numpy())
+        n = len(vals)
+        assert row.n == n
+        assert row.total == vals.sum()
+        assert math.isclose(row["mean"], vals.sum() / n)
+        assert row.vmin == vals[0] and row.vmax == vals[-1]
+        for q, name in [(0.5, "p50"), (0.9, "p90"), (0.25, "p25")]:
+            assert row[name] == vals[max(1, math.ceil(q * n)) - 1], (q, row.g)
+
+
+def test_grouped_profile_single_value_groups():
+    out = (grouped_profile(_ds([{"g": "a", "v": 7}], parallelism=1),
+                           group_col="g", value_col="v").to_pandas())
+    r = out.iloc[0]
+    assert (r.n, r.total, r.vmin, r.vmax, r.p50, r.p90) == (1, 7, 7, 7, 7, 7)
+    assert r["mean"] == 7.0
