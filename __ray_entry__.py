@@ -543,6 +543,13 @@ def _q_corpus_stats(sf: str):
                                        value_col="n_chars"), ["mean"], 6)
 
 
+def _q_shard_assign(sf: str):
+    from kgtk_ray.ops import shard_assign
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return shard_assign(docs, id_col="doc_id", n_shards=8)
+
+
 def _q_weighted_sample(sf: str):
     from kgtk_ray.ops import weighted_sample
     docs = rd.read_parquet(f"{sf}/documents.parquet",
@@ -1032,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_dataset": _q_split_dataset,
         "dedup_spans": _q_dedup_spans,
         "corpus_stats": _q_corpus_stats,
+        "shard_assign": _q_shard_assign,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1547,6 +1555,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id*2654435761)%4294967296) % 10000 <
               CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                           WHEN 'src2' THEN 2500 ELSE 1000 END
+        """,
+        "shard_assign": """
+            SELECT doc_id, source,
+                   CAST(((doc_id*2654435761)%4294967296)%8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY ((doc_id*2654435761)%4294967296)%8
+                     ORDER BY (doc_id*2654435761)%4294967296, doc_id) - 1
+                     AS BIGINT) AS pos
+            FROM documents
         """,
         "split_dataset": """
             SELECT doc_id, source,

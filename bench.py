@@ -169,6 +169,9 @@ def run_bench() -> dict:
     timed("semdedup", lambda: E._q_semdedup(SF_DIR).count())
     timed("pack_sequences", lambda: E._q_pack_sequences(SF_DIR).count())
     timed("dedup_against", lambda: E._q_dedup_against(SF_DIR).count())
+    timed("dedup_spans", lambda: E._q_dedup_spans(SF_DIR).count())
+    timed("corpus_stats", lambda: E._q_corpus_stats(SF_DIR).count())
+    timed("shard_assign", lambda: E._q_shard_assign(SF_DIR).count())
 
     # distributed pagerank on the full lineitem edge table (the graph
     # iteratives' scale check: rank state stays a Dataset; driver RSS

@@ -36,7 +36,8 @@ from .window import tumbling_window, sliding_window, session_window
 from .unreify import unreify_rdf_statements, unreify_values
 from .propvalidate import validate_properties
 from .sample import (every_nth, record_limit, tail, initial_skip,
-                     sample_per_group, split_dataset, weighted_sample)
+                     sample_per_group, shard_assign, split_dataset,
+                     weighted_sample)
 from .profile import grouped_profile
 
 __all__ = [
@@ -49,5 +50,5 @@ __all__ = [
     "tumbling_window", "sliding_window", "session_window",
     "unreify_rdf_statements", "unreify_values", "hits", "validate_properties", "every_nth", "record_limit",
     "tail", "initial_skip", "sample_per_group", "weighted_sample",
-    "split_dataset", "grouped_profile",
+    "split_dataset", "grouped_profile", "shard_assign",
 ]

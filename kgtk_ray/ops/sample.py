@@ -156,3 +156,54 @@ def weighted_sample(ds: Dataset, *, rate_col: str, id_col: str,
         return df[h < thr]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def shard_assign(ds: Dataset, *, id_col: str, n_shards: int,
+                 shard_col: str = "shard", pos_col: str | None = "pos",
+                 num_buckets: int | None = None) -> Dataset:
+    """Deterministic global shuffle into ``n_shards`` training shards.
+
+    Training runs want the corpus in a reproducible pseudo-random order,
+    split into fixed shard files a data loader can stream and a failed
+    job can resume per shard.  ``Dataset.random_shuffle`` gives a
+    non-reproducible order and a full materializing exchange; this op
+    instead derives everything from the Knuth multiplicative hash of
+    the id:
+
+    * ``shard_col`` — ``knuth_hash(id) % n_shards``: a pure per-row
+      map (zero shuffles).  Follow with
+      ``write_parquet(partition_cols=[shard_col])`` for resumable
+      shard directories.
+    * ``pos_col`` (optional) — the row's 0-based rank within its shard
+      by ``(knuth_hash(id), id)``: the reproducible within-shard
+      shuffle order.  Computing it co-locates each shard with one
+      bucketed shuffle; pass ``pos_col=None`` to skip the exchange
+      when the loader shuffles within shards itself.
+
+    Every assignment is a pure function of the id — identical across
+    runs, block orders and cluster sizes.  Scale note: with ``pos_col``
+    each shard is ranked inside a single task, so pick ``n_shards``
+    large enough that one shard fits a worker (at 100 TB: thousands).
+    """
+    import numpy as np
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[shard_col] = (_id_hash(df[id_col].to_numpy())
+                         % np.uint64(n_shards)).astype("int64")
+        return df
+
+    tagged = ds.map_batches(assign, batch_format="pandas")
+    if pos_col is None:
+        return tagged
+
+    from ._bucket import bucketed_group_apply
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__h__=_id_hash(df[id_col].to_numpy()))
+        df = df.sort_values(["__h__", id_col], kind="mergesort")
+        df[pos_col] = df.groupby(shard_col, sort=False).cumcount()
+        return df.drop(columns="__h__")
+
+    return bucketed_group_apply(tagged, [shard_col], rank,
+                                num_buckets=num_buckets or min(n_shards, 64))

@@ -84,6 +84,7 @@ def _builtin_ops() -> None:
     builtins["scrub_pii"] = scrub_pii
     builtins["dedup_spans"] = dedup_spans
     builtins["grouped_profile"] = O.grouped_profile
+    builtins["shard_assign"] = O.shard_assign
     builtins["import_conceptnet"] = import_conceptnet
     builtins["import_atomic"] = import_atomic
     builtins["generate_wikidata_ttl"] = generate_wikidata_ttl

@@ -112,3 +112,39 @@ def test_grouped_profile_single_value_groups():
     r = out.iloc[0]
     assert (r.n, r.total, r.vmin, r.vmax, r.p50, r.p90) == (1, 7, 7, 7, 7, 7)
     assert r["mean"] == 7.0
+
+
+def test_shard_assign_matches_hash_arithmetic():
+    from kgtk_ray.ops import shard_assign
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(200)]
+    out = (shard_assign(_ds(rows, parallelism=5), id_col="doc_id",
+                        n_shards=8).to_pandas()
+           .sort_values(["shard", "pos"]).reset_index(drop=True))
+    h = (np.arange(200, dtype=np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(4294967296)
+    df = pd.DataFrame({"doc_id": np.arange(200), "h": h,
+                       "shard": (h % 8).astype("int64")})
+    df = df.sort_values(["shard", "h", "doc_id"]).reset_index(drop=True)
+    df["pos"] = df.groupby("shard").cumcount()
+    assert out.doc_id.tolist() == df.doc_id.tolist()
+    assert out.shard.tolist() == df.shard.tolist()
+    assert out.pos.tolist() == df.pos.tolist()
+    # pure-map path (no pos): same shard labels, zero shuffles
+    nopos = (shard_assign(_ds(rows, parallelism=3), id_col="doc_id",
+                          n_shards=8, pos_col=None).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert "pos" not in nopos.columns
+    assert (nopos.shard.to_numpy()
+            == df.sort_values("doc_id").shard.to_numpy()).all()
+
+
+def test_shard_assign_deterministic_across_block_orders():
+    from kgtk_ray.ops import shard_assign
+    rows = [{"doc_id": i} for i in range(120)]
+    a = (shard_assign(_ds(rows, parallelism=1), id_col="doc_id",
+                      n_shards=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (shard_assign(_ds(list(reversed(rows)), parallelism=9),
+                      id_col="doc_id", n_shards=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
