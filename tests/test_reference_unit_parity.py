@@ -1,0 +1,196 @@
+"""Parity against the reference's OWN unit-test suite.
+
+The reference ships unit tests with recorded expectations over its
+fixture data (/root/reference/kgtk/tests/test_kgtk_filter.py,
+test_add_id.py, test_kgtk_ifexists.py, test_normalize_nodes.py, data/).
+This module replays those exact inputs through kgtk_ray's operators and
+asserts the reference's own recorded row counts / id formats / values.
+Order-sensitive assertions (the reference numbers ids by file order;
+rows here are unordered per docs/specification.md:24) are replaced by
+set equality over the same universe.
+"""
+import pandas as pd
+import pytest
+
+import kgtk_ray.ops as O
+from kgtk_ray.io import read_kgtk_tsv
+
+DATA = "/root/reference/kgtk/tests/data"
+EDGE = f"{DATA}/sample_kgtk_edge_file.tsv"
+NON_EDGE = f"{DATA}/sample_kgtk_non_edge_file.tsv"
+NODES = f"{DATA}/sample_kgtk_nodes.tsv"
+WITH_ID = f"{DATA}/sample_kgtk_edge_file_with_id.tsv"
+Q47158_EDGE = f"{DATA}/sample_kgtk_edge_Q47158.tsv"
+Q47158_HEAD = f"{DATA}/Q47158_non_edge.tsv"
+
+
+@pytest.fixture(scope="module")
+def edge_df():
+    return pd.read_csv(EDGE, sep="\t")
+
+
+@pytest.fixture(scope="module")
+def non_edge_df():
+    return pd.read_csv(NON_EDGE, sep="\t")
+
+
+# ---- test_kgtk_filter.py ----
+
+def test_filter_p31(edge_df):
+    # reference test_kgtk_filter_p31: 10 rows, node1 ⊆ P31 subjects
+    out = O.kgtk_filter(read_kgtk_tsv(EDGE), pred="P31").to_pandas()
+    assert len(out) == 10
+    gt = set(edge_df.loc[edge_df["label"] == "P31", "node1"])
+    assert set(out["node1"]) <= gt
+
+
+def test_filter_q2447774(edge_df):
+    # reference test_kgtk_filter_Q2447774: 27 rows, node2 ⊆ GT
+    out = O.kgtk_filter(read_kgtk_tsv(EDGE), subj="Q2447774").to_pandas()
+    assert len(out) == 27
+    # the reader canonicalizes null cells to "" while pandas reads NaN
+    gt = set(edge_df.loc[edge_df["node1"] == "Q2447774", "node2"]
+             .fillna("").astype(str))
+    assert set(out["node2"].fillna("").astype(str)) <= gt
+
+
+def test_filter_full_triple_one_row():
+    # reference test_kgtk_filter_one_row
+    out = O.kgtk_filter(read_kgtk_tsv(EDGE), subj="Q65695069", pred="P577",
+                        obj="^2019-07-19T00:00:00Z/11").to_pandas()
+    assert len(out) == 1
+
+
+def test_filter_custom_columns_inverted(non_edge_df):
+    # reference test_kgtk_filter_single_pred_inverted (columns sub/pred/obj)
+    ds = read_kgtk_tsv(NON_EDGE, normalize=False)
+    out = O.kgtk_filter(ds, pred="P577", invert=True, subj_col="sub",
+                        pred_col="pred", obj_col="obj").to_pandas()
+    assert len(out) == (non_edge_df["pred"] != "P577").sum()
+
+
+def test_filter_custom_columns_object(non_edge_df):
+    # reference test_kgtk_filter_single_object + _inverted + _reject_file:
+    # matches, inverse, and reject(inverse) == matches partition the input
+    ds = read_kgtk_tsv(NON_EDGE, normalize=False)
+    kw = dict(subj_col="sub", pred_col="pred", obj_col="obj")
+    hit = O.kgtk_filter(ds, obj="Q11365", **kw).to_pandas()
+    miss = O.kgtk_filter(ds, obj="Q11365", invert=True, **kw).to_pandas()
+    n_hit = (non_edge_df["obj"] == "Q11365").sum()
+    assert len(hit) == n_hit
+    assert len(miss) == len(non_edge_df) - n_hit
+    assert set(hit["id"]).isdisjoint(set(miss["id"]))
+
+
+# ---- test_add_id.py ----
+
+def _with_id_rows():
+    return pd.read_csv(WITH_ID, sep="\t", dtype=str)
+
+
+def test_add_id_style_n1_l_n2():
+    out = O.add_id(read_kgtk_tsv(WITH_ID), style="node1-label-node2",
+                   overwrite=True).to_pandas()
+    assert (out["id"] == out["node1"] + "-" + out["label"] + "-"
+            + out["node2"]).all()
+
+
+def test_add_id_style_n1_l_n2_id():
+    src = _with_id_rows()
+    out = O.add_id(read_kgtk_tsv(WITH_ID), style="node1-label-node2-id",
+                   overwrite=True).to_pandas()
+    old = dict(zip(src["node1"] + "-" + src["label"] + "-" + src["node2"],
+                   src["id"]))
+    base = out["node1"] + "-" + out["label"] + "-" + out["node2"]
+    assert (out["id"] == base + "-" + base.map(old)).all()
+
+
+def test_add_id_style_empty():
+    out = O.add_id(read_kgtk_tsv(WITH_ID), style="empty",
+                   overwrite=True).to_pandas()
+    assert (out["id"] == "").all()
+
+
+def test_add_id_style_prefix_sequence():
+    # reference test_kgtk_add_id_overwrite_style_prefix: THIS1..THISn.
+    # The reference numbers by file order; ids here are assigned in
+    # deterministic sorted-row order, so compare the id SET.
+    src = _with_id_rows()
+    out = O.add_id(read_kgtk_tsv(WITH_ID), style="prefix###",
+                   overwrite=True, id_prefix="THIS").to_pandas()
+    assert set(out["id"]) == {f"THIS{i + 1}" for i in range(len(src))}
+
+
+def test_add_id_default_prefix_sequence():
+    # reference test_kgtk_add_id_default on the no-id file: E1..En
+    src = pd.read_csv(f"{DATA}/sample_kgtk_edge_file_no_id.tsv", sep="\t")
+    out = O.add_id(read_kgtk_tsv(f"{DATA}/sample_kgtk_edge_file_no_id.tsv"),
+                   style="prefix###", id_prefix="E").to_pandas()
+    assert set(out["id"]) == {f"E{i + 1}" for i in range(len(src))}
+
+
+def test_add_id_num_style_zero_padded():
+    # reference test_kgtk_add_id_overwrite_style_n1_l_num: ...-0000 for
+    # singleton (node1,label) groups; multi-edge groups get 0000..000k
+    out = O.add_id(read_kgtk_tsv(WITH_ID), style="node1-label-num",
+                   overwrite=True).to_pandas()
+    assert out["id"].str.match(r".+-.+-\d{4}$").all()
+    # every id in the with_id fixture is a distinct (node1,label) group
+    assert (out["id"].str.endswith("-0000")).all()
+
+
+# ---- test_kgtk_ifexists.py ----
+
+def test_ifexists_reference_counts():
+    # reference test_kgtk_ifexists: 118 surviving rows
+    inp = read_kgtk_tsv(EDGE)
+    filt = read_kgtk_tsv(Q47158_EDGE)
+    out = O.ifexists(inp, filt, input_keys=["node1"], filter_keys=["node1"])
+    assert len(out.to_pandas()) == 118
+
+
+def test_ifexists_mode_none_heading_key():
+    # reference test_kgtk_ifexists_mode_none: non-edge filter file with a
+    # single 'heading' column, 118 surviving rows
+    inp = read_kgtk_tsv(EDGE)
+    filt = read_kgtk_tsv(Q47158_HEAD, normalize=False)
+    out = O.ifexists(inp, filt, input_keys=["node1"],
+                     filter_keys=["heading"])
+    assert len(out.to_pandas()) == 118
+
+
+def test_ifnotexists_reference_counts():
+    # reference test_kgtk_ifnotexists: 169 rows (118 + 169 = 287 total)
+    inp = read_kgtk_tsv(EDGE)
+    filt = read_kgtk_tsv(Q47158_HEAD, normalize=False)
+    out = O.ifnotexists(inp, filt, input_keys=["node1"],
+                        filter_keys=["heading"])
+    assert len(out.to_pandas()) == 169
+
+
+# ---- test_normalize_nodes.py ----
+
+def test_normalize_nodes_default():
+    # reference test_kgtk_normalize_nodes_default: 52 edges after list
+    # expansion; Q183 has exactly the 3 language-qualified labels
+    ds = read_kgtk_tsv(NODES, normalize=False)
+    out = O.expand_lists(O.normalize_nodes(ds), columns=["node2"]).to_pandas()
+    assert len(out) == 52
+    labels = set(out.loc[(out["node1"] == "Q183")
+                         & (out["label"] == "label"), "node2"])
+    assert labels == {"'Germany'@en", "'Германия'@ru", "'Німеччина'@uk"}
+
+
+def test_normalize_nodes_alias_only():
+    ds = read_kgtk_tsv(NODES, normalize=False).select_columns(["id", "alias"])
+    out = O.expand_lists(O.normalize_nodes(ds), columns=["node2"]).to_pandas()
+    assert len(out) == 24
+    assert set(out["label"]) == {"alias"}
+
+
+def test_normalize_nodes_alias_relabeled():
+    ds = read_kgtk_tsv(NODES, normalize=False).select_columns(["id", "alias"])
+    out = O.expand_lists(O.normalize_nodes(ds, labels={"alias": "aliases"}),
+                         columns=["node2"]).to_pandas()
+    assert len(out) == 24
+    assert set(out["label"]) == {"aliases"}
