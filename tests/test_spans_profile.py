@@ -60,13 +60,16 @@ def test_dedup_spans_deterministic_across_block_orders():
     pd.testing.assert_frame_equal(a, b)
 
 
-def test_dedup_spans_matches_naive_reference():
-    rng = np.random.default_rng(11)
+import pytest
+
+
+@pytest.mark.parametrize("seed,k", [(11, 2), (23, 1), (5, 5), (99, 3)])
+def test_dedup_spans_matches_naive_reference(seed, k):
+    rng = np.random.default_rng(seed)
     vocab = list("xyzw")
     rows = [{"doc_id": i,
              "text": " ".join(rng.choice(vocab, size=rng.integers(1, 12)))}
             for i in range(60)]
-    k = 2
     seen, expect = set(), {}
     for r in rows:  # rows are doc_id-ordered, matching the op's winner rule
         words = r["text"].split()
