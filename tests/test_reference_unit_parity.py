@@ -194,3 +194,43 @@ def test_normalize_nodes_alias_relabeled():
                          columns=["node2"]).to_pandas()
     assert len(out) == 24
     assert set(out["label"]) == {"aliases"}
+
+
+# ---- test_cat.py ----
+
+def test_cat_roundtrip_counts_columns_ids(edge_df):
+    # reference test_kgtk_cat: same rows, same columns, ids preserved
+    out = O.cat(read_kgtk_tsv(EDGE)).to_pandas()
+    assert len(out) == len(edge_df)
+    assert list(out.columns) == list(edge_df.columns)
+    assert sorted(out["id"]) == sorted(edge_df["id"].astype(str))
+
+
+def test_cat_two_files():
+    # reference test_kgtk_cat_two_files: 1 + 5 = 6 rows
+    out = O.cat(read_kgtk_tsv(Q47158_EDGE), read_kgtk_tsv(WITH_ID)).to_pandas()
+    assert len(out) == 6
+
+
+def test_cat_jsonl_formats(edge_df):
+    # reference test_kgtk_cat_output_json_line / _map: 287 data lines,
+    # arrays of 5 cells / objects keyed by the 5 column names (the
+    # reference's jsonl adds a header array line; format_lines emits
+    # data lines only — write_kgtk_file owns the header)
+    from kgtk_ray.io.formats import format_lines
+    import json
+    ds = read_kgtk_tsv(EDGE)
+    jl = format_lines(ds, "jsonl").to_pandas()["line"]
+    assert len(jl) == 287
+    assert all(len(json.loads(l)) == 5 for l in jl)
+    jm = format_lines(ds, "jsonl-map").to_pandas()["line"]
+    assert len(jm) == 287
+    keys = {"id", "node1", "label", "node2", "rank"}
+    assert all(set(json.loads(l)) == keys for l in jm)
+
+
+def test_cat_csv_format(edge_df):
+    # reference test_kgtk_cat_output_csv: same row count, columns intact
+    from kgtk_ray.io.formats import format_lines
+    lines = format_lines(read_kgtk_tsv(EDGE), "csv").to_pandas()["line"]
+    assert len(lines) == len(edge_df)
