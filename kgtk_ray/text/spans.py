@@ -54,14 +54,20 @@ def dedup_spans(ds: Dataset, *, text_col: str = "text",
                                  "span_idx": pd.Series([], dtype="int64"),
                                  "span_text": pd.Series([], dtype=str)})
         pos = ex.groupby(level=0).cumcount()
-        frame = pd.DataFrame({
-            id_col: df[id_col].reindex(ex.index).to_numpy(),
-            "span_idx": (pos // k).to_numpy(),
-            "word": ex.to_numpy(),
+        # vectorized k-word join: concatenate k doc-local shifted copies
+        # (the bigram idiom from repetition.py); a shift past the end of
+        # the document yields NaN -> "" so the trailing partial span
+        # falls out of the rstrip (words are split() output: non-empty,
+        # no internal whitespace)
+        parts = [ex.groupby(level=0).shift(-i).fillna("")
+                 for i in range(1, k)]
+        span = ex.str.cat(parts, sep=" ").str.rstrip() if parts else ex
+        starts = (pos % k == 0).to_numpy()
+        return pd.DataFrame({
+            id_col: df[id_col].reindex(ex.index).to_numpy()[starts],
+            "span_idx": (pos // k).to_numpy()[starts],
+            "span_text": span.to_numpy()[starts],
         })
-        spans = (frame.groupby([id_col, "span_idx"], sort=False)["word"]
-                 .agg(" ".join).reset_index(name="span_text"))
-        return spans
 
     spans = ds.map_batches(to_spans, batch_format="pandas",
                            batch_size=MIN_BUNDLE_ROWS)
