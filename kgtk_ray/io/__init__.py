@@ -1,4 +1,5 @@
-from .kgtk_tsv import read_kgtk_tsv, write_kgtk_tsv, read_edges_parquet, write_edges_parquet
+from .kgtk_tsv import (read_kgtk_tsv, read_kgtk_jsonl, write_kgtk_tsv,
+                       read_edges_parquet, write_edges_parquet)
 from .rdf import import_ntriples, generate_ntriples
 from .formats import (
     to_markdown,
@@ -13,6 +14,7 @@ from .wikidata import import_wikidata, split_wikidata
 
 __all__ = [
     "read_kgtk_tsv",
+    "read_kgtk_jsonl",
     "write_kgtk_tsv",
     "read_edges_parquet",
     "write_edges_parquet",

@@ -169,3 +169,73 @@ def read_kgtk_tsv_any(path: str | list[str], *,
     )
     return ds.map_batches(_normalize_batch if normalize else _to_string_batch,
                           batch_format="pyarrow")
+
+
+def read_kgtk_jsonl(path: str | list[str], *, normalize: bool = True,
+                    columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read a KGTK edge table from JSON-lines (one column-keyed object
+    per line) into a Dataset of string columns.
+
+    This is the lossless inverse of :func:`kgtk_ray.io.write_jsonl`
+    (``ds.write_json`` keeps the raw KGTK cell strings).  It also reads
+    the reference's ``jsonl-map`` / ``jsonl-map-compact`` EXPORT files,
+    with the caveat the reference itself has: that exporter decodes
+    cells to JSON-native values (kgtk/io/kgtkwriter.py
+    reformat_value_for_json), so sigils don't round-trip — ``"text"``
+    comes back as the bare string, booleans as ``True``/``False``
+    symbols, numbers as plain digits; compact files return missing keys
+    as "" (KGTK null).  Column aliases are resolved as in
+    :func:`read_kgtk_tsv` when ``normalize`` is set.  The schema is
+    inferred from the union of keys in the first ~1MB of the first
+    file; pass ``columns`` explicitly when a column might not appear
+    there (a rare qualifier in a huge compact export).
+    """
+    # Line-oriented read + per-batch json parse rather than Arrow's JSON
+    # reader: export files carry mixed value types per column ("42" the
+    # symbol exports as JSON 42, labels as strings), which Arrow's
+    # schema inference rejects.  Columns are pinned from the first line
+    # so compact files (missing keys) produce a stable schema.
+    import json
+
+    import pandas as pd
+    import pyarrow.fs as pafs
+
+    first = path if isinstance(path, str) else path[0]
+    fs, fpath = pafs.FileSystem.from_uri(first) if "://" in str(first) \
+        else (pafs.LocalFileSystem(), str(first))
+    if fs.get_file_info(fpath).type == pafs.FileType.Directory:
+        parts = [i.path for i in fs.get_file_info(
+            pafs.FileSelector(fpath)) if i.is_file]
+        fpath = sorted(parts)[0]
+    with fs.open_input_stream(fpath) as f:
+        head = f.read(1 << 20)
+    # union of keys over the head sample, first-seen order: compact
+    # files omit empty cells, so no single line carries every column
+    cols: list[str] = []
+    for line in head.split(b"\n"):
+        if not line.strip():
+            continue
+        try:
+            for k in json.loads(line):
+                if k not in cols:
+                    cols.append(k)
+        except json.JSONDecodeError:  # truncated tail of the 1MB sample
+            break
+    if columns is not None:
+        cols = list(columns)
+
+    def parse(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = [json.loads(line) for line in df["text"]]
+        out = pd.DataFrame(rows, columns=cols)
+        for c in cols:
+            v = out[c]
+            # JSON-native exports: bools back to KGTK True/False symbols,
+            # numbers to their digits; nulls/missing keys to "" (KGTK null)
+            out[c] = v.map(lambda x: "" if x is None or x != x else
+                           ("True" if x is True else
+                            "False" if x is False else str(x)))
+        return out
+
+    ds = ray.data.read_text(path).map_batches(parse, batch_format="pandas")
+    return ds.map_batches(_normalize_batch if normalize else _to_string_batch,
+                          batch_format="pyarrow")

@@ -93,3 +93,40 @@ def test_write_kgtk_tsv_compressed_roundtrip(tmp_path, codec):
     key = lambda df: sorted(map(tuple, df[sorted(df.columns)].astype(str)
                                 .to_numpy().tolist()))
     assert key(back) == key(want)
+
+
+def test_jsonl_roundtrip_raw_cells(ray_session, tmp_path):
+    """write_jsonl keeps raw KGTK cells; read_kgtk_jsonl is its
+    lossless inverse (sigils, lists, empties intact)."""
+    from kgtk_ray.io import read_kgtk_jsonl, write_jsonl
+    df = pd.DataFrame({
+        "node1": ["Q1", "Q2", "Q3"],
+        "label": ["P1", "P2", "P3"],
+        "node2": ['"a b"', "^2020-01-01T00:00:00Z/11", "x|y"],
+        "extra": ["", "'de'@de", "+12[−1,1]m"],
+    })
+    out = tmp_path / "edges_jsonl"
+    write_jsonl(ray.data.from_pandas(df), str(out))
+    back = (read_kgtk_jsonl(str(out)).to_pandas()
+            .sort_values("node1").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back[df.columns.tolist()], df)
+
+
+def test_jsonl_map_export_readback(ray_session, tmp_path):
+    """The reference's jsonl-map-compact EXPORT read back: missing keys
+    (compact empties) come back as '' and values are JSON-decoded."""
+    from kgtk_ray.io import read_kgtk_jsonl
+    df = pd.DataFrame({
+        "node1": ["Q1", "Q2"],
+        "label": ["P1", "P2"],
+        "node2": ['"hello"', "42"],
+        "extra": ["", "sym"],
+    })
+    path = tmp_path / "export.jl"
+    write_kgtk_file(ray.data.from_pandas(df), str(path),
+                    fmt="jsonl-map-compact")
+    back = (read_kgtk_jsonl(str(path)).to_pandas()
+            .sort_values("node1").reset_index(drop=True))
+    # sigils decoded by the exporter (documented one-way), empties restored
+    assert back["node2"].tolist() == ["hello", "42"]
+    assert back["extra"].tolist() == ["", "sym"]
