@@ -35,20 +35,33 @@ from ..ops._bucket import MIN_BUNDLE_ROWS, bucketed_group_apply
 Dataset = ray.data.Dataset
 
 
+_SENT_SPLIT = r"(?<=[.!?])\s+"
+
+
 def dedup_spans(ds: Dataset, *, text_col: str = "text",
                 id_col: str = "doc_id", k: int = 3,
-                num_buckets: int = 32) -> Dataset:
-    """Remove every repeated ``k``-word span corpus-wide (keep the
+                unit: str = "word", num_buckets: int = 32) -> Dataset:
+    """Remove every repeated ``k``-unit span corpus-wide (keep the
     occurrence with the smallest ``(id_col, span position)``) and
     reassemble documents from their surviving spans.
+
+    ``unit="word"`` spans over whitespace tokens; ``unit="sentence"``
+    is C4's literal three-sentence unit (split after ``.!?``;
+    inter-sentence whitespace is normalized to one space on
+    reassembly, as C4 does).
 
     Returns ``(id_col, text_col)``; documents with no surviving spans
     (or no tokens) are dropped.
     """
+    if unit not in ("word", "sentence"):
+        raise ValueError(f"unit must be 'word' or 'sentence', got {unit!r}")
 
     def to_spans(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].astype(str).str.split()
+        s = df[text_col].astype(str)
+        toks = s.str.split() if unit == "word" \
+            else s.str.strip().str.split(_SENT_SPLIT, regex=True)
         ex = toks.explode().dropna()
+        ex = ex[ex != ""]
         if ex.empty:
             return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                                  "span_idx": pd.Series([], dtype="int64"),

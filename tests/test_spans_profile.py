@@ -151,3 +151,56 @@ def test_shard_assign_deterministic_across_block_orders():
                       id_col="doc_id", n_shards=4).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_spans_sentence_unit():
+    # C4's literal unit: k consecutive sentences; repeated sentence
+    # spans removed corpus-wide, whitespace normalized on reassembly
+    ds = _ds([
+        {"doc_id": 1, "text": "A is here. B follows! C ends? D tail."},
+        {"doc_id": 2, "text": "A is here. B follows! X new. Y new."},
+        {"doc_id": 3, "text": "D tail."},
+    ])
+    out = (dedup_spans(ds, k=2, unit="sentence").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc1 spans: ("A is here. B follows!", "C ends? D tail.") — both kept
+    # doc2 spans: ("A is here. B follows!", "X new. Y new.") — first removed
+    # doc3 span:  ("D tail.",) — distinct from doc1's 2-sentence span, kept
+    assert out.doc_id.tolist() == [1, 2, 3]
+    assert out.text.tolist() == [
+        "A is here. B follows! C ends? D tail.",
+        "X new. Y new.",
+        "D tail.",
+    ]
+
+
+def test_dedup_spans_sentence_unit_naive_reference():
+    import re
+    rng = np.random.default_rng(41)
+    sents = [f"{w} s{i}." for i, w in enumerate(
+        np.repeat(list("abcdef"), 3))]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(sents, size=rng.integers(1, 7)))}
+            for i in range(40)]
+    k = 2
+    seen, expect = set(), {}
+    for r in rows:
+        pieces = [p for p in re.split(r"(?<=[.!?])\s+", r["text"].strip())
+                  if p]
+        kept = []
+        for st in range(0, len(pieces), k):
+            span = " ".join(pieces[st:st + k])
+            if span not in seen:
+                seen.add(span)
+                kept.append(span)
+        if kept:
+            expect[r["doc_id"]] = " ".join(kept)
+    out = (dedup_spans(_ds(rows, parallelism=6), k=k, unit="sentence")
+           .to_pandas())
+    assert dict(zip(out.doc_id, out.text)) == expect
+
+
+def test_dedup_spans_bad_unit():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup_spans(_ds([{"doc_id": 1, "text": "a"}]), unit="paragraph")
