@@ -446,7 +446,11 @@ def _q_pii_scrub(sf: str):
                 + "@mail.example.com or +1 555 01"
                 + (df.doc_id % 89).astype(str) + " from 10."
                 + (df.doc_id % 200).astype(str) + ".0."
-                + (df.doc_id % 250).astype(str)}), batch_format="pandas")
+                + (df.doc_id % 250).astype(str) + " ssn "
+                + (df.doc_id % 900 + 100).astype(str) + "-"
+                + (df.doc_id % 90 + 10).astype(str) + "-"
+                + (df.doc_id % 9000 + 1000).astype(str)}),
+        batch_format="pandas")
     return scrub_pii(aug)
 
 
@@ -1448,14 +1452,19 @@ def oracle_sql() -> dict[str, str]:
                        || '@mail.example.com or +1 555 01'
                        || CAST(doc_id % 89 AS VARCHAR) || ' from 10.'
                        || CAST(doc_id % 200 AS VARCHAR) || '.0.'
-                       || CAST(doc_id % 250 AS VARCHAR) AS text
+                       || CAST(doc_id % 250 AS VARCHAR) || ' ssn '
+                       || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                       || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+                       || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS text
               FROM documents
             )
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                      '<EMAIL>', 'g'),
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
                      '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS text
             FROM a
         """,

@@ -95,3 +95,29 @@ def test_scrub_pii_dataset_out_col():
     out = scrub_pii(ds, out_col="clean").to_pandas()
     assert out.text.iloc[0] == "x a@b.io y"        # original kept
     assert out.clean.iloc[0] == "x <EMAIL> y"
+
+
+def test_scrub_ssn_and_credit_cards():
+    import pandas as pd
+    s = pd.Series([
+        "ssn 123-45-6789 here",
+        "visa 4111 1111 1111 1111 ok",        # Luhn-valid
+        "fake 4111 1111 1111 1112 nope",      # Luhn-invalid: kept
+        "amex 378282246310005 ok",            # Luhn-valid, 15 digits
+        "order id 123456789012345 stays",     # Luhn-invalid run: kept
+        "dashed 5500-0000-0000-0004 ok",      # Luhn-valid, dashes
+    ])
+    out = scrub_series(s).tolist()
+    assert out[0] == "ssn <SSN> here"
+    assert out[1] == "visa <CC> ok"
+    assert out[2] == "fake 4111 1111 1111 1112 nope"
+    assert out[3] == "amex <CC> ok"
+    assert out[4] == "order id 123456789012345 stays"
+    assert out[5] == "dashed <CC> ok"
+
+
+def test_scrub_credit_cards_optional():
+    import pandas as pd
+    s = pd.Series(["visa 4111 1111 1111 1111 ok"])
+    assert scrub_series(s, credit_cards=False).tolist() == [
+        "visa 4111 1111 1111 1111 ok"]
