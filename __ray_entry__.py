@@ -554,6 +554,24 @@ def _q_shard_assign(sf: str):
     return shard_assign(docs, id_col="doc_id", n_shards=8)
 
 
+def _q_corpus_curation(sf: str):
+    """Flagship web-text curation chain: Gopher quality filter -> PII
+    scrub -> C4 span dedup -> deterministic train/valid/test split.
+    Every stage is individually oracle-checked elsewhere; this entry
+    pins their COMPOSITION (stage order, schema hand-off, determinism
+    of the chained result)."""
+    from kgtk_ray.ops import split_dataset
+    from kgtk_ray.text import dedup_spans, gopher_filter, scrub_pii
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    kept = gopher_filter(docs, min_tokens=30, max_dup_word_frac=0.55,
+                         max_top_word_frac=0.13)
+    deduped = dedup_spans(scrub_pii(kept), k=3)
+    return split_dataset(deduped, id_col="doc_id",
+                         fractions={"train": 0.8, "valid": 0.1,
+                                    "test": 0.1})
+
+
 def _q_weighted_sample(sf: str):
     from kgtk_ray.ops import weighted_sample
     docs = rd.read_parquet(f"{sf}/documents.parquet",
@@ -1044,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _q_dedup_spans,
         "corpus_stats": _q_corpus_stats,
         "shard_assign": _q_shard_assign,
+        "corpus_curation": _q_corpus_curation,
         # --- headline + previously green ---
         "kg_pipeline": _q_kg_pipeline,
         "filter": _q_filter,
@@ -1564,6 +1583,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id*2654435761)%4294967296) % 10000 <
               CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                           WHEN 'src2' THEN 2500 ELSE 1000 END
+        """,
+        "corpus_curation": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, len(toks) AS n,
+                     1.0 - len(list_distinct(toks))*1.0/len(toks) AS dupf,
+                     list_max(list_transform(list_distinct(toks),
+                       w -> len(list_filter(toks, x -> x = w))))
+                       *1.0/len(toks) AS topf,
+                     len(regexp_replace(text, '\s', '', 'g'))
+                       *1.0/len(toks) AS mwl
+              FROM t
+            ), f AS (
+              SELECT doc_id, text FROM m
+              WHERE n BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                AND dupf <= 0.55 AND topf <= 0.13
+            ), s AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS text
+              FROM f
+            ), w AS (
+              SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws,1) AS i
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM s)
+            ), sp AS (
+              SELECT doc_id, (i-1)//3 AS span_idx,
+                     string_agg(word, ' ' ORDER BY i) AS span_text
+              FROM w GROUP BY doc_id, (i-1)//3
+            ), keep AS (
+              SELECT doc_id, span_idx, span_text,
+                     row_number() OVER (PARTITION BY span_text
+                                        ORDER BY doc_id, span_idx) AS rn
+              FROM sp
+            ), red AS (
+              SELECT doc_id,
+                     string_agg(span_text, ' ' ORDER BY span_idx) AS text
+              FROM keep WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT doc_id, text,
+                   CASE WHEN ((doc_id*2654435761)%4294967296)%10000 < 8000
+                        THEN 'train'
+                        WHEN ((doc_id*2654435761)%4294967296)%10000 < 9000
+                        THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM red
         """,
         "shard_assign": """
             SELECT doc_id, source,
