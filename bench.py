@@ -172,6 +172,7 @@ def run_bench() -> dict:
     timed("dedup_spans", lambda: E._q_dedup_spans(SF_DIR).count())
     timed("corpus_stats", lambda: E._q_corpus_stats(SF_DIR).count())
     timed("shard_assign", lambda: E._q_shard_assign(SF_DIR).count())
+    timed("corpus_curation", lambda: E._q_corpus_curation(SF_DIR).count())
 
     # distributed pagerank on the full lineitem edge table (the graph
     # iteratives' scale check: rank state stays a Dataset; driver RSS
