@@ -130,3 +130,17 @@ def test_jsonl_map_export_readback(ray_session, tmp_path):
     # sigils decoded by the exporter (documented one-way), empties restored
     assert back["node2"].tolist() == ["hello", "42"]
     assert back["extra"].tolist() == ["", "sym"]
+
+
+def test_jsonl_reader_resolves_aliases(ray_session, tmp_path):
+    """normalize=True resolves KGTK column aliases on jsonl input just
+    as the TSV reader does (from/predicate/to -> node1/label/node2)."""
+    import json
+    from kgtk_ray.io import read_kgtk_jsonl
+    p = tmp_path / "alias.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"from": "a", "predicate": "p", "to": "b"}) + "\n")
+        f.write(json.dumps({"from": "c", "predicate": "q", "to": "d"}) + "\n")
+    back = read_kgtk_jsonl(str(p)).to_pandas().sort_values("node1")
+    assert list(back.columns) == ["node1", "label", "node2"]
+    assert back.node1.tolist() == ["a", "c"]

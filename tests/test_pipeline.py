@@ -137,3 +137,22 @@ def test_run_pipeline_spec():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown op"):
         run_pipeline(ds, [{"op": "nope"}])
+
+
+def test_run_pipeline_curation_ops_registered():
+    """The round-3 curation ops compose through the `/` pipe DSL."""
+    from kgtk_ray.pipelines.spec import OPS, run_pipeline
+    for name in ("dedup_spans", "grouped_profile", "shard_assign"):
+        assert name in OPS, name
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "a b x y", "a b c d"],
+    }))
+    out = run_pipeline(docs, [
+        {"op": "dedup_spans", "k": 2},
+        {"op": "shard_assign", "id_col": "doc_id", "n_shards": 2},
+    ]).to_pandas().sort_values("doc_id")
+    # doc 3 is an exact dup of doc 1 -> gone; doc 2 keeps only "x y"
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.text.tolist() == ["a b c d", "x y"]
+    assert set(out.columns) >= {"doc_id", "text", "shard", "pos"}
