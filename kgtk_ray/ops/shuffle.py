@@ -130,10 +130,15 @@ def unique_counts(
     where_col: str | None = None,
     where_values: Sequence[str] | None = None,
     as_edges: bool = True,
+    empty_value: str = "",
+    prefix: str = "",
 ) -> Dataset:
     """Value counts for one column, emitted as KGTK edge rows
     ``(value, "count", n)`` (reference kgtk/join/unique.py:87-143, which
-    holds the whole count dict in memory).  Two-phase: per-batch
+    holds the whole count dict in memory).  Empty cells are substituted
+    with ``empty_value`` first and skipped if still empty (the
+    reference's ``--empty`` knob, unique.py:96-103); ``prefix``
+    prepends to every counted value.  Two-phase: per-batch
     ``value_counts`` then a small groupby-sum over the partials."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if where_col is not None:
@@ -141,6 +146,12 @@ def unique_counts(
         col = df[column]
         if col.dtype != object:  # already-string columns skip the copy
             col = col.astype(str)
+        col = col.fillna("")
+        if empty_value:
+            col = col.replace("", empty_value)
+        col = col[col != ""]
+        if prefix:
+            col = prefix + col
         vc = col.value_counts()
         return pd.DataFrame({"node1": vc.index, "n": vc.to_numpy()})
 

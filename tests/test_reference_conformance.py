@@ -86,3 +86,52 @@ def test_expand_round_trips_compact_file1():
         assert got_pairs == want_pairs, col
     assert set(map(tuple, got[["node1", "node2"]].values)) == \
         set(map(tuple, orig[["node1", "node2"]].values))
+
+
+def test_lift_file1_matches_reference_docs():
+    # golden from /root/reference/docs/transform/lift.md ("kgtk lift file1.tsv")
+    out = O.lift(read_kgtk_tsv(f"{REF}/lift-file1.tsv")).to_pandas()
+    expect = pd.DataFrame(
+        [["Q1", "P1", "Q5", '"Elmo"', '"instance of"', '"human"'],
+         ["Q1", "P2", "Q6", '"Elmo"', '"friend"', '"Fred"'],
+         ["Q6", "P1", "Q5", '"Fred"', '"instance of"', '"human"']],
+        columns=["node1", "label", "node2",
+                 "node1;label", "label;label", "node2;label"])
+    pd.testing.assert_frame_equal(norm(out[expect.columns.tolist()]),
+                                  norm(expect))
+
+
+def test_lift_file4_multilabel_sorted_unique_list():
+    # golden from lift.md ("kgtk lift file4.tsv"): multiple label records
+    # merge into a sorted, deduplicated |-list
+    out = O.lift(read_kgtk_tsv(f"{REF}/lift-file4.tsv")).to_pandas()
+    expect = pd.DataFrame(
+        [["Q1", "P1", "Q5", '"Elmo"', '"instance of"',
+          '"homo sapiens"|"human"'],
+         ["Q1", "P2", "Q6", '"Elmo"', '"amigo"|"friend"', '"Fred"'],
+         ["Q6", "P1", "Q5", '"Fred"', '"instance of"',
+          '"homo sapiens"|"human"']],
+        columns=["node1", "label", "node2",
+                 "node1;label", "label;label", "node2;label"])
+    pd.testing.assert_frame_equal(norm(out[expect.columns.tolist()]),
+                                  norm(expect))
+
+
+def test_unique_location_matches_reference_docs():
+    # golden from /root/reference/docs/transform/unique.md: empty cells
+    # are skipped by default ("kgtk unique file1.tsv --column location")
+    out = O.unique_counts(read_kgtk_tsv(f"{REF}/unique-file1.tsv"),
+                          "location").to_pandas()
+    expect = pd.DataFrame([["home", "count", "2"], ["work", "count", "3"]],
+                          columns=["node1", "label", "node2"])
+    pd.testing.assert_frame_equal(norm(out), norm(expect))
+
+
+def test_unique_location_empty_substitution():
+    # "--empty NONE": empties counted under the substitute label
+    out = O.unique_counts(read_kgtk_tsv(f"{REF}/unique-file1.tsv"),
+                          "location", empty_value="NONE").to_pandas()
+    expect = pd.DataFrame([["NONE", "count", "3"], ["home", "count", "2"],
+                           ["work", "count", "3"]],
+                          columns=["node1", "label", "node2"])
+    pd.testing.assert_frame_equal(norm(out), norm(expect))
