@@ -79,9 +79,11 @@ def _empty_mask(t: pa.Table, columns: Sequence[str]) -> pa.ChunkedArray:
     return pc.fill_null(out, True)
 
 
-def ifempty(ds: Dataset, columns: Sequence[str], *, all_are: bool = True) -> Dataset:
-    """Keep rows where all (or any, ``all_are=False``) of ``columns`` are
-    empty/null.  Reference: kgtk/iff/kgtkifempty.py."""
+def ifempty(ds: Dataset, columns: Sequence[str], *, all_are: bool = False) -> Dataset:
+    """Keep rows where any (default, matching the reference's
+    ``--all=False``) or all (``all_are=True``) of ``columns`` are
+    empty/null.  Reference: kgtk/iff/kgtkifempty.py,
+    kgtk/cli/ifempty.py:43-45."""
     def f(t: pa.Table) -> pa.Table:
         per = [pc.fill_null(pc.or_kleene(pc.is_null(t[c]),
                                          pc.equal(pc.cast(t[c], pa.string()), "")), True)
@@ -93,8 +95,10 @@ def ifempty(ds: Dataset, columns: Sequence[str], *, all_are: bool = True) -> Dat
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def ifnotempty(ds: Dataset, columns: Sequence[str], *, all_are: bool = True) -> Dataset:
-    """Keep rows where all (or any) of ``columns`` are non-empty."""
+def ifnotempty(ds: Dataset, columns: Sequence[str], *, all_are: bool = False) -> Dataset:
+    """Keep rows where any (default, matching the reference's
+    ``--all=False``) or all of ``columns`` are non-empty.
+    Reference: kgtk/cli/ifnotempty.py:43-54."""
     def f(t: pa.Table) -> pa.Table:
         per = [pc.fill_null(pc.and_kleene(pc.is_valid(t[c]),
                                           pc.not_equal(pc.cast(t[c], pa.string()), "")),
