@@ -128,11 +128,26 @@ def calc_percentage(ds: Dataset, value_col: str, total_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def expand_lists(ds: Dataset, columns: Sequence[str] | None = None) -> Dataset:
+def expand_lists(ds: Dataset, columns: Sequence[str] | None = None, *,
+                 key_columns: Sequence[str] | None = None) -> Dataset:
     """Explode ``|``-separated list cells into multiple rows (key columns
     repeated).  Reference: kgtk/reshape/kgtkexpand.py.  One column at a
-    time (multi-column expansion is a cross-product in the reference too)."""
-    cols = list(columns) if columns else ["node2"]
+    time (multi-column expansion is a cross-product in the reference too).
+
+    ``columns`` names the columns to expand directly.  ``key_columns``
+    is the reference CLI's inverse convention (kgtk/cli/expand.py:34-36):
+    the named columns are HELD FIXED and every other column expands —
+    the reference's default keys are (node1, label, node2), since lists
+    are prohibited there (docs/specification.md:180).  Passing
+    ``key_columns=[]`` therefore mirrors ``kgtk expand`` defaults on an
+    edge file via ``key_columns=["node1", "label", "node2", "id"]``."""
+    if key_columns is not None:
+        if columns is not None:
+            raise ValueError("pass either columns or key_columns, not both")
+        keys = set(key_columns)
+        cols = [c for c in ds.schema().names if c not in keys]
+    else:
+        cols = list(columns) if columns else ["node2"]
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         for c in cols:

@@ -356,3 +356,23 @@ def test_paths_distributed_matches_driver():
     got = rows(paths(ed, ["a"], ["d"], distributed=True,
                      num_partitions=4, **kw))
     assert got == want and len(want) == 3  # a->d, a->b->d, a->b->c->d
+
+
+def test_expand_lists_key_columns_convention():
+    """Reference-CLI convention: key columns held fixed, the rest expand
+    (kgtk/cli/expand.py:34-36)."""
+    import pandas as pd
+    import ray.data
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node1": ["a"], "label": ["p"], "node2": ["b"],
+        "q1": ["x|y"], "q2": ["1|2"]}))
+    out = (O.expand_lists(ds, key_columns=["node1", "label", "node2"])
+           .to_pandas().sort_values(["q1", "q2"]).reset_index(drop=True))
+    # cross-product of the two expanded qualifier columns, keys repeated
+    assert len(out) == 4
+    assert set(zip(out.q1, out.q2)) == {("x", "1"), ("x", "2"),
+                                        ("y", "1"), ("y", "2")}
+    assert (out.node1 == "a").all()
+    import pytest as _p
+    with _p.raises(ValueError):
+        O.expand_lists(ds, ["q1"], key_columns=["node1"])
