@@ -135,3 +135,52 @@ def test_unique_location_empty_substitution():
                            ["work", "count", "3"]],
                           columns=["node1", "label", "node2"])
     pd.testing.assert_frame_equal(norm(out), norm(expect))
+
+
+def _join_docs_inputs():
+    import ray.data
+    f1 = ray.data.from_pandas(pd.DataFrame(
+        [["john", "zipcode", "12345", "home"],
+         ["john", "zipcode", "12346", "work"],
+         ["peter", "zipcode", "12040", "home"],
+         ["peter", "zipcode", "12040", "work"],
+         ["steve", "zipcode", "45601", "home"],
+         ["steve", "zipcode", "45601", "work"]],
+        columns=["node1", "label", "node2", "location"]))
+    f2 = ray.data.from_pandas(pd.DataFrame(
+        [["john", "position", "programmer", "3"],
+         ["peter", "position", "engineer", "2"],
+         ["edward", "position", "supervisor", "10"],
+         ["john", "laptop", "dell", "4"],
+         ["peter", "laptop", "apple", "7"]],
+        columns=["node1", "label", "node2", "years"]))
+    return f1, f2
+
+
+def test_join_inner_matches_reference_docs():
+    # golden from /root/reference/docs/transform/join.md ("kgtk join
+    # file1.tsv file2.tsv"): key-set filtered union on node1
+    f1, f2 = _join_docs_inputs()
+    out = O.kgtk_join(f1, f2).to_pandas()
+    expect = pd.DataFrame(
+        [["john", "zipcode", "12345", "home", ""],
+         ["john", "zipcode", "12346", "work", ""],
+         ["peter", "zipcode", "12040", "home", ""],
+         ["peter", "zipcode", "12040", "work", ""],
+         ["john", "position", "programmer", "", "3"],
+         ["peter", "position", "engineer", "", "2"],
+         ["john", "laptop", "dell", "", "4"],
+         ["peter", "laptop", "apple", "", "7"]],
+        columns=["node1", "label", "node2", "location", "years"])
+    pd.testing.assert_frame_equal(norm(out[expect.columns.tolist()]),
+                                  norm(expect))
+
+
+def test_join_left_matches_reference_docs():
+    # golden from join.md ("kgtk join ... --left-join"): steve's rows
+    # return, edward's stay excluded
+    f1, f2 = _join_docs_inputs()
+    out = O.kgtk_join(f1, f2, left_join=True).to_pandas()
+    assert len(out) == 10
+    assert "edward" not in set(out["node1"])
+    assert (out["node1"] == "steve").sum() == 2
