@@ -102,14 +102,20 @@ def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",),
 def explode_node2(ds: Dataset, column: str = "node2",
                   fields: Sequence[str] | None = None) -> Dataset:
     """Split ``column`` into typed subfield columns named
-    ``<column>;kgtk:<field>`` (reference kgtk/reshape/kgtkexplode.py)."""
+    ``<column>;kgtk:<field>`` (reference kgtk/reshape/kgtkexplode.py).
+    Fields the reference formats as KGTK strings (text, zonestr,
+    date_and_time — kgtkexplode.py:203-215) are emitted ``"``-quoted,
+    matching the reference's exploded cells byte-for-byte."""
     want = list(fields) if fields else V.ALL_FIELDS
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         ex = V.explode_fields(df[column].fillna("").to_numpy(dtype=object))
         df = df.reset_index(drop=True).copy()
         for fld in want:
-            df[f"{column}{EXPLODE_PREFIX}{fld}"] = ex[fld].to_numpy()
+            col = ex[fld]
+            if fld in V.STR_CELL_FIELDS:
+                col = col.map(lambda v: f'"{v}"' if isinstance(v, str) else v)
+            df[f"{column}{EXPLODE_PREFIX}{fld}"] = col.to_numpy()
         return df
 
     return ds.map_batches(f, batch_format="pandas")
@@ -122,6 +128,13 @@ def implode_node2(ds: Dataset, column: str = "node2",
     def f(df: pd.DataFrame) -> pd.DataFrame:
         prefix = f"{column}{EXPLODE_PREFIX}"
         sub = {c[len(prefix):]: df[c] for c in df.columns if c.startswith(prefix)}
+        for fld in V.STR_CELL_FIELDS & sub.keys():
+            # exploded str-format cells carry KGTK quotes; strip them
+            # back to the raw field value (reference kgtkimplode.py
+            # unwraps the same way)
+            sub[fld] = sub[fld].map(
+                lambda v: v[1:-1] if isinstance(v, str) and len(v) >= 2
+                and v.startswith('"') and v.endswith('"') else v)
         fields = pd.DataFrame(sub)
         df = df.copy()
         df[column] = V.implode_fields(fields).to_numpy()

@@ -508,15 +508,23 @@ DATA_TYPE_FIELDS: dict[str, list[str]] = {
     "symbol": ["symbol"],
 }
 ALL_FIELDS = [
-    "data_type", "valid", "number", "low_tolerance", "high_tolerance", "si_units",
+    "data_type", "valid", "list_len", "number", "low_tolerance",
+    "high_tolerance", "si_units",
     "units_node", "text", "language", "language_suffix", "latitude", "longitude",
+    "date_and_time",
     "year", "month", "day", "hour", "minutes", "seconds", "zonestr", "precision",
     "truth", "symbol",
 ]
 _NUMERIC_FIELDS = {
     "number", "low_tolerance", "high_tolerance", "latitude", "longitude",
     "year", "month", "day", "hour", "minutes", "seconds", "precision",
+    "list_len",
 }
+
+# Fields the reference renders as KGTK strings ('"'+v+'"') when exploded
+# into output cells (kgtk/value/kgtkvalue.py:198-238 FIELD_NAME_FORMATS
+# "str" entries, applied at kgtk/reshape/kgtkexplode.py:203-215).
+STR_CELL_FIELDS = {"text", "zonestr", "date_and_time"}
 
 
 def explode_fields(values) -> pd.DataFrame:
@@ -559,6 +567,17 @@ def explode_fields(values) -> pd.DataFrame:
         ext = s[m].str.extract(DATE_RE)
         put(m, ext[["year", "month", "day", "hour", "minutes", "seconds", "zonestr",
                     "precision"]])
+        # reference DATE_AND_TIMES_FIELD_NAME: the datetime string minus
+        # the '^' sigil and any '/precision' suffix
+        dt = s[m].str.slice(1).str.replace(r"/\d+$", "", regex=True)
+        put(m, pd.DataFrame({"date_and_time": dt.to_numpy(dtype=object)},
+                            index=s.index[m]))
+
+    # reference LIST_LEN_FIELD_NAME: 0 for non-lists, item count for lists
+    df["list_len"] = 0
+    m = types == "list"
+    if m.any():
+        df.loc[m, "list_len"] = s[m].map(lambda v: len(_LIST_RE.split(v)))
     m = types == "boolean"
     if m.any():
         put(m, pd.DataFrame({"truth": (s[m] == "True").to_numpy(dtype=object)},

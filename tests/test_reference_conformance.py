@@ -184,3 +184,48 @@ def test_join_left_matches_reference_docs():
     assert len(out) == 10
     assert "edward" not in set(out["node1"])
     assert (out["node1"] == "steve").sum() == 2
+
+
+def test_explode_field_values_match_reference_docs():
+    # golden from /root/reference/docs/transform/explode.md ("kgtk
+    # explode file1.tsv"): field naming <col>;kgtk:<field> and the
+    # reference's field renderings (numbers normalized, lq-string text
+    # re-quoted, date wrapped in quotes, precision extracted)
+    import ray.data
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [["john", "string", '"John"'],
+         ["john", "lqstring", "'John'@en"],
+         ["john", "number", "186.2e04"],
+         ["john", "quantity", "84.3[84,85]kg"],
+         ["john", "date_and_time", "^1960-11-05T00:00Z/6"],
+         ["john", "location", "@60.2/134.3"],
+         ["john", "boolean", "True"],
+         ["john", "symbol", "quadrature"]],
+        columns=["node1", "label", "node2"]))
+    out = O.explode_node2(ds).to_pandas().set_index("label")
+
+    def g(row, field):
+        return str(out.loc[row, f"node2;kgtk:{field}"])
+
+    assert g("string", "data_type") == "string"
+    assert g("string", "text") == '"John"'
+    assert g("lqstring", "data_type") == "language_qualified_string"
+    assert g("lqstring", "text") == '"John"'
+    assert g("lqstring", "language") == "en"
+    assert g("number", "data_type") == "number"
+    assert float(g("number", "number")) == 1862000.0
+    assert g("quantity", "data_type") == "quantity"
+    assert float(g("quantity", "number")) == 84.3
+    assert float(g("quantity", "low_tolerance")) == 84.0
+    assert float(g("quantity", "high_tolerance")) == 85.0
+    assert g("quantity", "si_units") == "kg"
+    assert g("date_and_time", "data_type") == "date_and_times"
+    assert g("date_and_time", "date_and_time") == '"1960-11-05T00:00Z"'
+    assert float(g("date_and_time", "precision")) == 6  # numeric column
+    assert g("location", "data_type") == "location_coordinates"
+    assert float(g("location", "latitude")) == 60.2
+    assert float(g("location", "longitude")) == 134.3
+    assert g("boolean", "data_type") == "boolean"
+    assert g("boolean", "truth") == "True"
+    assert g("symbol", "data_type") == "symbol"
+    assert g("symbol", "symbol") == "quadrature"
