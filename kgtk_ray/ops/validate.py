@@ -100,12 +100,19 @@ def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",),
 
 
 def explode_node2(ds: Dataset, column: str = "node2",
-                  fields: Sequence[str] | None = None) -> Dataset:
+                  fields: Sequence[str] | None = None, *,
+                  expand_list: bool = True) -> Dataset:
     """Split ``column`` into typed subfield columns named
     ``<column>;kgtk:<field>`` (reference kgtk/reshape/kgtkexplode.py).
     Fields the reference formats as KGTK strings (text, zonestr,
     date_and_time — kgtkexplode.py:203-215) are emitted ``"``-quoted,
-    matching the reference's exploded cells byte-for-byte."""
+    matching the reference's exploded cells byte-for-byte.
+    ``expand_list`` (the reference default, kgtkexplode.py:173-181)
+    first expands ``|``-list cells into one row per item, so each
+    output row describes a single value."""
+    if expand_list:
+        from .core import expand_lists
+        ds = expand_lists(ds, [column])
     want = list(fields) if fields else V.ALL_FIELDS
 
     def f(df: pd.DataFrame) -> pd.DataFrame:

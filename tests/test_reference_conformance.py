@@ -229,3 +229,19 @@ def test_explode_field_values_match_reference_docs():
     assert g("boolean", "truth") == "True"
     assert g("symbol", "data_type") == "symbol"
     assert g("symbol", "symbol") == "quadrature"
+
+
+def test_explode_expands_lists_by_default():
+    # reference kgtkexplode.py:173-181: a |-list value explodes into one
+    # output row per item (--expand-list default True)
+    import ray.data
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [["john", "list", "home|work"]],
+        columns=["node1", "label", "node2"]))
+    out = O.explode_node2(ds).to_pandas().sort_values("node2")
+    assert out["node2"].tolist() == ["home", "work"]
+    assert out["node2;kgtk:data_type"].tolist() == ["symbol", "symbol"]
+    # opt-out keeps the list row whole with its length
+    whole = O.explode_node2(ds, expand_list=False).to_pandas()
+    assert whole["node2"].tolist() == ["home|work"]
+    assert whole["node2;kgtk:list_len"].tolist() == [2]
