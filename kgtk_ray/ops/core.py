@@ -333,12 +333,29 @@ def rename_columns(ds: Dataset, mapping: Mapping[str, str]) -> Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def reorder_columns(ds: Dataset, order: Sequence[str]) -> Dataset:
-    """Reference kgtk/cli/reorder_columns.py with ``..``/``...`` ranges."""
+def reorder_columns(ds: Dataset, order: Sequence[str], *,
+                    trim: bool = False) -> Dataset:
+    """Reference kgtk/cli/reorder_columns.py: ``a .. b`` expands to the
+    inclusive column run between a and b; a standalone ``...`` places
+    ALL unmentioned columns at that position (at most once,
+    reorder_columns.py:131-146).  Without ``...``, unmentioned columns
+    keep their order after the named ones unless ``trim`` drops them
+    (the reference's ``--trim``)."""
     cols = ds.schema().names
-    expanded = expand_column_ranges(order, cols)
-    rest = [c for c in cols if c not in expanded]
-    return ds.select_columns(list(expanded) + rest)
+    order = list(order)
+    if order.count("...") > 1:
+        raise ValueError("'...' may appear only once")
+    if "..." in order:
+        i = order.index("...")
+        head = expand_column_ranges(order[:i], cols)
+        tail = expand_column_ranges(order[i + 1:], cols)
+        named = set(head) | set(tail)
+        expanded = head + [c for c in cols if c not in named] + tail
+        rest: list[str] = []
+    else:
+        expanded = list(expand_column_ranges(order, cols))
+        rest = [] if trim else [c for c in cols if c not in expanded]
+    return ds.select_columns(expanded + rest)
 
 
 def cat(*datasets: Dataset, fill: str = "") -> Dataset:

@@ -245,3 +245,24 @@ def test_explode_expands_lists_by_default():
     whole = O.explode_node2(ds, expand_list=False).to_pandas()
     assert whole["node2"].tolist() == ["home|work"]
     assert whole["node2;kgtk:list_len"].tolist() == [2]
+
+
+def test_reorder_columns_ellipsis_and_trim():
+    # reference reorder_columns.py:131-146: "... col" moves col to the
+    # end, "col ..." moves it to the front; --trim drops unmentioned
+    import ray.data
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [["e1", "a", "p", "b", "x"]],
+        columns=["id", "node1", "label", "node2", "extra"]))
+    to_end = O.reorder_columns(ds, ["...", "id"]).to_pandas()
+    assert list(to_end.columns) == ["node1", "label", "node2", "extra", "id"]
+    to_front = O.reorder_columns(ds, ["extra", "..."]).to_pandas()
+    assert list(to_front.columns) == ["extra", "id", "node1", "label",
+                                      "node2"]
+    ranged = O.reorder_columns(ds, ["node1", "..", "node2", "..."]).to_pandas()
+    assert list(ranged.columns) == ["node1", "label", "node2", "id", "extra"]
+    trimmed = O.reorder_columns(ds, ["node1", "node2"], trim=True).to_pandas()
+    assert list(trimmed.columns) == ["node1", "node2"]
+    import pytest as _p
+    with _p.raises(ValueError):
+        O.reorder_columns(ds, ["...", "id", "..."])
