@@ -25,7 +25,9 @@ semantics.)  The per-cluster pairwise pass is O(m^2) in cluster size m
 — the published algorithm's inherent cost; at corpus scale
 ``n_clusters`` grows with the data so m stays bounded, and the matmul
 runs in row chunks so peak memory is O(chunk * m), never the full
-m x m matrix.
+m x m matrix.  Like :func:`kgtk_ray.ops.sample.shard_assign`'s
+per-shard bound, each cluster must still fit one worker's pandas group
+(vectors are 4*dim bytes/row), so size ``n_clusters`` to the corpus.
 
 Pairwise cosines only ever compare vectors in the SAME cluster (as in
 the paper); near-dups that straddle a centroid boundary are missed —
@@ -98,8 +100,11 @@ def semdedup(ds: Dataset, *, vec_col: str = "embedding",
                                   dtype=np.float32).reshape(m, -1)
                 # chunked upper-triangular pass: rows [s, e) vs all
                 # earlier rows — peak memory O(chunk * m), chunk sized
-                # to the float budget
-                chunk = max(16, _PAIRWISE_BUDGET // m)
+                # to the float budget (chunk floor of 1 keeps the cap
+                # honest even for multi-million-row clusters; the real
+                # bound there is the cluster itself residing in one
+                # pandas group — see the docstring's cluster-size note)
+                chunk = max(1, _PAIRWISE_BUDGET // m)
                 for s in range(1, m, chunk):
                     e = min(s + chunk, m)
                     sims = X[s:e] @ X[: e - 1].T  # (e-s, e-1)

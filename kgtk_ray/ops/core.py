@@ -339,8 +339,8 @@ def reorder_columns(ds: Dataset, order: Sequence[str], *,
     inclusive column run between a and b; a standalone ``...`` places
     ALL unmentioned columns at that position (at most once,
     reorder_columns.py:131-146).  Without ``...``, unmentioned columns
-    keep their order after the named ones unless ``trim`` drops them
-    (the reference's ``--trim``)."""
+    are an error (reorder_columns.py:193-196) unless ``trim`` drops
+    them (the reference's ``--trim`` / omit_remaining_columns)."""
     cols = ds.schema().names
     order = list(order)
     if order.count("...") > 1:
@@ -351,11 +351,14 @@ def reorder_columns(ds: Dataset, order: Sequence[str], *,
         tail = expand_column_ranges(order[i + 1:], cols)
         named = set(head) | set(tail)
         expanded = head + [c for c in cols if c not in named] + tail
-        rest: list[str] = []
     else:
         expanded = list(expand_column_ranges(order, cols))
-        rest = [] if trim else [c for c in cols if c not in expanded]
-    return ds.select_columns(expanded + rest)
+        remaining = [c for c in cols if c not in expanded]
+        if remaining and not trim:
+            raise ValueError(
+                "No ellipses, and the following columns not accounted "
+                f"for: {' '.join(remaining)}")
+    return ds.select_columns(expanded)
 
 
 def cat(*datasets: Dataset, fill: str = "") -> Dataset:

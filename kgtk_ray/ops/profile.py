@@ -58,13 +58,19 @@ def grouped_profile(ds: Dataset, *, group_col: str, value_col: str,
     out_cols = [group_col, "n", "total", "mean", "vmin", "vmax", *qnames]
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        int_values = pd.api.types.is_integer_dtype(df[value_col])
         rows = []
         for g, sub in df.groupby(group_col, sort=False):
             sub = sub.sort_values(value_col, kind="mergesort")
             v = sub[value_col].to_numpy()
             c = sub["cnt"].to_numpy()
             n = int(c.sum())
-            total = int((v * c).sum())
+            # Truncating to int is only lossless for integer value
+            # columns; quantized floats (round(x, 3) per the module
+            # docstring) must keep the exact float sum.
+            total = float((v * c).sum())
+            if int_values:
+                total = int(total)
             cum = np.cumsum(c)
             row = {group_col: g, "n": n, "total": total,
                    "mean": total / n, "vmin": v[0], "vmax": v[-1]}

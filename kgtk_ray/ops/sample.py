@@ -122,9 +122,18 @@ def split_dataset(ds: Dataset, *, id_col: str,
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1 (got {total})")
     names = list(fractions)
-    bounds = np.cumsum([int(round(fractions[n] * scale))
-                        for n in names])
+    widths = [int(round(fractions[n] * scale)) for n in names]
+    for n, w in zip(names, widths):
+        if w <= 0:
+            raise ValueError(
+                f"fraction for {n!r} ({fractions[n]}) rounds to an empty "
+                f"range at scale={scale}; raise scale or the fraction")
+    bounds = np.cumsum(widths)
     bounds[-1] = scale  # rounding guard: last range absorbs the slack
+    if not np.all(np.diff(bounds) > 0):
+        raise ValueError(
+            f"split bounds are not strictly increasing: {bounds.tolist()} "
+            f"(fractions {fractions} at scale={scale})")
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         h = (_id_hash(df[id_col].to_numpy())

@@ -35,14 +35,6 @@ PHONE_RE = r"\+\d[\d()\- ]{6,}\d"
 # so this pass has no SQL-oracle mirror — pytest-verified instead)
 CC_RE = r"\b\d(?:[ -]?\d){12,18}\b"
 
-_PASSES: list[tuple[str, str]] = [
-    (EMAIL_RE, "<EMAIL>"),
-    (IPV4_RE, "<IP>"),
-    (SSN_RE, "<SSN>"),
-    (PHONE_RE, "<PHONE>"),
-]
-
-
 def _luhn_ok(digits: str) -> bool:
     total, alt = 0, False
     for ch in reversed(digits):
@@ -61,17 +53,24 @@ def _scrub_cc(m: "re.Match") -> str:
     return "<CC>" if _luhn_ok(digits) else m.group(0)
 
 
+# Ordered pass list; the card pass sits explicitly between SSN (so
+# dashed short runs are already claimed) and phone.  Each entry is
+# (name, compiled pattern, replacement string or callable).
+_PASSES: list[tuple[str, "re.Pattern", object]] = [
+    ("email", re.compile(EMAIL_RE), "<EMAIL>"),
+    ("ip", re.compile(IPV4_RE), "<IP>"),
+    ("ssn", re.compile(SSN_RE), "<SSN>"),
+    ("cc", re.compile(CC_RE), _scrub_cc),
+    ("phone", re.compile(PHONE_RE), "<PHONE>"),
+]
+
+
 def scrub_series(s: pd.Series, *, credit_cards: bool = True) -> pd.Series:
-    for pat, rep in _COMPILED:
+    for name, pat, rep in _PASSES:
+        if name == "cc" and not credit_cards:
+            continue
         s = s.str.replace(pat, rep, regex=True)
-        if credit_cards and rep == "<SSN>":
-            # after SSN (dashed short runs claimed), before phone
-            s = s.str.replace(_CC_COMPILED, _scrub_cc, regex=True)
     return s
-
-
-_COMPILED = [(re.compile(p), r) for p, r in _PASSES]
-_CC_COMPILED = re.compile(CC_RE)
 
 
 def scrub_pii(ds: Dataset, *, text_col: str = "text",

@@ -173,8 +173,12 @@ def test_column_ops():
         "node1", "label", "node2", "location"]
     assert O.rename_columns(ds, {"location": "loc"}).schema().names == [
         "node1", "label", "node2", "loc", "years"]
-    assert O.reorder_columns(ds, ["years", "node1"]).schema().names == [
+    assert O.reorder_columns(ds, ["years", "node1", "..."]).schema().names == [
         "years", "node1", "label", "node2", "location"]
+    # reference reorder_columns.py:193-196: unmentioned columns without
+    # "..." are an error unless --trim
+    with pytest.raises(ValueError, match="not accounted for"):
+        O.reorder_columns(ds, ["years", "node1"])
 
 
 def test_cat_alias_merge():

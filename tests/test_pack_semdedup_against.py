@@ -243,6 +243,11 @@ def test_split_dataset():
     with pytest.raises(ValueError, match="sum to 1"):
         split_dataset(ray.data.from_pandas(df), id_col="doc_id",
                       fractions={"train": 0.5})
+    # a fraction that rounds to an empty hash range must raise, not
+    # produce a silently empty split
+    with pytest.raises(ValueError, match="empty range"):
+        split_dataset(ray.data.from_pandas(df), id_col="doc_id",
+                      fractions={"train": 0.99996, "tiny": 0.00004})
 
 
 def test_dedup_against_empty_reference():

@@ -56,8 +56,8 @@ def test_scrub_matches_naive_re_sub(texts):
     from kgtk_ray.text.pii import _PASSES
 
     def naive(t: str) -> str:
-        for pat, rep in _PASSES:
-            t = re.sub(pat, rep, t)
+        for _name, pat, rep in _PASSES:
+            t = pat.sub(rep, t)
         return t
 
     s = pd.Series(texts, dtype=str)

@@ -109,6 +109,19 @@ def test_grouped_profile_exact_stats():
             assert row[name] == vals[max(1, math.ceil(q * n)) - 1], (q, row.g)
 
 
+def test_grouped_profile_float_values_exact_total():
+    # quantized floats (the module docstring's recommended usage) must
+    # not have their total/mean truncated to int
+    rows = [{"g": "a", "v": 0.25}, {"g": "a", "v": 0.5},
+            {"g": "a", "v": 0.5}, {"g": "b", "v": 1.75}]
+    out = (grouped_profile(_ds(rows, parallelism=2), group_col="g",
+                           value_col="v", quantiles=(0.5,))
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    a, b = out.iloc[0], out.iloc[1]
+    assert a.total == 1.25 and math.isclose(a["mean"], 1.25 / 3)
+    assert b.total == 1.75 and b["mean"] == 1.75
+
+
 def test_grouped_profile_single_value_groups():
     out = (grouped_profile(_ds([{"g": "a", "v": 7}], parallelism=1),
                            group_col="g", value_col="v").to_pandas())
