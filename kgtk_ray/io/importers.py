@@ -220,28 +220,51 @@ def import_atomic(ds: Dataset) -> Dataset:
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         from ..format import stringify
-        rows = []
-        for _, row in df.iterrows():
-            event_label = _atomic_labels(str(row["event"]))
-            n1 = make_node(first_label(event_label))
-            for c in rel_cols:
-                if c not in df.columns:
-                    continue
-                vals = row[c]
-                if isinstance(vals, str):
-                    vals = json.loads(vals)
-                if vals is None:
-                    continue
-                for v in vals:
-                    if v == "none":
-                        continue
-                    value_label = _atomic_labels(str(v))
-                    n2 = make_node(first_label(value_label))
-                    rows.append((n1, make_node(c), n2, event_label,
-                                 value_label,
-                                 stringify(_ATOMIC_REL_LABELS[c]), "",
-                                 stringify("AT"), ""))
-        return pd.DataFrame(rows, columns=_OUT_COLS)
+
+        df = df.reset_index(drop=True)
+        cols = [c for c in rel_cols if c in df.columns]
+
+        # per-unique-value label computation (events and list members
+        # repeat heavily), then columnar melt -> explode -> filter
+        ev = df["event"].astype(str)
+        ev_label = ev.map({e: _atomic_labels(e) for e in ev.unique()})
+        base = pd.DataFrame({
+            "__n1": ev_label.map(lambda s: make_node(first_label(s))),
+            "__el": ev_label,
+            "__row": range(len(df)),
+        })
+        for c in cols:
+            base[c] = df[c].map(
+                lambda v: json.loads(v) if isinstance(v, str) else v)
+
+        long = base.melt(id_vars=["__n1", "__el", "__row"], value_vars=cols,
+                         var_name="__rel", value_name="__v")
+        long = long[long["__v"].notna()].explode("__v", ignore_index=True)
+        long = long[long["__v"].notna() & (long["__v"] != "none")]
+        # restore the reference's row-major emission order
+        # (import_atomic.py iterates rows, then relation columns;
+        # melt is column-major, explode keeps intra-list order)
+        cpos = {c: i for i, c in enumerate(cols)}
+        long = long.sort_values(
+            ["__row", "__rel"], key=lambda s:
+            s.map(cpos) if s.name == "__rel" else s, kind="mergesort")
+
+        vals = long["__v"].astype(str)
+        vlabel = vals.map({v: _atomic_labels(v) for v in vals.unique()})
+        rel_label = {c: stringify(_ATOMIC_REL_LABELS[c]) for c in cols}
+        return pd.DataFrame({
+            "node1": long["__n1"].to_numpy(),
+            "relation": ("at:" + long["__rel"].str.replace(
+                " ", "_", regex=False)).to_numpy(),
+            "node2": vlabel.map(
+                lambda s: make_node(first_label(s))).to_numpy(),
+            "node1;label": long["__el"].to_numpy(),
+            "node2;label": vlabel.to_numpy(),
+            "relation;label": long["__rel"].map(rel_label).to_numpy(),
+            "relation;dimension": "",
+            "source": stringify("AT"),
+            "sentence": "",
+        }, columns=_OUT_COLS)
 
     return ds.map_batches(f, batch_format="pandas")
 
