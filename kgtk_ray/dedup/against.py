@@ -33,8 +33,9 @@ import ray
 import ray.data
 
 from .minhash import (_VERIFY_BROADCAST_BYTES, _VERIFY_BROADCAST_DOCS,
-                      _band_buckets, _perm_params, _shingle_hashes,
-                      _signature)
+                      _VERIFY_MIN_BLOCKS, _band_buckets, _jaccard_ok,
+                      _make_broadcast_verifier, _perm_params,
+                      _shingle_hashes_batch, _signatures_batch)
 
 Dataset = ray.data.Dataset
 
@@ -60,8 +61,9 @@ def dedup_against(corpus: Dataset, reference: Dataset, *,
             return pd.DataFrame({
                 "doc": df[icol].to_numpy(),
                 "side": np.int8(side),
-                "sh": [_shingle_hashes(t, shingle_k).astype(np.int64)
-                       .tobytes() for t in df[tcol].astype(str)],
+                "sh": [s.astype(np.int64).tobytes() for s in
+                       _shingle_hashes_batch(df[tcol].astype(str),
+                                             shingle_k)],
             })
         return shingle
 
@@ -76,11 +78,9 @@ def dedup_against(corpus: Dataset, reference: Dataset, *,
                                  "side": pd.Series(dtype="int8"),
                                  "band": pd.Series(dtype="int64"),
                                  "bucket": pd.Series(dtype="int64")})
-        sigs = np.stack([
-            _signature(np.frombuffer(s, dtype=np.int64).astype(np.uint64),
-                       a_par, b_par)
-            for s in df["sh"]
-        ])
+        sigs = _signatures_batch(
+            [np.frombuffer(s, dtype=np.int64).view(np.uint64)
+             for s in df["sh"]], a_par, b_par)
         buckets = _band_buckets(sigs, bands, r)
         n = len(df)
         return pd.DataFrame({
@@ -110,12 +110,13 @@ def dedup_against(corpus: Dataset, reference: Dataset, *,
     from ..ops.shuffle import ifexists
     from ._cluster import _id_type
 
+    # per-batch pair dedup only; the full (a,b)-shuffled dedup runs
+    # just before the pair-partitioned verify (where duplicates re-ship
+    # shingle bytes) — the broadcast path is duplicate-tolerant
     raw = bucketed_group_apply(flat, ["band", "bucket"], pairs)
-    cand = bucketed_group_apply(
-        raw.map_batches(lambda df: df.drop_duplicates(["a", "b"]),
-                        batch_format="pandas"),
-        ["a", "b"],
-        lambda df: df.drop_duplicates(["a", "b"])).materialize()
+    cand = raw.map_batches(
+        lambda df: df.drop_duplicates(["a", "b"]),
+        batch_format="pandas").materialize()
 
     ids = corpus.select_columns([id_col])
 
@@ -126,44 +127,45 @@ def dedup_against(corpus: Dataset, reference: Dataset, *,
     if cand.count() == 0:
         return ids.map_batches(flag_none, batch_format="pandas")
 
-    # semi-join each shingle table down to its side's candidate docs
-    need_a = cand.map_batches(
-        lambda df: pd.DataFrame({"doc": df["a"].drop_duplicates()}),
-        batch_format="pandas")
-    need_b = cand.map_batches(
-        lambda df: pd.DataFrame({"doc": df["b"].drop_duplicates()}),
-        batch_format="pandas")
-    sha = ifexists(sh_c.drop_columns(["side"]), need_a,
-                   input_keys=["doc"], filter_keys=["doc"]).materialize()
-    shb = ifexists(sh_r.drop_columns(["side"]), need_b,
-                   input_keys=["doc"], filter_keys=["doc"]).materialize()
+    # Short-circuit as in minhash_dedup: when BOTH whole shingle tables
+    # already fit the broadcast gate (count/size are free metadata on
+    # materialized datasets), collecting them directly costs the same
+    # object-store traffic as collecting the semi-joined subsets —
+    # skip the two candidate-id semi-join passes entirely.
+    if sh_c.count() + sh_r.count() <= _VERIFY_BROADCAST_DOCS and \
+            sh_c.size_bytes() + sh_r.size_bytes() <= _VERIFY_BROADCAST_BYTES:
+        sha, shb = sh_c.drop_columns(["side"]), sh_r.drop_columns(["side"])
+        n_docs, n_bytes = 0, 0  # under the gate by construction
+    else:
+        # semi-join each shingle table down to its side's candidate docs
+        need_a = cand.map_batches(
+            lambda df: pd.DataFrame({"doc": df["a"].drop_duplicates()}),
+            batch_format="pandas")
+        need_b = cand.map_batches(
+            lambda df: pd.DataFrame({"doc": df["b"].drop_duplicates()}),
+            batch_format="pandas")
+        sha = ifexists(sh_c.drop_columns(["side"]), need_a,
+                       input_keys=["doc"], filter_keys=["doc"]).materialize()
+        shb = ifexists(sh_r.drop_columns(["side"]), need_b,
+                       input_keys=["doc"], filter_keys=["doc"]).materialize()
+        n_docs = sha.count() + shb.count()
+        n_bytes = sha.size_bytes() + shb.size_bytes()
 
-    def _jaccard_ok(x: bytes, y: bytes) -> bool:
-        xv = np.frombuffer(x, dtype=np.int64)
-        yv = np.frombuffer(y, dtype=np.int64)
-        inter = np.intersect1d(xv, yv, assume_unique=True).size
-        union = xv.size + yv.size - inter
-        return (inter / union if union else 1.0) >= threshold
-
-    n_docs = sha.count() + shb.count()
-    n_bytes = sha.size_bytes() + shb.size_bytes()
     if n_docs <= _VERIFY_BROADCAST_DOCS and n_bytes <= _VERIFY_BROADCAST_BYTES:
         da = sha.to_pandas()
         db = shb.to_pandas()
         ref = ray.put((dict(zip(da["doc"], da["sh"])),
                        dict(zip(db["doc"], db["sh"]))))
-
-        def verify_b(df: pd.DataFrame) -> pd.DataFrame:
-            ma, mb = ray.get(ref)
-            empty = b""
-            keep = np.fromiter(
-                (_jaccard_ok(ma.get(x, empty), mb.get(y, empty))
-                 for x, y in zip(df["a"], df["b"])),
-                dtype=bool, count=len(df))
-            return df.loc[keep, ["a"]]
-
-        matched = cand.map_batches(verify_b, batch_format="pandas")
+        if cand.num_blocks() < _VERIFY_MIN_BLOCKS:
+            cand = cand.repartition(_VERIFY_MIN_BLOCKS * 2).materialize()
+        matched = cand.map_batches(
+            _make_broadcast_verifier(ref, threshold, ["a"]),
+            batch_format="pandas")
     else:
+        # full pair dedup before shipping shingle bytes through the joins
+        cand = bucketed_group_apply(
+            cand, ["a", "b"],
+            lambda df: df.drop_duplicates(["a", "b"])).materialize()
         idt_a = _id_type(ids, id_col)
         idt_b = _id_type(reference.select_columns([rid]), rid)
         sh_fields_a = {"doc": idt_a, "sh": pa.large_binary()}
@@ -187,7 +189,7 @@ def dedup_against(corpus: Dataset, reference: Dataset, *,
 
         def verify(df: pd.DataFrame) -> pd.DataFrame:
             keep = np.fromiter(
-                (_jaccard_ok(x, y)
+                (_jaccard_ok(x, y, threshold)
                  for x, y in zip(df["sh_a"], df["sh_b"])),
                 dtype=bool, count=len(df))
             return df.loc[keep, ["a"]]
@@ -196,10 +198,21 @@ def dedup_against(corpus: Dataset, reference: Dataset, *,
 
     matched_ids = matched.map_batches(
         lambda df: pd.DataFrame({id_col: df["a"].drop_duplicates()}),
-        batch_format="pandas")
+        batch_format="pandas").materialize()
 
-    # flag pass: semi/anti against the matched id set (ifexists
-    # size-gates the broadcast internally)
+    # flag pass: matched ids are bounded by the candidate set — under
+    # the gate, broadcast the set and flag in ONE corpus pass; above
+    # it, semi/anti passes (ifexists size-gates internally)
+    if matched_ids.count() <= _VERIFY_BROADCAST_DOCS:
+        sref = ray.put(set(matched_ids.to_pandas()[id_col]))
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(sref)
+            return pd.DataFrame({id_col: df[id_col],
+                                 "dup": df[id_col].isin(s).to_numpy()})
+
+        return ids.map_batches(flag, batch_format="pandas")
+
     from ..ops.shuffle import ifnotexists
 
     dup_rows = ifexists(ids, matched_ids, input_keys=[id_col],

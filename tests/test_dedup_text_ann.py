@@ -240,3 +240,29 @@ def test_fake_decoder_vectorized_matches_scalar():
         n = np.linalg.norm(hist)
         want.append(hist / n if n else hist)
     assert np.array_equal(got, np.asarray(want, dtype=np.float32))
+
+
+def test_shingle_and_signature_batch_parity():
+    # the batch kernels (Arrow-buffer shingling, batched signatures)
+    # must agree bit-for-bit with the single-doc reference forms the
+    # fixtures are generated from
+    import pandas as pd
+    from kgtk_ray.dedup.minhash import (_perm_params, _shingle_hashes,
+                                        _shingle_hashes_batch, _signature,
+                                        _signatures_batch)
+    rng = np.random.default_rng(7)
+    texts = ["", "a", "ab", "abcd", "x" * 5, "héllo wörld ☃" * 3,
+             "the quick brown fox " * 40] + [
+        "".join(rng.choice(list("abcdef .\n\t"), size=rng.integers(0, 250)))
+        for _ in range(150)]
+    for k in (3, 5, 9):
+        got = _shingle_hashes_batch(pd.Series(texts, dtype=str), k)
+        assert len(got) == len(texts)
+        for t, g in zip(texts, got):
+            assert np.array_equal(_shingle_hashes(t, k), g), (k, t[:20])
+    a, b = _perm_params(64, 42)
+    shs = [_shingle_hashes(t, 5) for t in texts]
+    sigs = _signatures_batch(shs, a, b)
+    for i, s in enumerate(shs):
+        assert np.array_equal(sigs[i], _signature(s, a, b))
+    assert _signatures_batch([], a, b).shape == (0, 64)
