@@ -212,7 +212,22 @@ def _iff_keys(input_cols: Sequence[str], filter_cols: Sequence[str],
 
 
 def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
-               input_keys=None, filter_keys=None) -> Dataset:
+               input_keys=None, filter_keys=None,
+               preserve_order: bool = False) -> Dataset:
+    if preserve_order:
+        # reference --preserve-order (kgtk/iff/kgtkifexists.py:17-21,418):
+        # surviving rows come out in input order.  Distributed
+        # equivalent: zip a global row index on, filter, sort it back
+        # off — the sort is the unavoidable price of a global order
+        # (opt-in; default output is unordered per
+        # docs/specification.md:24).
+        n = ds.count()
+        idx = ray.data.range(n).map_batches(
+            lambda t: t.rename_columns(["__order__"]),
+            batch_format="pyarrow")
+        out = _semi_anti(ds.zip(idx), filter_ds, anti=anti,
+                         input_keys=input_keys, filter_keys=filter_keys)
+        return out.sort("__order__").drop_columns(["__order__"])
     # schema() is None for an all-empty dataset (e.g. a drained BFS
     # frontier); explicit keys don't need it
     in_sch = ds.schema()
@@ -270,26 +285,26 @@ def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
 
 
 def ifexists(ds: Dataset, filter_ds: Dataset, *, input_keys=None,
-             filter_keys=None) -> Dataset:
+             filter_keys=None, preserve_order: bool = False) -> Dataset:
     """Semi-join: keep input rows whose key exists in the filter file
     (reference kgtk/iff/kgtkifexists.py, which caches the filter key set
     in one process's memory).
 
-    Order note: the reference's ``--preserve-order`` / cache-input mode
-    (kgtkifexists.py:17-21) emits surviving rows in input order.  Rows
-    here are unordered (docs/specification.md:24): the broadcast path
-    happens to preserve per-block order, the join path does not — pipe
-    through :func:`sort_edges` for a deterministic order.
+    ``preserve_order=True`` is the reference's ``--preserve-order``
+    (kgtkifexists.py:17-21): surviving rows come out in input order,
+    via a zipped global row index + final sort.  The default output is
+    unordered (docs/specification.md:24): the broadcast path happens to
+    preserve per-block order, the join path does not.
     """
     return _semi_anti(ds, filter_ds, anti=False, input_keys=input_keys,
-                      filter_keys=filter_keys)
+                      filter_keys=filter_keys, preserve_order=preserve_order)
 
 
 def ifnotexists(ds: Dataset, filter_ds: Dataset, *, input_keys=None,
-                filter_keys=None) -> Dataset:
+                filter_keys=None, preserve_order: bool = False) -> Dataset:
     """Anti-join complement of :func:`ifexists`."""
     return _semi_anti(ds, filter_ds, anti=True, input_keys=input_keys,
-                      filter_keys=filter_keys)
+                      filter_keys=filter_keys, preserve_order=preserve_order)
 
 
 def kgtk_join(

@@ -17,21 +17,77 @@ Dataset = ray.data.Dataset
 
 EXPLODE_PREFIX = ";kgtk:"  # reference: kgtk/reshape/kgtkexplode.py:32
 
+# reference kgtk/io/kgtkreader.py:53 ERROR_LIMIT_DEFAULT — after this
+# many reported data errors the reader aborts ("Too many data errors")
+ERROR_LIMIT_DEFAULT = 1000
+
+
+def _error_counts(ds: Dataset, cols: Sequence[str],
+                  options: "V.ValueOptions | None") -> dict:
+    """Per-column invalid-row counters + the any-column total, computed
+    in one distributed pass (per-batch partial counts, tiny driver
+    sum).  The distributed equivalent of the reference reader's
+    ``data_errors_reported`` counter (kgtk/io/kgtkreader.py:763-766)."""
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        bad_any = None
+        out = {}
+        for c in cols:
+            arr = df[c].fillna("").to_numpy(dtype=object)
+            v = V.validate(arr) if options is None \
+                else V.validate_with_options(arr, options)[0]
+            out[c] = [int((~v).sum())]
+            bad_any = ~v if bad_any is None else (bad_any | ~v)
+        out["total"] = [int(bad_any.sum()) if bad_any is not None else 0]
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(counts, batch_format="pandas").to_pandas()
+    return {c: int(parts[c].sum()) for c in parts.columns}
+
 
 def validate_edges(ds: Dataset, columns: Sequence[str] = ("node1", "label", "node2"),
                    *, invalid_action: str = "exclude",
-                   options: "V.ValueOptions | None" = None) -> Dataset:
+                   options: "V.ValueOptions | None" = None,
+                   error_limit: int = ERROR_LIMIT_DEFAULT):
     """Classify + validate the given columns per the KGTK value grammar.
 
-    ``invalid_action``: "exclude" drops invalid rows (the reference's
-    EXCLUDE action, kgtk/io/kgtkreader.py:742-767); "mark" appends a
-    boolean ``valid`` column; "pass" returns the input unchanged.
+    ``invalid_action`` maps the reference's ValidationAction set
+    (kgtk/io/kgtkreader.py:742-767):
+
+    - ``"exclude"`` — silently drop invalid rows (EXCLUDE); lazy.
+    - ``"mark"`` — append a boolean ``valid`` column; lazy.
+    - ``"pass"`` — return the input unchanged (PASS); lazy.
+    - ``"report"`` / ``"complain"`` — REPORT keeps all rows, COMPLAIN
+      drops the invalid ones; both EAGERLY count errors and return
+      ``(dataset, counters)`` where counters maps each column to its
+      invalid-row count plus ``"total"`` (rows with any invalid
+      column).  If ``error_limit > 0`` and total >= limit, raises
+      ``ValueError("Too many data errors...")`` — the reference
+      reader's 1000-error abort (kgtkreader.py:53,763-766).
+    - ``"error"`` — raise on the FIRST invalid row (ERROR/EXIT; in a
+      streaming engine the whole pass runs before the raise).
+
     ``options`` (a :class:`kgtk_ray.values.ValueOptions`) selects the
     reference's KgtkValueOptions lax/repair matrix; None = strict
     defaults.  Repair options mutate the cell in place, as the
     reference does (kgtk/io/kgtkreader.py:1179-1183).
     """
     cols = list(columns)
+
+    if invalid_action in ("report", "complain", "error"):
+        counters = _error_counts(ds, cols, options)
+        total = counters["total"]
+        if invalid_action == "error":
+            if total:
+                raise ValueError(
+                    f"In input data: {total} invalid rows ({counters})")
+            return ds
+        if error_limit > 0 and total >= error_limit:
+            raise ValueError(
+                f"Too many data errors, exiting. ({total} >= {error_limit})")
+        out = ds if invalid_action == "report" else validate_edges(
+            ds, cols, invalid_action="exclude", options=options)
+        return out, counters
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         ok = None
@@ -61,7 +117,8 @@ def validate_edges(ds: Dataset, columns: Sequence[str] = ("node1", "label", "nod
 
 def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",),
                 *, with_rejects: bool = False,
-                options: "V.ValueOptions | None" = None):
+                options: "V.ValueOptions | None" = None,
+                error_limit: int = 0):
     """validate + repair + keep-valid (the reference's clean-data:
     repairs month/day-zero dates and out-of-range coordinates, then
     excludes rows that remain invalid).
@@ -75,8 +132,26 @@ def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",),
     a second Dataset instead of process death.  Each branch is an
     independent lazy pipeline over the input; consume both from a
     materialized upstream if the input is expensive to recompute.
+
+    ``error_limit > 0`` enables the reference reader's error budget
+    (kgtkreader.py:53,763-766): rows still invalid AFTER repair are
+    counted eagerly (one distributed pass) and ``ValueError("Too many
+    data errors...")`` is raised when the count reaches the limit.
     """
     cols = list(columns)
+
+    if error_limit > 0:
+        # count post-repair invalids: rows the clean pass would drop
+        repaired = ds if options is not None else ds.map_batches(
+            lambda df: df.assign(**{
+                c: V.repair(df[c].fillna("").to_numpy(dtype=object))
+                for c in cols}),
+            batch_format="pandas")
+        counters = _error_counts(repaired, cols, options)
+        if counters["total"] >= error_limit:
+            raise ValueError(
+                f"Too many data errors, exiting. "
+                f"({counters['total']} >= {error_limit}; {counters})")
 
     def split(df: pd.DataFrame, keep_valid: bool) -> pd.DataFrame:
         df = df.copy()

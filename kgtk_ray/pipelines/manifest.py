@@ -91,15 +91,22 @@ def materialize_edges(edges: Dataset, out_dir: str, *, key: str = "node1",
             "fingerprint": [_fingerprint(body)],
         })
 
-    recs = tagged.groupby("__part__").map_groups(
-        write_group, batch_format="pandas").to_pandas()
-
+    # stream the manifest: append + flush each partition's record as
+    # its write completes, instead of one batch append at the end — a
+    # driver crash mid-run then loses only the in-flight partitions'
+    # lineage (their parquet rewrite on resume is idempotent via
+    # os.replace), not every record of the run
+    recs_ds = tagged.groupby("__part__").map_groups(
+        write_group, batch_format="pandas")
     with open(manifest_path, "a") as f:
-        for rec in recs.to_dict("records"):
-            rec = {"part": int(rec["part"]), "rows": int(rec["rows"]),
-                   "fingerprint": rec["fingerprint"], "key": key}
-            f.write(json.dumps(rec) + "\n")
-            written.append(rec)
+        for batch in recs_ds.iter_batches(batch_size=1,
+                                          batch_format="pandas"):
+            for rec in batch.to_dict("records"):
+                rec = {"part": int(rec["part"]), "rows": int(rec["rows"]),
+                       "fingerprint": rec["fingerprint"], "key": key}
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+                written.append(rec)
     return written
 
 

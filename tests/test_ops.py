@@ -240,6 +240,32 @@ def test_connected_components_naming_methods():
     assert h["a"] == h["b"] != h["x"]
 
 
+def test_validate_error_budget():
+    # reference kgtk/io/kgtkreader.py:53,742-767: REPORT passes rows and
+    # counts errors, COMPLAIN excludes and counts, ERROR raises on the
+    # first, and error_limit aborts with "Too many data errors"
+    ds = edges([("a", "p", '"ok"'), ("b", "p", '"bad'),
+                ("c", "p", "^1990-00-00"), ("d", "p", '"worse')])
+    out, counters = O.validate_edges(ds, ["node2"],
+                                     invalid_action="report")
+    assert out.count() == 4
+    assert counters == {"node2": 3, "total": 3}
+    out2, counters2 = O.validate_edges(ds, ["node2"],
+                                       invalid_action="complain")
+    assert set(out2.to_pandas().node1) == {"a"}
+    assert counters2["total"] == 3
+    with pytest.raises(ValueError, match="invalid rows"):
+        O.validate_edges(ds, ["node2"], invalid_action="error")
+    with pytest.raises(ValueError, match="Too many data errors"):
+        O.validate_edges(ds, ["node2"], invalid_action="report",
+                         error_limit=3)
+    # clean_edges budget counts POST-repair invalids (the date repairs)
+    cleaned = O.clean_edges(ds, ["node2"], error_limit=3)
+    assert cleaned.count() == 2
+    with pytest.raises(ValueError, match="Too many data errors"):
+        O.clean_edges(ds, ["node2"], error_limit=2)
+
+
 def test_clean_edges_rejects_stream():
     ds = edges([("a", "p", '"ok"'), ("b", "p", '"bad'),
                 ("c", "p", "^1990-00-00")])

@@ -110,6 +110,70 @@ def test_materialize_resume(tmp_path):
     assert len(back) == 100
 
 
+def test_materialize_kill_and_resume(tmp_path):
+    """End-to-end crash resume: a child process dies (os._exit) after
+    5 manifest records hit disk; the resume skips those partitions,
+    redoes the rest, and the final row set matches a clean run."""
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "edges")
+    child = f"""
+import json, os, sys
+import pandas as pd
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+import ray.data
+import kgtk_ray.pipelines.manifest as M
+
+count = 0
+class ShimJson:  # replace only manifest.py's json binding, not Ray's
+    loads = staticmethod(json.loads)
+    @staticmethod
+    def dumps(obj, *a, **k):
+        global count
+        count += 1
+        if count > 5:
+            os._exit(1)  # hard crash AFTER 5 flushed manifest lines
+        return json.dumps(obj, *a, **k)
+M.json = ShimJson
+
+ds = ray.data.from_pandas(pd.DataFrame({{
+    "node1": [f"Q{{i}}" for i in range(200)],
+    "label": "p",
+    "node2": [f"V{{i}}" for i in range(200)],
+}}))
+M.materialize_edges(ds, {out_dir!r}, num_partitions=16)
+os._exit(0)  # not reached
+"""
+    proc = subprocess.run([sys.executable, "-c", child],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    done = read_manifest(out_dir)
+    assert len(done) == 5
+    assert len(pending_partitions(out_dir, 16)) == 11
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node1": [f"Q{i}" for i in range(200)],
+        "label": "p",
+        "node2": [f"V{i}" for i in range(200)],
+    }))
+    redo = materialize_edges(ds, out_dir, num_partitions=16)
+    assert {r["part"] for r in redo} == set(pending_partitions(out_dir, 0)
+                                            or range(16)) - \
+        {r["part"] for r in done}
+    assert pending_partitions(out_dir, 16) == []
+    back = read_materialized(out_dir).to_pandas()
+    assert sorted(back.node1) == sorted(f"Q{i}" for i in range(200))
+    # lineage: fingerprints of resumed partitions match a clean rerun
+    clean_dir = str(tmp_path / "clean")
+    clean = materialize_edges(ds, clean_dir, num_partitions=16)
+    assert {(r["part"], r["rows"], r["fingerprint"]) for r in clean} == \
+        {(r["part"], r["rows"], r["fingerprint"])
+         for r in read_manifest(out_dir)}
+
+
 def test_run_pipeline_spec():
     from kgtk_ray.pipelines.spec import run_pipeline, register, OPS
 

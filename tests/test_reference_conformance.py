@@ -49,6 +49,48 @@ def test_ifexists_test1_default_keys_matches_golden():
     pd.testing.assert_frame_equal(got[want.columns], want)
 
 
+def test_ifexists_preserve_order_both_paths():
+    # reference --preserve-order (kgtk/iff/kgtkifexists.py:17-21):
+    # surviving rows in INPUT order, replayed on the reference's own
+    # ifexists-test1 fixture.  Exercised on both the broadcast path and
+    # (by shrinking BROADCAST_LIMIT) the bucketed-join path, which is
+    # the one that genuinely reorders.
+    import ray.data
+
+    import kgtk_ray.ops.shuffle as S
+    # many single-row blocks in scrambled-ish block order
+    rows = [
+        {"node1": "steve", "label": "zipcode", "node2": "45601"},
+        {"node1": "john", "label": "zipcode", "node2": "12345"},
+        {"node1": "peter", "label": "zipcode", "node2": "12040"},
+        {"node1": "john", "label": "zipcode", "node2": "12346"},
+        {"node1": "peter", "label": "zipcode", "node2": "12041"},
+        {"node1": "steve", "label": "zipcode", "node2": "45602"},
+    ]
+    ds = ray.data.from_pandas([pd.DataFrame([r]) for r in rows])
+    filt = ray.data.from_pandas(pd.DataFrame(
+        {"node1": ["john", "peter"], "label": ["zipcode"] * 2,
+         "node2": ["12345", "12040"]}))
+    want = [(r["node1"], r["node2"]) for r in rows
+            if r["node1"] in ("john", "peter")]
+    got = O.ifexists(ds, filt, input_keys=["node1"], filter_keys=["node1"],
+                     preserve_order=True).to_pandas()
+    assert list(zip(got.node1, got.node2)) == want
+    old = S.BROADCAST_LIMIT
+    try:
+        S.BROADCAST_LIMIT = 1  # force the bucketed-join path
+        got2 = O.ifexists(ds, filt, input_keys=["node1"],
+                          filter_keys=["node1"],
+                          preserve_order=True).to_pandas()
+        assert list(zip(got2.node1, got2.node2)) == want
+        got3 = O.ifnotexists(ds, filt, input_keys=["node1"],
+                             filter_keys=["node1"],
+                             preserve_order=True).to_pandas()
+        assert list(got3.node1) == ["steve", "steve"]
+    finally:
+        S.BROADCAST_LIMIT = old
+
+
 def test_ifexists_test1_node1_keys_matches_golden():
     ds = read_kgtk_tsv(f"{REF}/ifexists-test1-file1.tsv")
     filt = read_kgtk_tsv(f"{REF}/ifexists-test1-file2.tsv")
