@@ -160,6 +160,30 @@ def run_bench() -> dict:
     import __ray_entry__ as E
 
     timed("compact", lambda: E._q_compact(SF_DIR).count())
+
+    # zipfian hot-key stress: ONE entity holds ~30% of the edges.  The
+    # phase-1 per-batch combiner bounds what the hot key's bucket
+    # receives (<=1 row per upstream batch), so wall-time should track
+    # the uniform `compact` entry rather than the hot key's row count.
+    def bench_compact_zipf():
+        import numpy as np
+        from kgtk_ray.ops import compact
+        li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"])
+
+        def skew(df):
+            hot = (df.l_orderkey % 10 < 3).to_numpy()
+            return pd.DataFrame({
+                "node1": np.where(hot, "HOT",
+                                  "O" + df.l_orderkey.astype(str)),
+                "label": "has_part",
+                "node2": "P" + df.l_partkey.astype(str)})
+
+        edges = li.map_batches(skew, batch_format="pandas")
+        n = compact(edges, ["node1", "label"]).count()
+        results["compact_zipf_rows"] = n
+
+    timed("compact_zipf", bench_compact_zipf)
     timed("agg_pricing", lambda: E._q_agg_pricing(SF_DIR).count())
     timed("tumbling_window", lambda: E._q_tumbling(SF_DIR).count())
     timed("minhash_dedup", lambda: E._q_minhash(SF_DIR).count())

@@ -48,6 +48,7 @@ def compact(
     key_columns: Sequence[str] | None = None,
     *,
     presorted: bool = False,
+    _partial_only: bool = False,
 ) -> Dataset:
     """Group rows on key columns and merge every other column's values
     into sorted-unique ``|`` lists.
@@ -114,13 +115,29 @@ def compact(
         return pd.concat([uniq, merged], ignore_index=True)
 
     # phase 1: per-batch combiner (normalizes every cell and collapses
-    # hot keys to <=1 row per batch — the skew guard); phase 2: bucketed
-    # shuffle, one vectorized merge per bucket instead of one UDF call
-    # per distinct (node1,label,node2).
+    # hot keys to <=1 row per batch — the skew guard, see
+    # _compact_partial); phase 2: bucketed shuffle, one vectorized
+    # merge per bucket instead of one UDF call per distinct
+    # (node1,label,node2).
     from ._bucket import bucketed_group_apply
-    partial = ds.map_batches(merge_df, batch_format="pandas")
+    partial = _compact_partial(ds, keys, merge_df)
+    if _partial_only:
+        return partial
     return bucketed_group_apply(partial, keys, merge_bucket,
                                 arrow_tag=True)
+
+
+def _compact_partial(ds: Dataset, keys: Sequence[str],
+                     merge_df=None) -> Dataset:
+    """compact's phase-1 combiner as a standalone stage (exposed for
+    the skew-bound test): after this pass, a key occurs at most once
+    PER BATCH, so the rows any phase-2 bucket receives for a hot key
+    are bounded by the upstream batch count — per-bucket load stays
+    ~rows/num_buckets no matter how skewed the key distribution is."""
+    if merge_df is None:
+        # rebuild the closure for standalone use
+        return compact(ds, keys, _partial_only=True)
+    return ds.map_batches(merge_df, batch_format="pandas")
 
 
 def unique_counts(

@@ -40,3 +40,31 @@ def test_compact_matches_naive_any_block_split(rows, parallelism):
     got_rows = sorted(map(tuple, got[["node1", "label", "node2",
                                       "extra"]].to_numpy().tolist()))
     assert got_rows == naive_compact(rows)
+
+
+def test_compact_phase1_bounds_hot_key_fanin():
+    # skew guard: after the phase-1 combiner, a zipfian hot key (30% of
+    # all rows) occurs at most once PER BATCH, so the phase-2 bucket
+    # holding it receives rows bounded by the upstream block count —
+    # never the hot key's row count
+    import numpy as np
+    rng = np.random.default_rng(5)
+    n, blocks = 4000, 16
+    hot = rng.random(n) < 0.3
+    df = pd.DataFrame({
+        "node1": np.where(hot, "HOT", [f"k{i}" for i in range(n)]),
+        "label": "p",
+        "node2": [f"v{i}" for i in range(n)],
+    })
+    ds = rd.from_pandas(df).repartition(blocks)
+    partial = O.compact(ds, ["node1", "label"], _partial_only=True) \
+        .to_pandas()
+    hot_rows = int((partial.node1 == "HOT").sum())
+    assert hot_rows <= blocks, hot_rows          # <=1 per batch
+    assert hot_rows < int(hot.sum()) / 10        # vs ~1200 raw rows
+    # and the full compact still merges to exactly one HOT row with
+    # every value present
+    full = O.compact(ds, ["node1", "label"]).to_pandas()
+    hot_out = full[full.node1 == "HOT"]
+    assert len(hot_out) == 1
+    assert hot_out.iloc[0].node2.count("|") == int(hot.sum()) - 1
