@@ -208,15 +208,21 @@ def implode_node2(ds: Dataset, column: str = "node2",
     """Rebuild ``column`` from its exploded ``<column>;kgtk:*`` subfields
     (reference kgtk/reshape/kgtkimplode.py)."""
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
         prefix = f"{column}{EXPLODE_PREFIX}"
         sub = {c[len(prefix):]: df[c] for c in df.columns if c.startswith(prefix)}
+        # tolerate partially exploded input (the reference implodes from
+        # whichever kgtk: columns exist, kgtkimplode.py; e.g. the
+        # docs/transform/implode.md table omits year/month/day/...)
+        for fld in V.ALL_FIELDS:
+            if fld not in sub:
+                sub[fld] = pd.Series(np.nan, index=df.index, dtype=object)
         for fld in V.STR_CELL_FIELDS & sub.keys():
             # exploded str-format cells carry KGTK quotes; strip them
             # back to the raw field value (reference kgtkimplode.py
-            # unwraps the same way)
+            # unwrap, incl. triple-quote wrappers)
             sub[fld] = sub[fld].map(
-                lambda v: v[1:-1] if isinstance(v, str) and len(v) >= 2
-                and v.startswith('"') and v.endswith('"') else v)
+                lambda v: V._unwrap_field(v) if isinstance(v, str) else v)
         fields = pd.DataFrame(sub)
         df = df.copy()
         df[column] = V.implode_fields(fields).to_numpy()

@@ -594,9 +594,32 @@ def explode_fields(values) -> pd.DataFrame:
     return df[ALL_FIELDS]
 
 
+def _unwrap_field(v: str) -> str:
+    """Strip one optional outer string wrapper from an exploded field
+    (reference kgtk/reshape/kgtkimplode.py:74-101 unwrap: triple
+    double/single quotes first, then one double/single-quote layer; no
+    unescaping, no undoubling)."""
+    if len(v) >= 6 and (v[:3] == '"""' and v[-3:] == '"""'
+                        or v[:3] == "'''" and v[-3:] == "'''"):
+        return v[3:-3]
+    if len(v) >= 2 and (v[0] == v[-1] == '"' or v[0] == v[-1] == "'"):
+        return v[1:-1]
+    return v
+
+
+# a raw | inside an imploded value must come out pipe-escaped (the
+# reference's stringify / escape_pipes=True default); already-escaped
+# pipes pass through
+_RAW_PIPE_RE = re.compile(r"(?<!\\)\|")
+
+
 def implode_fields(df: pd.DataFrame) -> pd.Series:
     """Rebuild KGTK value strings from exploded field columns
-    (inverse of explode; reference kgtk/reshape/kgtkimplode.py)."""
+    (inverse of explode; reference kgtk/reshape/kgtkimplode.py).
+    Numeric fields may arrive as numbers (our explode) or as the
+    reference's field strings (partially exploded input) — strings are
+    emitted verbatim after unwrapping, as the reference does
+    (implode_number kgtkimplode.py:125-149)."""
     n = len(df)
     out = pd.Series([""] * n, dtype=object, index=df.index)
     t = df["data_type"].astype(str)
@@ -604,6 +627,8 @@ def implode_fields(df: pd.DataFrame) -> pd.Series:
     def numfmt(v) -> str:
         if pd.isna(v):
             return ""
+        if isinstance(v, str):
+            return _unwrap_field(v)
         f = float(v)
         return str(int(f)) if f == int(f) else repr(f)
 
@@ -621,13 +646,17 @@ def implode_fields(df: pd.DataFrame) -> pd.Series:
                 v += row["si_units"]
             return v
         out[m] = df[m].apply(q, axis=1)
+    def body(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").astype(str).map(
+            lambda s: _RAW_PIPE_RE.sub(r"\\|", s))
+
     m = t == "string"
-    out[m] = '"' + df.loc[m, "text"].fillna("").astype(str) + '"'
+    out[m] = '"' + body(df.loc[m, "text"]) + '"'
     m = t == "language_qualified_string"
     if m.any():
         suffix = df.loc[m, "language_suffix"]
         suf = suffix.map(lambda x: f"-{x}" if isinstance(x, str) and x else "")
-        out[m] = ("'" + df.loc[m, "text"].fillna("").astype(str) + "'@"
+        out[m] = ("'" + body(df.loc[m, "text"]) + "'@"
                   + df.loc[m, "language"].fillna("").astype(str) + suf)
     m = t == "location_coordinates"
     if m.any():
@@ -636,6 +665,18 @@ def implode_fields(df: pd.DataFrame) -> pd.Series:
     m = t == "date_and_times"
     if m.any():
         def d(row):
+            # the reference implodes from the date_and_time STRING
+            # field + precision (kgtk/reshape/kgtkimplode.py:365-390),
+            # not from the numeric parts; fall back to numeric
+            # reconstruction only when that field is absent/empty
+            dt = row.get("date_and_time")
+            if isinstance(dt, str) and dt:
+                v = "^" + dt
+                p = row.get("precision")
+                if pd.notna(p) and str(p) != "":
+                    v += f"/{int(float(p))}"
+                return v
+
             def i2(v):
                 return f"{int(v):02d}" if pd.notna(v) else None
             v = "^" + f"{int(row['year']):04d}"
@@ -659,5 +700,7 @@ def implode_fields(df: pd.DataFrame) -> pd.Series:
     m = t == "boolean"
     out[m] = df.loc[m, "truth"].map(lambda b: "True" if b else "False")
     m = t == "symbol"
-    out[m] = df.loc[m, "symbol"].fillna("").astype(str)
+    # reference implode_symbol unwraps an optionally-quoted field
+    # (kgtkimplode.py:434-449)
+    out[m] = df.loc[m, "symbol"].fillna("").astype(str).map(_unwrap_field)
     return out
