@@ -1822,7 +1822,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             UNION ALL
             SELECT 'ST'||CAST(o_orderkey AS VARCHAR), 'status',
-                   o_orderstatus, '' FROM orders
+                   o_orderstatus,
+                   'ST'||CAST(o_orderkey AS VARCHAR)||'-1' FROM orders
         """,
         "validate_properties": f"""
             WITH e AS (

@@ -8,9 +8,15 @@ processing): a node with a ``rdf:type rdf:Statement`` edge plus
 ``rdf:subject``/``rdf:predicate``/``rdf:object`` edges becomes one
 direct edge ``(subject, predicate, object, id=statement-node)``; every
 other edge hanging off the statement node is kept as a qualifier edge
-(its node1 is the new edge id).  Multiple subjects/predicates/objects
-produce the cross-product (reference allows multiples by default,
-:43-45).
+(its node1 is the new edge id) with id ``<edge-id>-<n>``, zero-padded
+to the group's attribute count (reference make_new_id
+kgtkunreifyrdfstatements.py:327-340).  Multiple
+subjects/predicates/objects produce the sorted cross-product
+(:304-318), each product edge numbered ``<statement>-<n>`` and
+carrying its own copy of the qualifier edges.  One divergence:
+the reference numbers qualifier edges in input-file order; rows here
+are unordered, so qualifiers are numbered in sorted (label, node2)
+order — deterministic across block orders.
 
 Where the reference buffers groups through an in-memory
 ``KgtkSortBuffer`` (single process), this is one hash-shuffle
@@ -59,13 +65,44 @@ def unreify_rdf_statements(
 
         direct = (vals(subject_label, "s")
                   .merge(vals(predicate_label, "p"), on="node1")
-                  .merge(vals(object_label, "o"), on="node1"))
-        direct = pd.DataFrame({"node1": direct["s"], "label": direct["p"],
-                               "node2": direct["o"], "id": direct["node1"]})
+                  .merge(vals(object_label, "o"), on="node1")
+                  .sort_values(["node1", "s", "p", "o"], kind="mergesort"))
+        # per-statement product numbering: a single (s,p,o) keeps the
+        # statement id; a cross-product numbers each edge
+        # <statement>-<n> zero-padded to the product count
+        g = direct.groupby("node1", sort=False)
+        n_prod = g["s"].transform("size").to_numpy()
+        seq = (g.cumcount() + 1).to_numpy()
+        stmt = direct["node1"].to_numpy()
+        main_id = np.where(
+            n_prod == 1, stmt,
+            [f"{sid}-{str(q).zfill(len(str(n)))}"
+             for sid, q, n in zip(stmt, seq, n_prod)])
+        direct_out = pd.DataFrame({
+            "node1": direct["s"].to_numpy(), "label": direct["p"].to_numpy(),
+            "node2": direct["o"].to_numpy(), "id": main_id})
 
-        quals = sdf.loc[~sdf["label"].isin(core), ["node1", "label", "node2"]].copy()
-        quals["id"] = ""
-        return pd.concat([direct, quals, through], ignore_index=True)
+        # qualifier edges: every non-core edge of the statement node,
+        # copied under EACH product edge, numbered <edge-id>-<m>
+        # zero-padded to the statement's attribute count
+        attrs = sdf.loc[~sdf["label"].isin(core),
+                        ["node1", "label", "node2"]].copy()
+        attrs = attrs.sort_values(["node1", "label", "node2"],
+                                  kind="mergesort")
+        ag = attrs.groupby("node1", sort=False)
+        attrs["_n"] = ag["label"].transform("size").to_numpy()
+        attrs["_seq"] = (ag.cumcount() + 1).to_numpy()
+        parents = pd.DataFrame({"node1": stmt, "_parent": main_id})
+        att = attrs.merge(parents, on="node1")
+        quals = pd.DataFrame({
+            "node1": att["_parent"].to_numpy(),
+            "label": att["label"].to_numpy(),
+            "node2": att["node2"].to_numpy(),
+            "id": [f"{p}-{str(q).zfill(len(str(n)))}"
+                   for p, q, n in zip(att["_parent"], att["_seq"],
+                                      att["_n"])],
+        })
+        return pd.concat([direct_out, quals, through], ignore_index=True)
 
     from ._bucket import bucketed_group_apply
     return bucketed_group_apply(edges, ["node1"], collapse)

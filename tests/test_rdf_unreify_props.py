@@ -80,7 +80,9 @@ def test_unreify_rdf_statements():
     out = rows(O.unreify_rdf_statements(e))
     # sorted-column tuple order: (id, label, node1, node2)
     assert ("S1", "P31", "Q1", "Q5") in out          # collapsed direct edge
-    assert ("", "refers_to", "S1", "REF9") in out    # qualifier keeps stmt node
+    # qualifier keeps stmt node as node1 and gets id <edge>-<n>
+    # (reference make_new_id, kgtkunreifyrdfstatements.py:327-340)
+    assert ("S1-1", "refers_to", "S1", "REF9") in out
     assert ("", "P31", "Q7", "Q5") in out            # untouched passthrough
     assert len(out) == 3
 
@@ -92,10 +94,37 @@ def test_unreify_multiple_objects_cross_product():
         ("S1", "rdf:predicate", "P31"),
         ("S1", "rdf:object", "Q5"),
         ("S1", "rdf:object", "Q6"),
+        ("S1", "conf", "0.9"),
     ])
     out = rows(O.unreify_rdf_statements(e))
-    assert ("S1", "P31", "Q1", "Q5") in out
-    assert ("S1", "P31", "Q1", "Q6") in out
+    # sorted cross-product numbered <statement>-<n>; the qualifier is
+    # copied under each product edge (reference :280-324)
+    assert ("S1-1", "P31", "Q1", "Q5") in out
+    assert ("S1-2", "P31", "Q1", "Q6") in out
+    assert ("S1-1-1", "conf", "S1-1", "0.9") in out
+    assert ("S1-2-1", "conf", "S1-2", "0.9") in out
+
+
+def test_unreify_docs_example_ids():
+    # /root/reference/docs/transform/unreify_rdf_statements.md worked
+    # example: three qualifiers numbered in order under the main edge
+    g = "X:g3"
+    e = edges([
+        (g, "ont:confidence", "X:g4"),
+        (g, "ont:justifiedBy", "X:g5"),
+        (g, "ont:system", "n1:"),
+        (g, "rdf:object", "gaia:e1"),
+        (g, "rdf:predicate", "n3:LocatedNear"),
+        (g, "rdf:subject", "gaia:r1"),
+        (g, "rdf:type", "rdf:Statement"),
+    ])
+    out = rows(O.unreify_rdf_statements(e))
+    assert out == sorted([
+        (g, "n3:LocatedNear", "gaia:r1", "gaia:e1"),
+        (f"{g}-1", "ont:confidence", g, "X:g4"),
+        (f"{g}-2", "ont:justifiedBy", g, "X:g5"),
+        (f"{g}-3", "ont:system", g, "n1:"),
+    ])
 
 
 # ---------------------------------------------------------- validate-props
