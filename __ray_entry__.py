@@ -1077,6 +1077,28 @@ def _q_jsonl_roundtrip(sf: str):
     return read_kgtk_jsonl(out)
 
 
+def _q_paths_statistics(sf: str):
+    """Reference `paths --statistics-only` output format
+    (docs/analysis/paths.md): numbered edge-id path records over the
+    supplier->nation->region 2-hop graph."""
+    from kgtk_ray.ops import paths_statistics
+    sup = rd.read_parquet(f"{sf}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = rd.read_parquet(f"{sf}/nation.parquet",
+                          columns=["n_nationkey", "n_regionkey"])
+    e1 = sup.map_batches(lambda df: pd.DataFrame({
+        "node1": "S" + df.s_suppkey.astype(str), "label": "located_in",
+        "node2": "N" + df.s_nationkey.astype(str),
+        "id": "LS" + df.s_suppkey.astype(str)}), batch_format="pandas")
+    e2 = nat.map_batches(lambda df: pd.DataFrame({
+        "node1": "N" + df.n_nationkey.astype(str), "label": "in_region",
+        "node2": "R" + df.n_regionkey.astype(str),
+        "id": "LN" + df.n_nationkey.astype(str)}), batch_format="pandas")
+    sources = [f"S{k}" for k in range(20)]
+    targets = [f"R{k}" for k in range(5)]
+    return paths_statistics(e1.union(e2), sources, targets, max_hops=2)
+
+
 def _q_graph_statistics(sf: str):
     from kgtk_ray.ops import graph_statistics
     edges = _edges_nation(sf).drop_columns(["n_name"]).union(
@@ -1204,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode": _q_explode,
         "calc": _q_calc,
         "topk_cosine": _q_topk_cosine,
+        "paths_statistics": _q_paths_statistics,
     }
 
 
@@ -1813,6 +1836,24 @@ def oracle_sql() -> dict[str, str]:
                    ||'> <http://example.org/in_region> <http://example.org/R'
                    ||CAST(n_regionkey AS VARCHAR)||'> .' AS line
             FROM nation
+        """,
+        "paths_statistics": """
+            WITH p AS (
+              SELECT 'LS'||CAST(s_suppkey AS VARCHAR) AS e0,
+                     'LN'||CAST(s_nationkey AS VARCHAR) AS e1
+              FROM supplier WHERE s_suppkey < 20),
+            ordered AS (
+              SELECT e0, e1,
+                     ROW_NUMBER() OVER (ORDER BY e0, e1) - 1 AS i FROM p)
+            SELECT 'p'||CAST(i AS VARCHAR) AS node1, '0' AS label,
+                   e0 AS node2,
+                   'p'||CAST(i AS VARCHAR)||'-0-'||CAST(2*i AS VARCHAR)
+                     AS id
+            FROM ordered
+            UNION ALL
+            SELECT 'p'||CAST(i AS VARCHAR), '1', e1,
+                   'p'||CAST(i AS VARCHAR)||'-1-'||CAST(2*i+1 AS VARCHAR)
+            FROM ordered
         """,
         "unreify_rdf": """
             SELECT 'C'||CAST(o_custkey AS VARCHAR) AS node1,

@@ -290,6 +290,73 @@ def paths(edges: Dataset, sources: Sequence[str], targets: Sequence[str], *,
     return ray.data.from_pandas(out.drop_duplicates().reset_index(drop=True))
 
 
+def paths_statistics(edges: Dataset, sources: Sequence[str],
+                     targets: Sequence[str], *,
+                     max_hops: int = 4) -> Dataset:
+    """The reference CLI's ``--statistics-only`` output format
+    (kgtk/cli/paths.py; worked example docs/analysis/paths.md): one row
+    per (path, hop) holding the traversed EDGE ID —
+    ``(node1=p<i>, label=<hop>, node2=<edge id>, id=p<i>-<hop>-<seq>)``
+    with a global running ``<seq>``.  Requires an ``id`` column on the
+    edges.  The reference numbers paths in graph-tool's ``all_paths``
+    enumeration order; a distributed engine has no file order, so paths
+    are numbered in sorted edge-id-sequence order — which reproduces
+    the published example exactly.
+    """
+    eds = edges.select_columns(["node1", "node2", "id"]).materialize()
+    tset = set(map(str, targets))
+
+    frontier = pd.DataFrame({"src": list(map(str, sources))})
+    frontier["node"] = frontier["src"]
+    frontier["path"] = frontier["src"]
+    frontier["epath"] = ""
+    found = []
+    for hop in range(1, max_hops + 1):
+        ref = ray.put(frontier)
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            fr = ray.get(ref)
+            m = df.merge(fr, left_on="node1", right_on="node")
+            if m.empty:
+                return pd.DataFrame({"src": [], "node": [], "path": [],
+                                     "epath": []})
+            keep = [n2 not in p.split("->")
+                    for n2, p in zip(m["node2"], m["path"])]
+            m = m[keep]
+            # NB: np.where with a "\x00" literal silently truncates it
+            # (numpy U-dtype is NUL-terminated); use \x1f via pandas
+            sep = m["epath"].map(lambda s: "" if s == "" else "\x1f")
+            return pd.DataFrame({
+                "src": m["src"].astype(str),
+                "node": m["node2"].astype(str),
+                "path": m["path"] + "->" + m["node2"],
+                "epath": m["epath"] + sep + m["id"].astype(str)})
+
+        nxt = eds.map_batches(step, batch_format="pandas").to_pandas()
+        if nxt.empty:
+            break
+        nxt = nxt.drop_duplicates()
+        found.append(nxt[nxt["node"].isin(tset)])
+        frontier = nxt
+
+    cols = {"node1": pd.Series([], dtype=str),
+            "label": pd.Series([], dtype=str),
+            "node2": pd.Series([], dtype=str),
+            "id": pd.Series([], dtype=str)}
+    if not found or not len(pd.concat(found)):
+        return ray.data.from_pandas(pd.DataFrame(cols))
+    hits = pd.concat(found, ignore_index=True).drop_duplicates()
+    epaths = sorted(hits["epath"].map(lambda s: tuple(s.split("\x1f"))))
+    rows = []
+    seq = 0
+    for i, ep in enumerate(epaths):
+        for hop, eid in enumerate(ep):
+            rows.append((f"p{i}", str(hop), eid, f"p{i}-{hop}-{seq}"))
+            seq += 1
+    return ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["node1", "label", "node2", "id"]))
+
+
 def _paths_distributed(edges: Dataset, sources: Sequence[str],
                        targets: Sequence[str], *, max_hops: int,
                        num_partitions: int) -> Dataset:

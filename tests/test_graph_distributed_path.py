@@ -60,3 +60,25 @@ def test_pagerank_distributed_dangling_nodes(monkeypatch):
     assert set(sd) == {"a", "b", "sink"} == set(st)
     for n in sd:
         assert sd[n] == pytest.approx(st[n], abs=1e-9), n
+
+
+def test_paths_statistics_docs_example(ray_session):
+    # /root/reference/docs/analysis/paths.md worked example: a->e,
+    # max_hops 2, --statistics-only edge-id path records
+    import pandas as pd
+    import ray.data as rd
+    from kgtk_ray.ops import paths_statistics
+    e = rd.from_pandas(pd.DataFrame({
+        "node1": ["a", "a", "a", "d", "c", "d", "f"],
+        "label": ["r1", "r1", "r2", "r3", "r4", "r3", "r3"],
+        "node2": ["c", "d", "c", "e", "e", "f", "d"],
+        "id": ["e1", "e2", "e3", "e4", "e5", "e6", "e7"],
+        "col": ["1", "2", "3", "4", "1", "2", "3"],
+    }))
+    out = paths_statistics(e, ["a"], ["e"], max_hops=2).to_pandas()
+    want = pd.DataFrame(
+        [("p0", "0", "e1", "p0-0-0"), ("p0", "1", "e5", "p0-1-1"),
+         ("p1", "0", "e2", "p1-0-2"), ("p1", "1", "e4", "p1-1-3"),
+         ("p2", "0", "e3", "p2-0-4"), ("p2", "1", "e5", "p2-1-5")],
+        columns=["node1", "label", "node2", "id"])
+    pd.testing.assert_frame_equal(out, want)
