@@ -1099,6 +1099,25 @@ def _q_paths_statistics(sf: str):
     return paths_statistics(e1.union(e2), sources, targets, max_hops=2)
 
 
+def _q_graph_statistics_edges(sf: str):
+    """Reference `graph-statistics --statistics-only` per-vertex edge
+    output (docs/analysis/graph_statistics.md) over the nation->region
+    graph; pagerank has a closed form on this depth-1 DAG, so the
+    oracle computes it exactly in SQL (L1-normalized, 6dp)."""
+    from kgtk_ray.ops import graph_statistics_edges
+    e = _edges_nation(sf).drop_columns(["n_name"])
+    out = graph_statistics_edges(e, iters=10)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        m = df.label == "vertex_pagerank"
+        df.loc[m, "node2"] = df.loc[m, "node2"].astype(float) \
+            .map("{:.6f}".format)
+        return df
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def _q_graph_statistics(sf: str):
     from kgtk_ray.ops import graph_statistics
     edges = _edges_nation(sf).drop_columns(["n_name"]).union(
@@ -1227,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calc": _q_calc,
         "topk_cosine": _q_topk_cosine,
         "paths_statistics": _q_paths_statistics,
+        "graph_statistics_edges": _q_graph_statistics_edges,
     }
 
 
@@ -1836,6 +1856,44 @@ def oracle_sql() -> dict[str, str]:
                    ||'> <http://example.org/in_region> <http://example.org/R'
                    ||CAST(n_regionkey AS VARCHAR)||'> .' AS line
             FROM nation
+        """,
+        "graph_statistics_edges": """
+            WITH e AS (
+              SELECT 'N'||CAST(n_nationkey AS VARCHAR) AS node1,
+                     'R'||CAST(n_regionkey AS VARCHAR) AS node2
+              FROM nation),
+            nodes AS (SELECT node1 AS node FROM e
+                      UNION SELECT node2 FROM e),
+            ind AS (SELECT node2 AS node, COUNT(*) AS c FROM e GROUP BY 1),
+            outd AS (SELECT node1 AS node, COUNT(*) AS c FROM e GROUP BY 1),
+            params AS (SELECT (SELECT COUNT(*) FROM nodes) AS n,
+                              (SELECT COUNT(*) FROM e) AS m),
+            stats AS (
+              SELECT nd.node,
+                     COALESCE(i.c, 0) AS ind_c,
+                     COALESCE(o.c, 0) AS outd_c,
+                     -- closed-form pagerank on this depth-1 DAG
+                     -- (every in-edge source is a pure source with
+                     -- out-degree 1), L1-normalized:
+                     (1.0 + 0.85 * COALESCE(i.c, 0))
+                       / ((SELECT n FROM params)
+                          + 0.85 * (SELECT m FROM params)) AS pr,
+                     ROW_NUMBER() OVER (ORDER BY nd.node) - 1 AS vi
+              FROM nodes nd
+              LEFT JOIN ind i ON i.node = nd.node
+              LEFT JOIN outd o ON o.node = nd.node)
+            SELECT node AS node1, 'vertex_in_degree' AS label,
+                   CAST(ind_c AS VARCHAR) AS node2,
+                   node||'-vertex_in_degree-'||CAST(3*vi AS VARCHAR) AS id
+            FROM stats
+            UNION ALL
+            SELECT node, 'vertex_out_degree', CAST(outd_c AS VARCHAR),
+                   node||'-vertex_out_degree-'||CAST(3*vi+1 AS VARCHAR)
+            FROM stats
+            UNION ALL
+            SELECT node, 'vertex_pagerank', printf('%.6f', pr),
+                   node||'-vertex_pagerank-'||CAST(3*vi+2 AS VARCHAR)
+            FROM stats
         """,
         "paths_statistics": """
             WITH p AS (

@@ -30,6 +30,7 @@ from .graph import (
     connected_components,
     paths,
     paths_statistics,
+    graph_statistics_edges,
     hits,
     pagerank,
 )
@@ -47,7 +48,7 @@ __all__ = [
     "reorder_columns", "cat", "compact", "unique_counts", "ifexists", "ifnotexists",
     "kgtk_join", "lift", "sort_edges", "dedup_exact_edges", "validate_edges",
     "clean_edges", "explode_node2", "implode_node2", "degrees", "graph_statistics",
-    "reachable_nodes", "connected_components", "paths", "paths_statistics", "pagerank",
+    "reachable_nodes", "connected_components", "paths", "paths_statistics", "graph_statistics_edges", "pagerank",
     "tumbling_window", "sliding_window", "session_window",
     "unreify_rdf_statements", "unreify_values", "hits", "validate_properties", "every_nth", "record_limit",
     "tail", "initial_skip", "sample_per_group", "weighted_sample",

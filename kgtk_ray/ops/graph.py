@@ -97,6 +97,87 @@ def graph_statistics(edges: Dataset) -> dict:
     }
 
 
+def graph_statistics_edges(edges: Dataset, *, compute_pagerank: bool = True,
+                           damping: float = 0.85, iters: int = 50,
+                           num_partitions: int = 16) -> Dataset:
+    """The reference CLI's ``graph-statistics --statistics-only`` edge
+    output (kgtk/cli/graph_statistics.py; worked example
+    docs/analysis/graph_statistics.md): per vertex,
+    ``(node, vertex_in_degree, <n>)``, ``(node, vertex_out_degree,
+    <n>)`` and (optionally) ``(node, vertex_pagerank, <score>)`` rows
+    with ids ``<node>-<label>-<seq>``.  PageRank scores are
+    L1-normalized, matching graph-tool's published values.
+
+    One divergence: the reference numbers ``<seq>`` in graph-tool's
+    vertex insertion order (file order); rows here are unordered, so
+    vertices are numbered in sorted-node order — deterministic across
+    block orders.  Fully distributed: degree/pagerank tables stay
+    Datasets; the id sequence comes from a block-metadata row index
+    (ops/_rowindex.py) after the node sort.
+    """
+    from ._bucket import bucketed_join
+
+    e = edges.select_columns(["node1", "node2"]).map_batches(
+        lambda df: df.astype(str), batch_format="pandas").materialize()
+    nodes = _distinct_nodes(e).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "node1": pd.Series([], dtype=str),
+            "label": pd.Series([], dtype=str),
+            "node2": pd.Series([], dtype=str),
+            "id": pd.Series([], dtype=str)}))
+
+    import pyarrow as pa
+    nf = {"node": pa.string()}
+    stats = bucketed_join(nodes, _node_counts(e, "node2", "ind"),
+                          "node", left_fields=nf,
+                          right_fields={"node": pa.string(),
+                                        "ind": pa.int64()}, how="left")
+    stats = bucketed_join(stats, _node_counts(e, "node1", "outd"),
+                          "node",
+                          left_fields={"node": pa.string(),
+                                       "ind": pa.int64()},
+                          right_fields={"node": pa.string(),
+                                        "outd": pa.int64()}, how="left")
+    per_vertex = ["vertex_in_degree", "vertex_out_degree"]
+    fields = {"node": pa.string(), "ind": pa.int64(), "outd": pa.int64()}
+    if compute_pagerank:
+        pr = pagerank(e, damping=damping, iters=iters,
+                      num_partitions=num_partitions)
+        pr = pr.map_batches(lambda df: pd.DataFrame({
+            "node": df["node1"].astype(str),
+            "pr": df["node2"].astype(float)}), batch_format="pandas")
+        total = pr.sum("pr")  # L1-normalize, as the published values are
+        pr = pr.map_batches(lambda df, t=total: df.assign(pr=df["pr"] / t),
+                            batch_format="pandas")
+        stats = bucketed_join(stats, pr, "node", left_fields=fields,
+                              right_fields={"node": pa.string(),
+                                            "pr": pa.float64()}, how="left")
+        fields["pr"] = pa.float64()
+        per_vertex.append("vertex_pagerank")
+    k = len(per_vertex)
+
+    from ._rowindex import add_row_index
+    ordered = add_row_index(stats.sort("node"), "__vi__")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            base = int(r["__vi__"]) * k
+            vals = [str(int(r["ind"]) if pd.notna(r["ind"]) else 0),
+                    str(int(r["outd"]) if pd.notna(r["outd"]) else 0)]
+            if compute_pagerank:
+                vals.append(repr(float(r["pr"])))
+            for j, (lab, v) in enumerate(zip(per_vertex, vals)):
+                rows.append((r["node"], lab, v,
+                             f"{r['node']}-{lab}-{base + j}"))
+        return pd.DataFrame(rows,
+                            columns=["node1", "label", "node2", "id"])
+
+    return ordered.map_batches(emit, batch_format="pandas")
+
+
 def reachable_nodes(edges: Dataset, roots: Sequence[str], *,
                     labels: Sequence[str] | None = None,
                     undirected: bool = False, max_hops: int = 100,

@@ -234,15 +234,13 @@ def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
     if preserve_order:
         # reference --preserve-order (kgtk/iff/kgtkifexists.py:17-21,418):
         # surviving rows come out in input order.  Distributed
-        # equivalent: zip a global row index on, filter, sort it back
-        # off — the sort is the unavoidable price of a global order
-        # (opt-in; default output is unordered per
-        # docs/specification.md:24).
-        n = ds.count()
-        idx = ray.data.range(n).map_batches(
-            lambda t: t.rename_columns(["__order__"]),
-            batch_format="pyarrow")
-        out = _semi_anti(ds.zip(idx), filter_ds, anti=anti,
+        # equivalent: attach a global row index (from block metadata —
+        # NOT Dataset.zip, whose block pairing is nondeterministic; see
+        # ops/_rowindex.py), filter, sort it back off — the sort is the
+        # unavoidable price of a global order (opt-in; default output
+        # is unordered per docs/specification.md:24).
+        from ._rowindex import add_row_index
+        out = _semi_anti(add_row_index(ds), filter_ds, anti=anti,
                          input_keys=input_keys, filter_keys=filter_keys)
         return out.sort("__order__").drop_columns(["__order__"])
     # schema() is None for an all-empty dataset (e.g. a drained BFS

@@ -82,3 +82,57 @@ def test_paths_statistics_docs_example(ray_session):
          ("p2", "0", "e3", "p2-0-4"), ("p2", "1", "e5", "p2-1-5")],
         columns=["node1", "label", "node2", "id"])
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_add_row_index_matches_block_order(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from kgtk_ray.ops._rowindex import add_row_index
+    # single-row blocks in a scrambled value order: the index must
+    # follow BLOCK order (what take() returns), not value order
+    vals = list("gfedcba")
+    ds = rd.from_pandas([pd.DataFrame({"v": [c]}) for c in vals])
+    out = add_row_index(ds).to_pandas().sort_values("__order__")
+    assert list(out.v) == vals
+    # and after a sort, the index follows the sorted order
+    out2 = add_row_index(ds.sort("v")).to_pandas().sort_values("__order__")
+    assert list(out2.v) == sorted(vals)
+
+
+def test_graph_statistics_edges_docs_example(ray_session):
+    # /root/reference/docs/analysis/graph_statistics.md worked example:
+    # per-vertex degree + L1-normalized pagerank edges; ids are
+    # numbered in sorted-node order (documented divergence from
+    # graph-tool's insertion order)
+    import pandas as pd
+    import ray.data as rd
+    from kgtk_ray.ops import graph_statistics_edges
+    e = rd.from_pandas(pd.DataFrame({
+        "node1": ["john", "john", "peter", "peter", "steve", "steve"],
+        "label": ["zipcode"] * 6,
+        "node2": ["12345", "12346", "12040", "12040", "45601", "45601"],
+    }))
+    out = graph_statistics_edges(e, iters=120).to_pandas()
+    assert len(out) == 21  # 7 vertices x 3 stats
+    ind = dict(zip(out[out.label == "vertex_in_degree"].node1,
+                   out[out.label == "vertex_in_degree"].node2))
+    outd = dict(zip(out[out.label == "vertex_out_degree"].node1,
+                    out[out.label == "vertex_out_degree"].node2))
+    pr = {k: float(v) for k, v in
+          zip(out[out.label == "vertex_pagerank"].node1,
+              out[out.label == "vertex_pagerank"].node2)}
+    assert ind == {"john": "0", "peter": "0", "steve": "0", "12345": "1",
+                   "12346": "1", "12040": "2", "45601": "2"}
+    assert outd == {"john": "2", "peter": "2", "steve": "2", "12345": "0",
+                    "12346": "0", "12040": "0", "45601": "0"}
+    # published graph-tool values (docs/analysis/graph_statistics.md)
+    import math
+    assert math.isclose(pr["john"], 0.10471144347252878, abs_tol=1e-5)
+    assert math.isclose(pr["12345"], 0.14921376206743192, abs_tol=1e-5)
+    assert math.isclose(pr["12040"], 0.1937160806623351, abs_tol=1e-5)
+    # id sequence: sorted-node order, 3 consecutive per vertex
+    srt = out.sort_values("id", key=lambda s: s.str.rsplit("-", n=1)
+                          .str[-1].astype(int))
+    assert list(srt.node1[:6]) == ["12040"] * 3 + ["12345"] * 3
+    assert srt.id.iloc[0] == "12040-vertex_in_degree-0"
+    assert srt.id.iloc[20] == "steve-vertex_pagerank-20"
