@@ -1106,7 +1106,7 @@ def _q_graph_statistics_edges(sf: str):
     oracle computes it exactly in SQL (L1-normalized, 6dp)."""
     from kgtk_ray.ops import graph_statistics_edges
     e = _edges_nation(sf).drop_columns(["n_name"])
-    out = graph_statistics_edges(e, iters=10)
+    out = graph_statistics_edges(e, iters=4)  # exact after 2 on this depth-1 DAG
 
     def fmt(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -111,9 +111,12 @@ def graph_statistics_edges(edges: Dataset, *, compute_pagerank: bool = True,
     One divergence: the reference numbers ``<seq>`` in graph-tool's
     vertex insertion order (file order); rows here are unordered, so
     vertices are numbered in sorted-node order — deterministic across
-    block orders.  Fully distributed: degree/pagerank tables stay
-    Datasets; the id sequence comes from a block-metadata row index
-    (ops/_rowindex.py) after the node sort.
+    block orders.  Size-gated assembly: the degree/pagerank tables are
+    always computed distributed, but under ``DENSE_NODE_LIMIT`` nodes
+    the per-node summary (3 small columns) is joined/sorted/numbered on
+    the driver in one pass — above it, the fully distributed path
+    (bucketed joins + node sort + a block-metadata row index,
+    ops/_rowindex.py) assembles without any node-sized driver state.
     """
     from ._bucket import bucketed_join
 
@@ -127,6 +130,32 @@ def graph_statistics_edges(edges: Dataset, *, compute_pagerank: bool = True,
             "label": pd.Series([], dtype=str),
             "node2": pd.Series([], dtype=str),
             "id": pd.Series([], dtype=str)}))
+
+    if n <= DENSE_NODE_LIMIT:
+        summary = nodes.to_pandas().set_index("node")
+        summary["ind"] = _node_counts(e, "node2", "ind").to_pandas() \
+            .set_index("node")["ind"]
+        summary["outd"] = _node_counts(e, "node1", "outd").to_pandas() \
+            .set_index("node")["outd"]
+        labels = ["vertex_in_degree", "vertex_out_degree"]
+        if compute_pagerank:
+            prdf = pagerank(e, damping=damping, iters=iters,
+                            num_partitions=num_partitions).to_pandas()
+            pr = prdf.set_index("node1")["node2"].astype(float)
+            summary["pr"] = pr / pr.sum()
+            labels.append("vertex_pagerank")
+        summary = summary.sort_index()
+        k = len(labels)
+        rows = []
+        for vi, (node, r) in enumerate(summary.iterrows()):
+            vals = [str(int(r["ind"]) if pd.notna(r["ind"]) else 0),
+                    str(int(r["outd"]) if pd.notna(r["outd"]) else 0)]
+            if compute_pagerank:
+                vals.append(repr(float(r["pr"])))
+            for j, (lab, v) in enumerate(zip(labels, vals)):
+                rows.append((node, lab, v, f"{node}-{lab}-{vi * k + j}"))
+        return ray.data.from_pandas(pd.DataFrame(
+            rows, columns=["node1", "label", "node2", "id"]))
 
     import pyarrow as pa
     nf = {"node": pa.string()}

@@ -136,3 +136,32 @@ def test_graph_statistics_edges_docs_example(ray_session):
     assert list(srt.node1[:6]) == ["12040"] * 3 + ["12345"] * 3
     assert srt.id.iloc[0] == "12040-vertex_in_degree-0"
     assert srt.id.iloc[20] == "steve-vertex_pagerank-20"
+
+
+def test_graph_statistics_edges_distributed_path_equal(ray_session):
+    # force the fully distributed assembly (and distributed pagerank)
+    # by dropping the dense gate; output must equal the gated path
+    import pandas as pd
+    import ray.data as rd
+    import kgtk_ray.ops.graph as G
+    e = rd.from_pandas(pd.DataFrame({
+        "node1": ["john", "john", "peter", "peter", "steve", "steve"],
+        "label": ["zipcode"] * 6,
+        "node2": ["12345", "12346", "12040", "12040", "45601", "45601"],
+    }))
+    fast = G.graph_statistics_edges(e, iters=30).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    old = G.DENSE_NODE_LIMIT
+    try:
+        G.DENSE_NODE_LIMIT = 0
+        slow = G.graph_statistics_edges(e, iters=30).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+    finally:
+        G.DENSE_NODE_LIMIT = old
+    nonpr = fast.label != "vertex_pagerank"
+    pd.testing.assert_frame_equal(fast[nonpr].reset_index(drop=True),
+                                  slow[nonpr].reset_index(drop=True))
+    fp = fast[~nonpr].node2.astype(float).to_numpy()
+    sp = slow[~nonpr].node2.astype(float).to_numpy()
+    assert (abs(fp - sp) < 1e-9).all()
+    assert list(fast[~nonpr].id) == list(slow[~nonpr].id)
