@@ -42,6 +42,8 @@ def _error_counts(ds: Dataset, cols: Sequence[str],
         return pd.DataFrame(out)
 
     parts = ds.map_batches(counts, batch_format="pandas").to_pandas()
+    if not len(parts):  # empty dataset: zero everywhere
+        return {**{c: 0 for c in cols}, "total": 0}
     return {c: int(parts[c].sum()) for c in parts.columns}
 
 

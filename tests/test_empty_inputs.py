@@ -107,3 +107,27 @@ def test_empty_through_pack_and_against():
     assert n_rows(dedup_against(docs, small)) == 0
     out = dedup_against(small, docs).to_pandas()
     assert len(out) == 1 and not out["dup"].any()
+
+
+def test_empty_through_new_r4_ops():
+    from kgtk_ray.io.importers import import_atomic, import_concept_pairs
+    from kgtk_ray.ops import (graph_statistics_edges, paths_statistics,
+                              validate_edges)
+    e = ray.data.from_pandas(pd.DataFrame({
+        "node1": pd.Series([], dtype=str),
+        "node2": pd.Series([], dtype=str),
+        "label": pd.Series([], dtype=str),
+        "id": pd.Series([], dtype=str)}))
+    assert n_rows(paths_statistics(e, ["a"], ["b"], max_hops=2)) == 0
+    assert n_rows(graph_statistics_edges(e)) == 0
+    atomic = ray.data.from_pandas(pd.DataFrame({
+        "event": pd.Series([], dtype=str),
+        "xAttr": pd.Series([], dtype=object)}))
+    assert n_rows(import_atomic(atomic)) == 0
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "node1": pd.Series([], dtype=str),
+        "node2": pd.Series([], dtype=str)}))
+    assert n_rows(import_concept_pairs(pairs)) == 0
+    # error-budget actions on an empty dataset: zero counters, no raise
+    out, counters = validate_edges(e, ["node2"], invalid_action="report")
+    assert n_rows(out) == 0 and counters["total"] == 0
