@@ -1099,6 +1099,43 @@ def _q_paths_statistics(sf: str):
     return paths_statistics(e1.union(e2), sources, targets, max_hops=2)
 
 
+def _q_link_embedding(sf: str):
+    """north_rule entity linking with BOTH resolution tiers: alias-dict
+    hits (doc_id%3==0), embedding-index fuzzy matches (%3==1:
+    '<src> network' vs entity name '<src> media network'), and
+    passthrough (%3==2).  Oracle = single-process replay fixture
+    (scripts/make_fixtures.py:ref_link_embedding)."""
+    import pyarrow.parquet as _pq
+
+    from kgtk_ray.pipelines import build_entity_index, link_entities
+    src_tbl = _pq.read_table(f"{sf}/documents.parquet", columns=["source"])
+    sources = sorted(set(src_tbl["source"].to_pylist()))
+    entities = pd.DataFrame({"qid": ["E_" + s for s in sources],
+                             "name": [f"{s} media network" for s in sources]})
+    index = build_entity_index(entities)
+    alias = {f"Source {s}": f"E_{s}" for s in sources}
+
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        did = df.doc_id.astype("int64")
+        src = df.source.astype(str)
+        import numpy as np
+        return pd.DataFrame({
+            "doc_id": did,
+            "mention": np.where(did % 3 == 0, "Source " + src,
+                                np.where(did % 3 == 1, src + " network",
+                                         "completely unrelated text here")),
+        })
+
+    mentions = docs.map_batches(mk, batch_format="pandas")
+    out = link_entities(mentions, alias, columns=("mention",),
+                        entity_index=index, threshold=0.6)
+    return out.map_batches(lambda df: df.rename(
+        columns={"mention": "linked"}), batch_format="pandas")
+
+
 def _q_graph_statistics_edges(sf: str):
     """Reference `graph-statistics --statistics-only` per-vertex edge
     output (docs/analysis/graph_statistics.md) over the nation->region
@@ -1247,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine": _q_topk_cosine,
         "paths_statistics": _q_paths_statistics,
         "graph_statistics_edges": _q_graph_statistics_edges,
+        "link_embedding": _q_link_embedding,
     }
 
 
@@ -1856,6 +1894,10 @@ def oracle_sql() -> dict[str, str]:
                    ||'> <http://example.org/in_region> <http://example.org/R'
                    ||CAST(n_regionkey AS VARCHAR)||'> .' AS line
             FROM nation
+        """,
+        "link_embedding": f"""
+            SELECT doc_id, linked
+            FROM read_parquet('{_fixture("link_embedding.parquet")}')
         """,
         "graph_statistics_edges": """
             WITH e AS (

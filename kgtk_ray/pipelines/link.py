@@ -39,31 +39,98 @@ def build_alias_map(aliases: pd.DataFrame, *, alias_col: str = "alias",
     return best.to_dict()
 
 
+def build_entity_index(entities: pd.DataFrame, *, id_col: str = "qid",
+                       text_col: str = "name"):
+    """(ids, l2-normalized embedding matrix) for the linker's
+    embedding-fallback path — the north_rule's "embedding indexes"
+    component.  Names embed through the same deterministic
+    :class:`~kgtk_ray.pipelines.embed.Embedder` the text-embedding
+    stage uses (a real sentence-transformer when the library exists,
+    the feature-hash fallback here).  At cluster scale the matrix
+    would be IVF-bucketed (see :class:`kgtk_ray.ann.IVFIndex`) and
+    sharded across actor pools; single-node one dense shard suffices.
+    """
+    import numpy as np
+
+    from .embed import SentenceEmbedder as Embedder
+    emb = Embedder()
+    names = entities[text_col].astype(str)
+    if emb.model is not None:  # pragma: no cover - library absent here
+        mat = np.asarray(emb.model.encode(list(names)), dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+    else:
+        mat = emb._fake_embed(names)
+    return list(entities[id_col].astype(str)), mat
+
+
 class EntityLinker:
     """Callable class for ``map_batches(EntityLinker, concurrency=N)``.
 
-    Holds the broadcast alias dict; maps the given columns' surface
-    forms to canonical ids per batch.
+    Holds the broadcast alias dict (and optionally an entity embedding
+    index); maps the given columns' surface forms to canonical ids per
+    batch.  Resolution order per mention: exact alias hit, else nearest
+    entity embedding with cosine >= ``threshold`` (computed once per
+    DISTINCT unmapped surface form per batch — one numpy matmul), else
+    surface-form passthrough.
     """
 
-    def __init__(self, alias_ref, columns=("node1", "node2")):
+    def __init__(self, alias_ref, columns=("node1", "node2"),
+                 index_ref=None, threshold: float = 0.6):
         self.alias_map: dict[str, str] = ray.get(alias_ref)
         self.columns = list(columns)
+        self.threshold = threshold
+        self.index_ids = None
+        if index_ref is not None:
+            from .embed import SentenceEmbedder as Embedder
+            self.index_ids, self.index_mat = ray.get(index_ref)
+            self._embedder = Embedder()
+
+    def _embed_link(self, forms: pd.Series) -> dict[str, str]:
+        """Distinct unmapped surface forms -> embedding-matched id."""
+        import numpy as np
+        uniq = pd.Series(forms.unique(), dtype=str)
+        if not len(uniq):
+            return {}
+        q = self._embedder._fake_embed(uniq) \
+            if self._embedder.model is None else None
+        if q is None:  # pragma: no cover
+            q = np.asarray(self._embedder.model.encode(list(uniq)),
+                           dtype=np.float32)
+            n = np.linalg.norm(q, axis=1, keepdims=True)
+            np.divide(q, n, out=q, where=n > 0)
+        sims = q @ self.index_mat.T
+        best = sims.argmax(axis=1)
+        ok = sims[np.arange(len(uniq)), best] >= self.threshold
+        return {f: self.index_ids[b]
+                for f, b, k in zip(uniq, best, ok) if k}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         for c in self.columns:
-            if c in df.columns:
-                mapped = df[c].map(self.alias_map)
-                df[c] = mapped.fillna(df[c])
+            if c not in df.columns:
+                continue
+            mapped = df[c].map(self.alias_map)
+            if self.index_ids is not None:
+                miss = mapped.isna()
+                if miss.any():
+                    em = self._embed_link(df.loc[miss, c].astype(str))
+                    if em:
+                        mapped = mapped.fillna(df[c].map(em))
+            df[c] = mapped.fillna(df[c])
         return df
 
 
 def link_entities(edges: Dataset, alias_map: dict[str, str] | pd.DataFrame, *,
                   columns=("node1", "node2"), concurrency: int | tuple = 2,
-                  batch_size: int = 8192, num_cpus: float = 0.5) -> Dataset:
+                  batch_size: int = 8192, num_cpus: float = 0.5,
+                  entity_index: "tuple | None" = None,
+                  threshold: float = 0.6) -> Dataset:
     """Link surface forms in ``columns`` to canonical entity ids using an
-    actor pool holding the broadcast alias dictionary.
+    actor pool holding the broadcast alias dictionary (and, when
+    ``entity_index`` from :func:`build_entity_index` is given, an
+    embedding index that catches fuzzy mentions the dict misses —
+    nearest entity at cosine >= ``threshold``).
 
     Pool sizing: actors hold their CPU reservation for the whole run, so
     ``concurrency * num_cpus`` must leave headroom for the read and the
@@ -72,9 +139,10 @@ def link_entities(edges: Dataset, alias_map: dict[str, str] | pd.DataFrame, *,
     if isinstance(alias_map, pd.DataFrame):
         alias_map = build_alias_map(alias_map)
     ref = ray.put(alias_map)
+    idx_ref = ray.put(entity_index) if entity_index is not None else None
     return edges.map_batches(
         EntityLinker,
-        fn_constructor_args=(ref, tuple(columns)),
+        fn_constructor_args=(ref, tuple(columns), idx_ref, threshold),
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -387,6 +387,43 @@ def ref_mediawiki(nation: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(docs, columns=["qnode", "doc"])
 
 
+def ref_link_embedding(sf: str) -> pd.DataFrame:
+    """Single-process replay of the linker's alias-dict + embedding-
+    fallback resolution over the deterministic mention synth in
+    __ray_entry__._q_link_embedding.  Only the leaf embedding kernel
+    is imported; the resolution (dict hit -> cosine argmax -> 
+    passthrough) is re-implemented here."""
+    from kgtk_ray.pipelines.embed import SentenceEmbedder
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    sources = sorted(docs["source"].astype(str).unique())
+    entities = pd.DataFrame({"qid": ["E_" + s for s in sources],
+                             "name": [f"{s} media network" for s in sources]})
+    emb = SentenceEmbedder()
+    mat = emb._fake_embed(entities["name"].astype(str))
+    alias = {f"Source {s}": f"E_{s}" for s in sources}
+
+    did = docs["doc_id"].astype("int64")
+    src = docs["source"].astype(str)
+    mention = np.where(did % 3 == 0, "Source " + src,
+                       np.where(did % 3 == 1, src + " network",
+                                "completely unrelated text here"))
+    out = []
+    cache: dict = {}
+    for m in mention:
+        if m in alias:
+            out.append(alias[m])
+            continue
+        if m not in cache:
+            q = emb._fake_embed(pd.Series([m], dtype=str))[0]
+            sims = mat @ q
+            b = int(sims.argmax())
+            cache[m] = entities["qid"].iloc[b] if sims[b] >= 0.6 else m
+        out.append(cache[m])
+    return pd.DataFrame({"doc_id": did, "linked": out})
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     docs = pq.read_table(f"{SF}/documents.parquet",
@@ -411,6 +448,7 @@ def main() -> None:
     save(ref_frame_sample(), "frame_sample.parquet")
     save(ref_mediawiki(nation), "mediawiki.parquet")
     save(ref_dedup_against(docs), "dedup_against.parquet")
+    save(ref_link_embedding(SF), "link_embedding.parquet")
 
 
 if __name__ == "__main__":

@@ -220,3 +220,35 @@ def test_run_pipeline_curation_ops_registered():
     assert out.doc_id.tolist() == [1, 2]
     assert out.text.tolist() == ["a b c d", "x y"]
     assert set(out.columns) >= {"doc_id", "text", "shard", "pos"}
+
+
+def test_link_entities_embedding_fallback():
+    """north_rule linker: alias-dict hit first, embedding-index catch
+    for fuzzy mentions, surface-form passthrough for misses."""
+    from kgtk_ray.pipelines import build_entity_index, link_entities
+
+    entities = pd.DataFrame({
+        "qid": ["Q1", "Q2"],
+        "name": ["acme corporation", "globex industries"],
+    })
+    index = build_entity_index(entities)
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "node1": ["D1", "D2", "D3", "D4"],
+        "label": ["mentions"] * 4,
+        "node2": ["ACME Corp", "the acme corporation",
+                  "globex industries annual report", "zzz unrelated qqq"],
+    }))
+    out = link_entities(
+        edges, {"ACME Corp": "Q1"}, columns=("node2",),
+        entity_index=index, threshold=0.5).to_pandas() \
+        .sort_values("node1").reset_index(drop=True)
+    assert out.node2[0] == "Q1"                  # exact alias hit
+    assert out.node2[1] == "Q1"                  # embedding: shared tokens
+    assert out.node2[2] == "Q2"                  # embedding: superset mention
+    assert out.node2[3] == "zzz unrelated qqq"   # passthrough below threshold
+    # deterministic across re-runs and block orders
+    out2 = link_entities(
+        edges.repartition(4), {"ACME Corp": "Q1"}, columns=("node2",),
+        entity_index=index, threshold=0.5).to_pandas() \
+        .sort_values("node1").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
