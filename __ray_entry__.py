@@ -1099,6 +1099,42 @@ def _q_paths_statistics(sf: str):
     return paths_statistics(e1.union(e2), sources, targets, max_hops=2)
 
 
+def _q_wikidata_jsons(sf: str):
+    """Reference-exact generate-mediawiki-jsons (io/mediawiki.py; the
+    per-document bytes are pinned against the reference's own goldens
+    in tests/test_mediawiki_golden.py) over a nation-derived edge synth
+    covering item/time/quantity/string snaks, labels, and a qualifier;
+    oracle = sequential single-process replay fixture
+    (scripts/make_fixtures.py:ref_wikidata_jsons)."""
+    from kgtk_ray.io import generate_wikidata_jsons
+    n = rd.read_parquet(f"{sf}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for nk, rk in zip(df.n_nationkey.astype(int),
+                          df.n_regionkey.astype(int)):
+            q = f"Q{nk}"
+            frames.extend([
+                (q, "label", f"'nation {nk}'@en", f"{q}-label-1", 6 * nk),
+                (q, "P1", f"Q9{rk}", f"{q}-P1-1", 6 * nk + 1),
+                (f"{q}-P1-1", "P5", f"order {rk}", f"{q}-P1-1-P5-1",
+                 6 * nk + 2),
+                (q, "P2", f"^{1900 + nk}-01-01T00:00:00Z/9", f"{q}-P2-1",
+                 6 * nk + 3),
+                (q, "P3", f"{nk}.5[{nk},{nk + 1}]Q199", f"{q}-P3-1",
+                 6 * nk + 4),
+                (q, "P4", f"value {nk}", f"{q}-P4-1", 6 * nk + 5),
+            ])
+        return pd.DataFrame(frames, columns=["node1", "label", "node2",
+                                             "id", "ord"])
+
+    edges = n.map_batches(f, batch_format="pandas")
+    ptypes = {"P1": "wikibase-item", "P2": "time", "P3": "quantity",
+              "P4": "string", "P5": "string"}
+    return generate_wikidata_jsons(edges, ptypes, order_col="ord")
+
+
 def _q_link_embedding(sf: str):
     """north_rule entity linking with BOTH resolution tiers: alias-dict
     hits (doc_id%3==0), embedding-index fuzzy matches (%3==1:
@@ -1230,12 +1266,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_nodes": _q_normalize_nodes,
         "add_id_num": _q_add_id_num,
         "add_id_prefix": _q_add_id_prefix,
+        # --- new in round 4: reference-format outputs + linker tier ---
+        "wikidata_jsons": _q_wikidata_jsons,
+        "link_embedding": _q_link_embedding,
+        "paths_statistics": _q_paths_statistics,
+        "graph_statistics_edges": _q_graph_statistics_edges,
         # --- code touched in round 4; keep in the window ---
-        "corpus_stats": _q_corpus_stats,
-        "split_dataset": _q_split_dataset,
-        "pii_scrub": _q_pii_scrub,
         "column_ops": _q_column_ops,
-        "semdedup": _q_semdedup,
         "corpus_curation": _q_corpus_curation,
         "minhash_dedup": _q_minhash,
         "dedup_against": _q_dedup_against,
@@ -1245,6 +1282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact": _q_compact,
         "kg_pipeline": _q_kg_pipeline,
         # --- green in CORRECTNESS_r03 on current code (tail) ---
+        "corpus_stats": _q_corpus_stats,
+        "split_dataset": _q_split_dataset,
+        "pii_scrub": _q_pii_scrub,
+        "semdedup": _q_semdedup,
         "hits": _q_hits,
         "pagerank": _q_pagerank,
         "generate_mediawiki": _q_generate_mediawiki,
@@ -1282,9 +1323,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode": _q_explode,
         "calc": _q_calc,
         "topk_cosine": _q_topk_cosine,
-        "paths_statistics": _q_paths_statistics,
-        "graph_statistics_edges": _q_graph_statistics_edges,
-        "link_embedding": _q_link_embedding,
     }
 
 
@@ -1894,6 +1932,10 @@ def oracle_sql() -> dict[str, str]:
                    ||'> <http://example.org/in_region> <http://example.org/R'
                    ||CAST(n_regionkey AS VARCHAR)||'> .' AS line
             FROM nation
+        """,
+        "wikidata_jsons": f"""
+            SELECT qnode, doc
+            FROM read_parquet('{_fixture("wikidata_jsons.parquet")}')
         """,
         "link_embedding": f"""
             SELECT doc_id, linked

@@ -10,6 +10,7 @@ from .formats import (
     generate_mediawiki_jsons,
 )
 from .importers import edges_from_table, import_conceptnet_like
+from .mediawiki import generate_wikidata_jsons, load_prop_types
 from .wikidata import import_wikidata, split_wikidata
 
 __all__ = [
@@ -26,6 +27,8 @@ __all__ = [
     "export_neo4j_nodes",
     "export_entities_json",
     "generate_mediawiki_jsons",
+    "generate_wikidata_jsons",
+    "load_prop_types",
     "edges_from_table",
     "import_conceptnet_like",
     "import_wikidata",

@@ -424,6 +424,65 @@ def ref_link_embedding(sf: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": did, "linked": out})
 
 
+def ref_wikidata_jsons(nation: pd.DataFrame) -> pd.DataFrame:
+    """Sequential single-process replay of generate-mediawiki-jsons over
+    the nation-derived edge synth in __ray_entry__._q_wikidata_jsons —
+    processes rows strictly IN FILE ORDER like the reference's
+    JsonGenerator entry_point loop (generator.py:561-660), building
+    docs with plain insertion-ordered dicts.  Imports only the leaf
+    snak/entity-doc builders; the sequential statement/qualifier
+    orchestration here is independent of the library's joins."""
+    from kgtk_ray.io.mediawiki import _entity_doc, _process_text_string, _snak
+
+    ptypes = {"P1": "wikibase-item", "P2": "time", "P3": "quantity",
+              "P4": "string", "P5": "string"}
+    rows = []
+    for nk, rk in zip(nation["n_nationkey"].astype(int),
+                      nation["n_regionkey"].astype(int)):
+        q = f"Q{nk}"
+        rows.append((q, "label", f"'nation {nk}'@en", f"{q}-label-1"))
+        rows.append((q, "P1", f"Q9{rk}", f"{q}-P1-1"))
+        rows.append((f"{q}-P1-1", "P5", f"order {rk}", f"{q}-P1-1-P5-1"))
+        rows.append((q, "P2", f"^{1900 + nk}-01-01T00:00:00Z/9",
+                     f"{q}-P2-1"))
+        rows.append((q, "P3", f"{nk}.5[{nk},{nk + 1}]Q199", f"{q}-P3-1"))
+        rows.append((q, "P4", f"value {nk}", f"{q}-P4-1"))
+
+    docs: dict = {}
+    stmt_ids = {r[3] for r in rows if not r[0].endswith("-P1-1")}
+    def ensure(node):
+        if node not in docs:
+            docs[node] = _entity_doc(node, node in ptypes, ptypes.get(node))
+    last_stmt = {}
+    for node1, prop, node2, eid in rows:
+        is_qual = node1 in stmt_ids
+        if not is_qual:
+            ensure(node1)
+        if prop in ptypes:
+            ensure(prop)
+            if ptypes[prop] == "wikibase-item":
+                ensure(node2)
+        if prop == "label":
+            text, lang = _process_text_string(node2)
+            docs[node1]["labels"][lang] = {"languange": lang, "value": text}
+            continue
+        snak = _snak(prop, ptypes[prop], node2)
+        if is_qual:
+            ent, sprop = last_stmt[node1]
+            st = docs[ent]["claims"][sprop][-1]
+            st["qualifiers"].setdefault(prop, []).append(snak)
+            if prop not in st["qualifiers-order"]:
+                st["qualifiers-order"].append(prop)
+            continue
+        st = {"mainsnak": snak, "type": "statement",
+              "id": node1 + prop + node2, "rank": "normal",
+              "references": [], "qualifiers": {}, "qualifiers-order": []}
+        docs[node1]["claims"].setdefault(prop, []).append(st)
+        last_stmt[eid] = (node1, prop)
+    out = [(k, json.dumps({k: v})) for k, v in docs.items()]
+    return pd.DataFrame(out, columns=["qnode", "doc"])
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     docs = pq.read_table(f"{SF}/documents.parquet",
@@ -449,6 +508,7 @@ def main() -> None:
     save(ref_mediawiki(nation), "mediawiki.parquet")
     save(ref_dedup_against(docs), "dedup_against.parquet")
     save(ref_link_embedding(SF), "link_embedding.parquet")
+    save(ref_wikidata_jsons(nation), "wikidata_jsons.parquet")
 
 
 if __name__ == "__main__":
