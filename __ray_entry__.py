@@ -817,7 +817,7 @@ def _q_unreify_values(sf: str):
     return unreify_values(
         part.map_batches(reify, batch_format="pandas"),
         trigger_label="rdf:type", trigger_node2="wikibase:QuantityValue",
-        value_label="amount", new_label="size")
+        value_label="amount", old_label="size", new_label="size")
 
 
 def _q_hits(sf: str):
@@ -1245,7 +1245,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "quality": _q_quality,
         "token_counts": _q_tokens,
-        "fingerprint": _q_fingerprint,
         "cat": _q_cat,
         "import_ntriples": _q_import_ntriples,
         "generate_ntriples": _q_generate_ntriples,
@@ -1272,6 +1271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paths_statistics": _q_paths_statistics,
         "graph_statistics_edges": _q_graph_statistics_edges,
         # --- code touched in round 4; keep in the window ---
+        "unreify_values": _q_unreify_values,  # rewritten to reference
+        # semantics (old-label gate, id column, allow-multiple-values)
         "column_ops": _q_column_ops,
         "corpus_curation": _q_corpus_curation,
         "minhash_dedup": _q_minhash,
@@ -1299,7 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index": _q_ivf_index,
         "paths_distributed": _q_paths_distributed,
         "frame_sample": _q_frame_sample,
-        "unreify_values": _q_unreify_values,
+        "fingerprint": _q_fingerprint,
         "validate_properties": _q_validate_properties,
         "repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
@@ -2122,7 +2123,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unreify_values": """
             SELECT 'P'||CAST(p_partkey AS VARCHAR) AS node1,
-                   'size' AS label, CAST(p_size AS VARCHAR) AS node2
+                   'size' AS label, CAST(p_size AS VARCHAR) AS node2,
+                   'V'||CAST(p_partkey AS VARCHAR) AS id
             FROM part
         """,
         "topk_cosine": """

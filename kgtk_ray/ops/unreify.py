@@ -114,117 +114,104 @@ def unreify_values(
     trigger_label: str,
     trigger_node2: str,
     value_label: str,
+    old_label: str,
     new_label: str | None = None,
+    allow_multiple_values: bool = False,
 ) -> Dataset:
     """Unreify value nodes (reference /root/reference/kgtk/unreify/
-    kgtkunreifyvalues.py: a node carrying ``trigger_label trigger_node2``
-    plus a ``value_label`` edge collapses into direct edges
-    ``(referrer, new_label, value)`` for every edge that pointed AT the
-    value node; its remaining edges become qualifiers).
+    kgtkunreifyvalues.py, worked examples docs/transform/unreify_values.md).
 
-    Needs the value node's inbound edges grouped with its outbound ones:
-    one bucketed shuffle keyed on the value-node id (inbound rows are
-    re-keyed by node2 first).
+    The reference groups rows by ``node2`` when ``label == old_label``
+    and by ``node1`` otherwise (make_keygen :60-79), which co-locates a
+    value node's own edges with the edge referring to it.  A group
+    unreifies when it contains a trigger edge (``trigger_label
+    trigger_node2``), an old-label edge, and at least one value edge
+    (:237-241); with ``allow_multiple_values=False`` (the default) a
+    group holding several DISTINCT values refuses and passes through
+    unchanged (:223-227).  On success the group collapses to one direct
+    edge ``(old-edge node1, new_label or value_label, '|'-joined
+    values, id=value-node)`` (write_new_edge :301-330) and every other
+    edge of the value node becomes an attribute edge ``(value-node,
+    label, node2, id=value-node-N)`` zero-padded to the attribute count
+    (make_new_id :286-296, including the quoted-string id form).  An id
+    column is appended when absent; untriggered rows pass through with
+    an empty id (:380-400).
+
+    Two documented divergences from the reference's input-order
+    behavior (rows here are unordered): value lists and attribute
+    numbering use sorted order, and when several old-label edges
+    reference the same value node the lexicographically greatest node1
+    wins (the reference keeps the input-file-last via plain assignment,
+    :230-232 — the other referring edges are silently consumed either
+    way).
+
+    One bucketed shuffle total: the group key is row-local, so no
+    pre-pass or broadcast is needed, and value-node groups are tiny at
+    any corpus size.
     """
-    import ray
-
     from ._bucket import bucketed_group_apply
 
     out_label = new_label if new_label is not None else value_label
 
-    # pass 1: the value-node ids (distinct trigger subjects).  Size-gated:
-    # under BROADCAST_LIMIT the set ships once via ray.put and membership
-    # is a vectorized isin (one shuffle total); above it — a reified dump
-    # has an edge-scale value-node set — nothing is collected: two left
-    # hash joins annotate each edge with "node1 is a value node" /
-    # "node2 is a value node" flags instead (three shuffles total).
-    from .shuffle import BROADCAST_LIMIT
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if "id" not in df.columns:
+            df["id"] = ""
+        df["__k__"] = df["node1"].where(df["label"] != old_label,
+                                        df["node2"])
+        return df[["node1", "label", "node2", "id", "__k__"]]
 
-    trig = edges.map_batches(
-        lambda df: df.loc[(df["label"] == trigger_label)
-                          & (df["node2"] == trigger_node2), ["node1"]]
-        .drop_duplicates(),
-        batch_format="pandas").materialize()
+    keyed = edges.map_batches(key_rows, batch_format="pandas")
 
-    if trig.count() <= BROADCAST_LIMIT:
-        vids = set(trig.to_pandas()["node1"].astype(str))
-        vref = ray.put(vids)
-
-        # re-key referring edges by the value node they point at so one
-        # bucketed shuffle co-locates them with the value node's own
-        # edges (its value_label edge in particular).
-        def tag(df: pd.DataFrame) -> pd.DataFrame:
-            v = ray.get(vref)
-            df = df.copy()
-            n1v = df["node1"].astype(str).isin(v)
-            df["__isv__"] = n1v
-            df["__in__"] = df["node2"].astype(str).isin(v) & ~n1v
-            df["__k__"] = df["node1"].astype(str).where(
-                ~df["__in__"], df["node2"].astype(str))
-            return df
-
-        both = edges.map_batches(tag, batch_format="pandas")
-    else:
-        import pyarrow as pa
-
-        from ._bucket import bucketed_join
-
-        vm = trig.map_batches(
-            lambda df: pd.DataFrame({"__k__": df["node1"].astype(str),
-                                     "__m__": np.int8(1)}),
-            batch_format="pandas")
-        vm_fields = {"__k__": pa.string(), "__m__": pa.int8()}
-        e_fields = {"__k__": pa.string(), "node1": pa.string(),
-                    "label": pa.string(), "node2": pa.string()}
-
-        def key_on(col: str):
-            def f(df: pd.DataFrame) -> pd.DataFrame:
-                out = df[["node1", "label", "node2"]].astype(str).copy()
-                out["__k__"] = out[col]
-                return out
-            return f
-
-        e1 = bucketed_join(
-            edges.map_batches(key_on("node1"), batch_format="pandas"),
-            vm, "__k__", left_fields=e_fields, right_fields=vm_fields,
-            how="left").map_batches(
-            lambda df: df.assign(__isv__=df["__m__"].notna())
-            .drop(columns=["__m__", "__k__"]),
-            batch_format="pandas")
-        e1_fields = {"__k__": pa.string(), "node1": pa.string(),
-                     "label": pa.string(), "node2": pa.string(),
-                     "__isv__": pa.bool_()}
-        e2 = bucketed_join(
-            e1.map_batches(lambda df: df.assign(__k__=df["node2"]),
-                           batch_format="pandas"),
-            vm, "__k__", left_fields=e1_fields, right_fields=vm_fields,
-            how="left")
-
-        def finish_flags(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            isv = df["__isv__"].astype(bool)
-            df["__isv__"] = isv
-            df["__in__"] = df["__m__"].notna() & ~isv
-            df["__k__"] = df["node1"].where(~df["__in__"], df["node2"])
-            return df.drop(columns=["__m__"])
-
-        both = e2.map_batches(finish_flags, batch_format="pandas")
+    def new_id(key: str, seq: int, width: int) -> str:
+        suffix = "-" + str(seq).zfill(width)
+        if len(key) > 1 and key.startswith('"') and key.endswith('"'):
+            return key[:-1] + suffix + '"'
+        return key + suffix
 
     def collapse(df: pd.DataFrame) -> pd.DataFrame:
-        is_v = df["__isv__"]
-        through = df.loc[~df["__in__"] & ~is_v, ["node1", "label", "node2"]]
-        vals = (df.loc[is_v & ~df["__in__"] & (df["label"] == value_label),
-                       ["node1", "node2"]]
-                .rename(columns={"node1": "__v__", "node2": "val"}))
-        inbound = (df.loc[df["__in__"], ["node1", "label", "node2"]]
-                   .rename(columns={"node2": "__v__"}))
-        direct = inbound.merge(vals, on="__v__")
-        direct = pd.DataFrame({"node1": direct["node1"],
-                               "label": out_label,
-                               "node2": direct["val"]})
-        quals = df.loc[is_v & ~df["__in__"]
-                       & ~df["label"].isin({trigger_label, value_label}),
-                       ["node1", "label", "node2"]]
+        k = df["__k__"]
+        trig = (df["label"] == trigger_label) & (df["node2"] == trigger_node2)
+        val = df["label"] == value_label
+        old = df["label"] == old_label
+
+        has_t = trig.groupby(k).any()
+        has_o = old.groupby(k).any()
+        nval = df["node2"].where(val).groupby(k).nunique()
+        ok = has_t & has_o & (nval >= 1)
+        if not allow_multiple_values:
+            ok &= nval <= 1
+        hit = k.map(ok).to_numpy()
+
+        through = df.loc[~hit, ["node1", "label", "node2", "id"]]
+
+        sub = df[hit]
+        if sub.empty:
+            return through.reset_index(drop=True)
+        sk = sub["__k__"]
+        s_trig, s_val, s_old = trig[hit], val[hit], old[hit]
+
+        n1 = sub.loc[s_old].groupby("__k__")["node1"].max()
+        vals = (sub.loc[s_val, ["__k__", "node2"]].drop_duplicates()
+                .sort_values(["__k__", "node2"], kind="mergesort")
+                .groupby("__k__")["node2"].agg("|".join))
+        direct = pd.DataFrame({"node1": n1, "label": out_label,
+                               "node2": vals, "id": n1.index})
+
+        attrs = (sub.loc[~(s_trig | s_val | s_old),
+                         ["__k__", "label", "node2"]]
+                 .sort_values(["__k__", "label", "node2"], kind="mergesort"))
+        ag = attrs.groupby("__k__", sort=False)
+        cnt = ag["label"].transform("size").to_numpy()
+        seq = (ag.cumcount() + 1).to_numpy()
+        akey = attrs["__k__"].to_numpy()
+        quals = pd.DataFrame({
+            "node1": akey,
+            "label": attrs["label"].to_numpy(),
+            "node2": attrs["node2"].to_numpy(),
+            "id": [new_id(p, q, len(str(n)))
+                   for p, q, n in zip(akey, seq, cnt)],
+        })
         return pd.concat([direct, quals, through], ignore_index=True)
 
-    return bucketed_group_apply(both, ["__k__"], collapse)
+    return bucketed_group_apply(keyed, ["__k__"], collapse)

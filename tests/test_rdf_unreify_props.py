@@ -247,30 +247,67 @@ def test_text_embedding_deterministic():
     assert abs(np.linalg.norm(v[0]) - 1.0) < 1e-5
 
 
-def test_unreify_values_distributed_join_path_matches_broadcast():
+def test_unreify_values_docs_example():
+    """Replay the full worked example from the reference's
+    docs/transform/unreify_values.md (all three variants: plain,
+    multi-value refusal, --allow-multiple-values)."""
     from kgtk_ray.ops.unreify import unreify_values
 
-    rows_in = []
-    for i in range(40):
-        v = f"V{i}"
-        rows_in += [(v, "rdf:type", "wikibase:QuantityValue"),
-                    (v, "quantity:amount", str(i)),
-                    (v, "quantity:unit", "Q11573"),
-                    (f"Q{i}", "P2044", v)]
-    rows_in.append(("Q1", "plain", "Q2"))
-    ds = edges(rows_in)
+    g1, g2 = "X:g1", "X:g2"
+    clu, mem, sysv = "gaia:cluster", "gaia:member", "nX-2:"
+    base = [
+        (g1, "rdf:type", "ont:ClusterMembership"),
+        (g1, "ont:cluster", clu),
+        (g1, "ont:clusterMember", mem),
+        (g1, "ont:confidence", g2),
+        (g2, "rdf:type", "ont:Confidence"),
+        (g2, "ont:confidenceValue", "1.0"),
+        (g2, "ont:system", sysv),
+        (g1, "ont:system", sysv),
+    ]
+    kw = dict(trigger_label="rdf:type", trigger_node2="ont:Confidence",
+              value_label="ont:confidenceValue", old_label="ont:confidence")
 
-    kw = dict(trigger_label="rdf:type", trigger_node2="wikibase:QuantityValue",
-              value_label="quantity:amount", new_label=None)
-    broadcast = rows(unreify_values(ds, **kw))
+    out = rows(unreify_values(edges(base), **kw))
+    assert out == sorted([  # rows() sorts columns: (id, label, node1, node2)
+        ("", "rdf:type", g1, "ont:ClusterMembership"),
+        ("", "ont:cluster", g1, clu),
+        ("", "ont:clusterMember", g1, mem),
+        ("", "ont:system", g1, sysv),
+        (g2, "ont:confidenceValue", g1, "1.0"),
+        (g2 + "-1", "ont:system", g2, sysv),
+    ])
 
-    import kgtk_ray.ops.shuffle as S
-    import kgtk_ray.ops.unreify as U
-    old = S.BROADCAST_LIMIT
-    S.BROADCAST_LIMIT = 0  # force the two-join path
-    try:
-        joined = rows(unreify_values(ds, **kw))
-    finally:
-        S.BROADCAST_LIMIT = old
-    assert joined == broadcast
-    assert len(broadcast) > 0
+    # two distinct values, default allow_multiple_values=False: the
+    # whole group refuses and passes through unchanged (id appended)
+    multi = base[:6] + [(g2, "ont:confidenceValue", "2.0")] + base[6:]
+    out2 = rows(unreify_values(edges(multi), **kw))
+    assert len(out2) == 9 and all(r[0] == "" for r in out2)
+
+    # allow_multiple_values=True: values join into a sorted | list
+    out3 = rows(unreify_values(edges(multi), allow_multiple_values=True,
+                               **kw))
+    assert (g2, "ont:confidenceValue", g1, "1.0|2.0") in out3
+    assert len(out3) == 6
+
+
+def test_unreify_values_quoted_string_id_and_existing_id():
+    """A quoted-string value-node id numbers inside the quotes
+    (reference make_new_id kgtkunreifyvalues.py:286-296); an existing
+    id column is preserved on pass-through rows."""
+    from kgtk_ray.ops.unreify import unreify_values
+
+    q = '"v one"'
+    ds = edges([
+        (q, "rdf:type", "ont:Confidence", "e1"),
+        (q, "ont:confidenceValue", "0.5", "e2"),
+        (q, "ont:system", "sys", "e3"),
+        ("s", "ont:confidence", q, "e4"),
+        ("a", "plain", "b", "e5"),
+    ], columns=("node1", "label", "node2", "id"))
+    out = rows(unreify_values(
+        ds, trigger_label="rdf:type", trigger_node2="ont:Confidence",
+        value_label="ont:confidenceValue", old_label="ont:confidence"))
+    assert (q, "ont:confidenceValue", "s", "0.5") in out
+    assert ('"v one-1"', "ont:system", q, "sys") in out
+    assert ("e5", "plain", "a", "b") in out

@@ -67,15 +67,14 @@ def test_unreify_values():
     ])
     out = rows(O.unreify_values(
         e, trigger_label="rdf:type", trigger_node2="wikibase:QuantityValue",
-        value_label="quantityAmount", new_label="height"))
-    # (label, node1, node2) after column sort
-    assert ("height", "Q1", "42") in out
-    assert ("height", "Q2", "42") in out
-    assert ("P31", "Q1", "Q5") in out                  # passthrough kept
-    assert ("quantityUnit", "V1", "Q11573") in out     # qualifier kept
-    assert ("height", "Q1", "V1") not in out           # referring edge replaced
-    # trigger + quantityAmount rows consumed: 2 direct + 1 qual + 1 passthrough
-    assert len(out) == 4
+        value_label="quantityAmount", old_label="height"))
+    # (id, label, node1, node2) after column sort
+    assert ("V1", "quantityAmount", "Q2", "42") in out  # greatest referrer wins
+    assert ("", "P31", "Q1", "Q5") in out               # passthrough kept
+    assert ("V1-1", "quantityUnit", "V1", "Q11573") in out  # attribute edge
+    # old-label edges consumed (reference keeps only the last referrer);
+    # trigger + quantityAmount rows consumed: 1 direct + 1 attr + 1 passthrough
+    assert len(out) == 3
 
 
 def test_hits():
