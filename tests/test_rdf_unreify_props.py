@@ -311,3 +311,32 @@ def test_unreify_values_quoted_string_id_and_existing_id():
     assert (q, "ont:confidenceValue", "s", "0.5") in out
     assert ('"v one-1"', "ont:system", q, "sys") in out
     assert ("e5", "plain", "a", "b") in out
+
+
+@pytest.mark.parametrize("fixture,golden", [
+    ("unreify-values-file1.tsv", "unreify_values_golden1.tsv"),
+    ("unreify-values-file3.tsv", "unreify_values_golden3.tsv"),
+])
+def test_unreify_values_reference_fixture_golden(fixture, golden):
+    """Row-set parity against the reference implementation's own output
+    on its test fixtures (kgtk/join/test/unreify-values-test1.sh).  The
+    goldens in tests/data/ were produced by running
+    /root/reference/kgtk/unreify/kgtkunreifyvalues.py on the fixture
+    with the documented test1.sh parameters."""
+    import csv
+    import os
+
+    from kgtk_ray.io import read_kgtk_tsv
+    from kgtk_ray.ops.unreify import unreify_values
+
+    ds = read_kgtk_tsv(f"/root/reference/kgtk/join/test/{fixture}")
+    out = unreify_values(
+        ds, trigger_label="rdf:type", trigger_node2="ont:Confidence",
+        value_label="ont:confidenceValue",
+        old_label="ont:confidence").to_pandas()
+    gold = pd.read_csv(
+        os.path.join(os.path.dirname(__file__), "data", golden),
+        sep="\t", dtype=str, keep_default_na=False, quoting=csv.QUOTE_NONE)
+    cols = ["node1", "label", "node2", "id"]
+    assert (sorted(map(tuple, out[cols].to_numpy()))
+            == sorted(map(tuple, gold[cols].to_numpy())))
