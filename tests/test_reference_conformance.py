@@ -308,3 +308,38 @@ def test_reorder_columns_ellipsis_and_trim():
     import pytest as _p
     with _p.raises(ValueError):
         O.reorder_columns(ds, ["...", "id", "..."])
+
+
+@pytest.mark.parametrize("t,f1,f2,lj", [
+    ("test1_inner", "kgtkjoiner-test1-file1.tsv",
+     "kgtkjoiner-test1-file2.tsv", False),
+    ("test1_left", "kgtkjoiner-test1-file1.tsv",
+     "kgtkjoiner-test1-file2.tsv", True),
+    ("test2_inner", "kgtkjoiner-test2-file1.tsv",
+     "kgtkjoiner-test2-file2.tsv", False),
+    ("test2_left", "kgtkjoiner-test2-file1.tsv",
+     "kgtkjoiner-test2-file2.tsv", True),
+])
+def test_kgtk_join_reference_fixture_golden(t, f1, f2, lj):
+    """Row-set parity with the reference joiner's own output on its
+    kgtkjoiner-test1/2 fixtures (kgtk/join/test/kgtkjoiner-*.sh) —
+    covers edge-mode (node1 key) and node-mode (id key) defaults, inner
+    and left.  Goldens in tests/data/ were produced by running the
+    reference kgtk/join/kgtkjoiner.py with each script's arguments."""
+    import csv
+    import os
+
+    from kgtk_ray.io import read_kgtk_tsv
+    from kgtk_ray.ops.shuffle import kgtk_join
+
+    L = read_kgtk_tsv(f"{REF}/{f1}")
+    R = read_kgtk_tsv(f"{REF}/{f2}")
+    out = kgtk_join(L, R, left_join=lj).to_pandas().fillna("")
+    gold = pd.read_csv(
+        os.path.join(os.path.dirname(__file__), "data",
+                     f"joiner_{t}_golden.tsv"),
+        sep="\t", dtype=str, keep_default_na=False, quoting=csv.QUOTE_NONE)
+    assert sorted(out.columns) == sorted(gold.columns)
+    cols = sorted(gold.columns)
+    assert (sorted(map(tuple, out[cols].astype(str).to_numpy()))
+            == sorted(map(tuple, gold[cols].to_numpy())))
