@@ -48,6 +48,7 @@ def compact(
     key_columns: Sequence[str] | None = None,
     *,
     presorted: bool = False,
+    compact_id: bool = False,
     _partial_only: bool = False,
 ) -> Dataset:
     """Group rows on key columns and merge every other column's values
@@ -72,8 +73,21 @@ def compact(
     unspecified (KGTK rows are unordered, docs/specification.md:24) —
     the reference's presorted mode additionally preserves input order,
     which a distributed shuffle deliberately does not.
+
+    Default keys match the reference (kgtkcompact.py:236-243): an edge
+    file keys on (node1, label, node2) PLUS id when an id column is
+    present and ``compact_id`` is False (``--compact-id`` merges ids
+    into lists instead of keying on them); a node file keys on id.
+    Unlike the reference CLI (whose --key-columns EXTENDS the default),
+    an explicit ``key_columns`` here replaces it.
     """
-    keys = list(key_columns) if key_columns else _default_edge_keys(ds.schema().names)
+    if key_columns:
+        keys = list(key_columns)
+    else:
+        cols = ds.schema().names
+        keys = _default_edge_keys(cols)
+        if "node1" in cols and "id" in cols and not compact_id:
+            keys.append("id")
 
     def merge_df(df: pd.DataFrame) -> pd.DataFrame:
         """Per-batch combiner.  Singleton keys skip the grouped merge;

@@ -340,3 +340,25 @@ def test_unreify_values_reference_fixture_golden(fixture, golden):
     cols = ["node1", "label", "node2", "id"]
     assert (sorted(map(tuple, out[cols].to_numpy()))
             == sorted(map(tuple, gold[cols].to_numpy())))
+
+
+def test_unreify_rdf_reference_fixture_golden():
+    """Row-set parity against the reference kgtkunreifyrdfstatements.py
+    run on its own fixture (kgtk/join/test/unreify-rdf-statements-file1
+    .tsv, default triggers); golden in tests/data/."""
+    import csv
+    import os
+
+    from kgtk_ray.io import read_kgtk_tsv
+    from kgtk_ray.ops.unreify import unreify_rdf_statements
+
+    ds = read_kgtk_tsv(
+        "/root/reference/kgtk/join/test/unreify-rdf-statements-file1.tsv")
+    out = unreify_rdf_statements(ds).to_pandas()
+    gold = pd.read_csv(
+        os.path.join(os.path.dirname(__file__), "data",
+                     "unreify_rdf_golden1.tsv"),
+        sep="\t", dtype=str, keep_default_na=False, quoting=csv.QUOTE_NONE)
+    cols = ["node1", "label", "node2", "id"]
+    assert (sorted(map(tuple, out[cols].astype(str).to_numpy()))
+            == sorted(map(tuple, gold[cols].to_numpy())))

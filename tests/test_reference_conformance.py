@@ -343,3 +343,33 @@ def test_kgtk_join_reference_fixture_golden(t, f1, f2, lj):
     cols = sorted(gold.columns)
     assert (sorted(map(tuple, out[cols].astype(str).to_numpy()))
             == sorted(map(tuple, gold[cols].to_numpy())))
+
+
+@pytest.mark.parametrize("fixture,golden,kw", [
+    ("compact-file1.tsv", "compact_golden1.tsv", {}),
+    # id column present: the reference's default edge key EXTENDS to
+    # (node1,label,node2,id) — rows with distinct ids stay separate
+    # (kgtk/reshape/kgtkcompact.py:236-243)
+    ("compact-file3.tsv", "compact_golden3.tsv", {}),
+    ("compact-file4.tsv", "compact_golden4.tsv", {}),
+    # --compact-id: id drops out of the key and merges into | lists
+    ("compact-file3.tsv", "compact_golden3_cid.tsv", {"compact_id": True}),
+])
+def test_compact_reference_fixture_golden(fixture, golden, kw):
+    """Row-set parity with the reference compactor's own output on its
+    kgtk/join/test fixtures (goldens in tests/data/, produced by running
+    kgtk/reshape/kgtkcompact.py with default arguments)."""
+    import csv
+    import os
+
+    from kgtk_ray.io import read_kgtk_tsv
+    from kgtk_ray.ops.shuffle import compact
+
+    out = compact(read_kgtk_tsv(f"{REF}/{fixture}"), **kw).to_pandas()
+    gold = pd.read_csv(
+        os.path.join(os.path.dirname(__file__), "data", golden),
+        sep="\t", dtype=str, keep_default_na=False, quoting=csv.QUOTE_NONE)
+    cols = sorted(gold.columns)
+    assert sorted(out.columns) == cols
+    assert (sorted(map(tuple, out[cols].astype(str).to_numpy()))
+            == sorted(map(tuple, gold[cols].to_numpy())))
