@@ -373,3 +373,41 @@ def test_compact_reference_fixture_golden(fixture, golden, kw):
     assert sorted(out.columns) == cols
     assert (sorted(map(tuple, out[cols].astype(str).to_numpy()))
             == sorted(map(tuple, gold[cols].to_numpy())))
+
+
+@pytest.mark.parametrize("i", [1, 4, 9, 10])
+def test_lift_reference_fixture_golden(i):
+    """Row-set parity with the reference lifter's own output on its
+    lift-file* fixtures (default arguments: label rows from the input
+    itself, lifted into ;label columns, label rows removed)."""
+    import csv
+    import os
+
+    from kgtk_ray.io import read_kgtk_tsv
+    from kgtk_ray.ops.shuffle import lift
+
+    out = lift(read_kgtk_tsv(f"{REF}/lift-file{i}.tsv")).to_pandas().fillna("")
+    gold = pd.read_csv(
+        os.path.join(os.path.dirname(__file__), "data",
+                     f"lift_golden{i}.tsv"),
+        sep="\t", dtype=str, keep_default_na=False, quoting=csv.QUOTE_NONE)
+    cols = sorted(gold.columns)
+    assert sorted(out.columns) == cols
+    assert (sorted(map(tuple, out[cols].astype(str).to_numpy()))
+            == sorted(map(tuple, gold[cols].to_numpy())))
+
+
+def test_lift_all_label_rows_keeps_schema():
+    """lift-file6 holds ONLY label rows: the reference emits an empty
+    table under the full lifted header.  The Dataset schema must keep
+    all six columns even though every row was removed (to_pandas() on
+    an all-empty pandas-block dataset drops columns — a Ray quirk, so
+    assert on the Dataset schema)."""
+    from kgtk_ray.io import read_kgtk_tsv
+    from kgtk_ray.ops.shuffle import lift
+
+    out = lift(read_kgtk_tsv(f"{REF}/lift-file6.tsv"))
+    assert sorted(out.schema().names) == [
+        "label", "label;label", "node1", "node1;label",
+        "node2", "node2;label"]
+    assert out.count() == 0
