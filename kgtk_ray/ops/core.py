@@ -130,31 +130,51 @@ def calc_percentage(ds: Dataset, value_col: str, total_col: str,
 
 def expand_lists(ds: Dataset, columns: Sequence[str] | None = None, *,
                  key_columns: Sequence[str] | None = None) -> Dataset:
-    """Explode ``|``-separated list cells into multiple rows (key columns
-    repeated).  Reference: kgtk/reshape/kgtkexpand.py.  One column at a
-    time (multi-column expansion is a cross-product in the reference too).
+    """Expand ``|``-separated list cells into multiple rows, key columns
+    repeated (reference kgtk/reshape/kgtkexpand.py:121-139).  Expansion
+    is POSITIONAL across columns, exactly as the reference's row loop:
+    output row j takes item j from every expanded column's list, with
+    empty once a list is exhausted — NOT a cross-product (a row with
+    ``home|cabin`` and ``5|6`` yields (home,5),(cabin,6)).
 
-    ``columns`` names the columns to expand directly.  ``key_columns``
-    is the reference CLI's inverse convention (kgtk/cli/expand.py:34-36):
-    the named columns are HELD FIXED and every other column expands —
-    the reference's default keys are (node1, label, node2), since lists
-    are prohibited there (docs/specification.md:180).  Passing
-    ``key_columns=[]`` therefore mirrors ``kgtk expand`` defaults on an
-    edge file via ``key_columns=["node1", "label", "node2", "id"]``."""
-    if key_columns is not None:
-        if columns is not None:
+    ``columns`` names the columns to expand directly (library
+    convenience; every other column is a key).  ``key_columns`` is the
+    reference's convention (kgtk/cli/expand.py:34-36): the named columns
+    are HELD FIXED and every other column expands.  The required columns
+    — (node1, label, node2) for an edge file, (id) for a node file — are
+    ALWAYS keys in that mode, silently unioned with ``key_columns``
+    exactly as kgtkexpand.py:56-77 appends them before the user's list,
+    so ``key_columns=[]`` equals the no-argument default."""
+    names = ds.schema().names
+    if columns is not None:
+        if key_columns is not None:
             raise ValueError("pass either columns or key_columns, not both")
-        keys = set(key_columns)
-        cols = [c for c in ds.schema().names if c not in keys]
+        cols = list(columns)
     else:
-        cols = list(columns) if columns else ["node2"]
+        keys = ({"node1", "label", "node2"} if "node1" in names
+                else {"id"} if "id" in names else set())
+        for c in key_columns or ():
+            if c not in names:
+                raise ValueError(f"Column {c} is not in the input file")
+            keys.add(c)
+        cols = [c for c in names if c not in keys]
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or not cols:
+            return df
+        lists = {c: [split_list(v) if v else [""]
+                     for v in df[c].fillna("").astype(str)] for c in cols}
+        counts = np.maximum.reduce(
+            [np.fromiter((len(lc) for lc in lists[c]), np.int64, len(df))
+             for c in cols])
+        idx = np.repeat(np.arange(len(df)), counts)
+        pos = np.concatenate([np.arange(k) for k in counts])
+        out = df.iloc[idx].reset_index(drop=True)
         for c in cols:
-            df = df.assign(**{c: df[c].fillna("").map(split_list)})
-            df = df.explode(c, ignore_index=True)
-            df[c] = df[c].fillna("")
-        return df
+            lc = lists[c]
+            out[c] = [lc[i][p] if p < len(lc[i]) else ""
+                      for i, p in zip(idx, pos)]
+        return out
 
     return ds.map_batches(f, batch_format="pandas")
 

@@ -390,19 +390,22 @@ def test_paths_distributed_matches_driver():
 
 def test_expand_lists_key_columns_convention():
     """Reference-CLI convention: key columns held fixed, the rest expand
-    (kgtk/cli/expand.py:34-36)."""
+    POSITIONALLY (kgtk/cli/expand.py:34-36; row loop
+    kgtk/reshape/kgtkexpand.py:121-139 — item j of each list lands on
+    output row j, padding with empty, not a cross-product)."""
     import pandas as pd
     import ray.data
     ds = ray.data.from_pandas(pd.DataFrame({
         "node1": ["a"], "label": ["p"], "node2": ["b"],
-        "q1": ["x|y"], "q2": ["1|2"]}))
+        "q1": ["x|y|z"], "q2": ["1|2"]}))
     out = (O.expand_lists(ds, key_columns=["node1", "label", "node2"])
            .to_pandas().sort_values(["q1", "q2"]).reset_index(drop=True))
-    # cross-product of the two expanded qualifier columns, keys repeated
-    assert len(out) == 4
-    assert set(zip(out.q1, out.q2)) == {("x", "1"), ("x", "2"),
-                                        ("y", "1"), ("y", "2")}
+    assert len(out) == 3
+    assert set(zip(out.q1, out.q2)) == {("x", "1"), ("y", "2"), ("z", "")}
     assert (out.node1 == "a").all()
+    # default (no columns/key_columns): edge keys implied
+    out2 = O.expand_lists(ds).to_pandas()
+    assert len(out2) == 3
     import pytest as _p
     with _p.raises(ValueError):
         O.expand_lists(ds, ["q1"], key_columns=["node1"])

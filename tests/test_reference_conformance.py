@@ -116,9 +116,9 @@ def test_expand_round_trips_compact_file1():
     compacted = O.compact(ds, ["node1", "label", "node2"])
     got = norm(O.expand_lists(compacted,
                               columns=["location", "years"]).to_pandas())
-    # expansion is a per-column cross product (as in the reference), so
-    # the round trip recovers the original SET of non-empty cell values
-    # per key, not the original row pairings
+    # compact sorts each column's values independently, so positional
+    # expansion recovers the original SET of non-empty cell values per
+    # key, not the original row pairings
     orig = norm(read_ref("compact-file1.tsv"))
     for col in ("location", "years"):
         got_pairs = {(r.node1, r.node2, getattr(r, col))
@@ -411,3 +411,45 @@ def test_lift_all_label_rows_keeps_schema():
         "label", "label;label", "node1", "node1;label",
         "node2", "node2;label"]
     assert out.count() == 0
+
+
+def _golden(name):
+    import csv
+    import os
+    return pd.read_csv(
+        os.path.join(os.path.dirname(__file__), "data", name),
+        sep="\t", dtype=str, keep_default_na=False, quoting=csv.QUOTE_NONE)
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return cols, sorted(map(tuple, df[cols].astype(str).to_numpy()))
+
+
+def test_expand_reference_fixture_golden():
+    """Parity with the reference expander's own output on
+    expand-file1.tsv (kgtk/reshape/kgtkexpand.py defaults: the edge
+    required columns auto-join the key set even with --columns empty,
+    the rest expand positionally)."""
+    out = O.expand_lists(read_kgtk_tsv(f"{REF}/expand-file1.tsv"),
+                         key_columns=[]).to_pandas()
+    gold = _golden("expand_golden1.tsv")
+    assert _rowset(out) == _rowset(gold)
+
+
+def test_unique_reference_fixture_golden():
+    """Parity with the reference unique's output on unique-file1.tsv
+    (--column location)."""
+    out = O.unique_counts(read_kgtk_tsv(f"{REF}/unique-file1.tsv"),
+                          "location").to_pandas()
+    gold = _golden("unique_golden1.tsv")
+    assert _rowset(out) == _rowset(gold)
+
+
+def test_ifempty_reference_fixture_golden():
+    """Parity with the reference ifempty's output on ifempty-file1.tsv
+    (--columns location)."""
+    out = O.ifempty(read_kgtk_tsv(f"{REF}/ifempty-file1.tsv"),
+                    ["location"]).to_pandas()
+    gold = _golden("ifempty_golden1.tsv")
+    assert _rowset(out) == _rowset(gold)
