@@ -37,16 +37,51 @@ def _normalize_batch(t: pa.Table) -> pa.Table:
     return pa.table(cols, names=t.column_names)
 
 
+def _header_columns(path: str) -> list[str]:
+    """Raw header names of the first TSV file under ``path`` (file or
+    directory of part files), decompressing by extension."""
+    import pyarrow.fs as pafs
+    try:
+        fs, p = pafs.FileSystem.from_uri(path)
+    except (pa.ArrowInvalid, ValueError):
+        fs, p = pafs.LocalFileSystem(), path
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.Directory:
+        kids = sorted(f.path for f in fs.get_file_info(
+            pafs.FileSelector(p, recursive=True))
+            if f.type == pafs.FileType.File and ".tsv" in f.base_name)
+        if not kids:
+            raise FileNotFoundError(f"no .tsv files under {path}")
+        p = kids[0]
+    buf = b""
+    with fs.open_input_stream(p, compression="detect") as f:
+        while b"\n" not in buf:
+            chunk = f.read(65536)
+            if not chunk:
+                break
+            buf += chunk
+    line = buf.split(b"\n", 1)[0].decode("utf-8")
+    return line.lstrip("﻿").rstrip("\r").split("\t")
+
+
 def read_kgtk_tsv(path: str | list[str], *, normalize: bool = True) -> ray.data.Dataset:
     """Read a KGTK TSV file into a Dataset of string columns.
 
     Column aliases are resolved to node1/label/node2/id and nulls become
-    "" so every operator sees the canonical shape.
+    "" so every operator sees the canonical shape.  Every column is
+    read as ``string`` (KGTK cells are untyped text, and Arrow's CSV
+    inference would otherwise mangle them: ``True`` -> bool -> "true",
+    ISO datetimes -> timestamp -> space-separated render, ``007`` ->
+    7); the header is sniffed once to pin the column types.
     """
+    first = path[0] if isinstance(path, (list, tuple)) else path
+    names = _header_columns(first)
     ds = ray.data.read_csv(
         path,
         parse_options=pyarrow.csv.ParseOptions(delimiter="\t", quote_char=False),
-        convert_options=pyarrow.csv.ConvertOptions(strings_can_be_null=False),
+        convert_options=pyarrow.csv.ConvertOptions(
+            strings_can_be_null=False,
+            column_types={n: pa.string() for n in names}),
     )
     # make every column string-typed (arrow may infer ints)
     ds = ds.map_batches(_normalize_batch if normalize else _to_string_batch,

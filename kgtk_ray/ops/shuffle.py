@@ -437,6 +437,7 @@ def lift(
     label_value: str = "label",
     lift_columns: Sequence[str] = ("node1", "label", "node2"),
     suffix: str = ";label",
+    lift_from: str = "node2",
     remove_label_rows: bool = True,
     broadcast_limit: int = BROADCAST_LIMIT,
 ) -> Dataset:
@@ -458,10 +459,15 @@ def lift(
     """
     label_source = labels if labels is not None else ds
 
-    lbl_rows = label_source.map_batches(
-        lambda df: df.loc[df["label"] == label_value, ["node1", "node2"]],
-        batch_format="pandas",
-    )
+    def select_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # lift_from is the reference's --lift-from/--label-value-column
+        # (kgtk/lift/kgtklift.py:788,167-189); rows whose value cell is
+        # empty never enter the map (:230-231)
+        sel = df.loc[df["label"] == label_value, ["node1", lift_from]]
+        sel = sel[sel[lift_from].fillna("") != ""]
+        return sel.rename(columns={lift_from: "node2"})
+
+    lbl_rows = label_source.map_batches(select_labels, batch_format="pandas")
     # distributed merge of multi-labels (stays a Dataset)
     from ._bucket import bucketed_group_apply
 

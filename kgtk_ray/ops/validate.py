@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -178,28 +179,83 @@ def clean_edges(ds: Dataset, columns: Sequence[str] = ("node2",),
 
 def explode_node2(ds: Dataset, column: str = "node2",
                   fields: Sequence[str] | None = None, *,
-                  expand_list: bool = True) -> Dataset:
+                  expand_list: bool = False,
+                  kgtk_cells: bool = False) -> Dataset:
     """Split ``column`` into typed subfield columns named
     ``<column>;kgtk:<field>`` (reference kgtk/reshape/kgtkexplode.py).
     Fields the reference formats as KGTK strings (text, zonestr,
     date_and_time — kgtkexplode.py:203-215) are emitted ``"``-quoted,
     matching the reference's exploded cells byte-for-byte.
-    ``expand_list`` (the reference default, kgtkexplode.py:173-181)
-    first expands ``|``-list cells into one row per item, so each
-    output row describes a single value."""
+    ``expand_list`` first expands ``|``-list cells into one row per
+    item (the reference's opt-in ``--expand``, kgtkexplode.py:45,173 —
+    default False there and here; unexpanded lists carry only
+    data_type/valid/list_len).
+
+    The default field set matches the reference's (values.py
+    DEFAULT_EXPLODE_FIELDS; date components are opt-in).  Output cells
+    are typed (floats/bools, null when absent) — the Ray-native form
+    downstream kernels want.  ``kgtk_cells=True`` instead renders every
+    field as the reference's TSV cell string: "" for absent, True/False
+    booleans, integral numbers without a trailing .0, and ALL fields
+    blank when the value is invalid (kgtkexplode.py leaves the entire
+    row's subfields unset then)."""
     if expand_list:
         from .core import expand_lists
         ds = expand_lists(ds, [column])
-    want = list(fields) if fields else V.ALL_FIELDS
+    want = list(fields) if fields else V.DEFAULT_EXPLODE_FIELDS
+
+    # the reference renders each field through its parsed type
+    # (kgtk/value/kgtkvalue.py field parses): number -> int when the
+    # token is integral else float (so 186.2e04 prints 1862000.0),
+    # tolerances/coordinates -> float always (84 prints 84.0),
+    # precision/list_len -> int, truth -> True/False
+    import re
+    _FLOAT_FIELDS = {"low_tolerance", "high_tolerance",
+                     "latitude", "longitude"}
+    _INT_FIELDS = {"precision", "list_len",
+                   "year", "month", "day", "hour", "minutes", "seconds"}
+    _INT_TOKEN = re.compile(r"^[-+]?(?:\d+|0[xX][0-9a-fA-F]+|0[oO][0-7]+|0[bB][01]+)$")
+
+    def _cell(fld, v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return ""
+        if isinstance(v, (bool, np.bool_)):
+            return "True" if v else "False"
+        s = str(v)
+        if s == "":
+            return ""
+        if fld == "number":
+            if _INT_TOKEN.match(s):
+                try:
+                    return str(int(s, 0))
+                except ValueError:  # leading zeros reject base-0
+                    return str(int(s))
+            return str(float(s))
+        if fld in _FLOAT_FIELDS:
+            return str(float(s))
+        if fld in _INT_FIELDS:
+            return str(int(float(s)))
+        return s
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         ex = V.explode_fields(df[column].fillna("").to_numpy(dtype=object))
+        invalid = ~ex["valid"].to_numpy(dtype=bool)
         df = df.reset_index(drop=True).copy()
         for fld in want:
             col = ex[fld]
             if fld in V.STR_CELL_FIELDS:
                 col = col.map(lambda v: f'"{v}"' if isinstance(v, str) else v)
-            df[f"{column}{EXPLODE_PREFIX}{fld}"] = col.to_numpy()
+            if kgtk_cells:
+                vals = col.map(lambda v, fld=fld: _cell(fld, v)).to_numpy(dtype=object)
+                vals[invalid] = ""
+                df[f"{column}{EXPLODE_PREFIX}{fld}"] = vals
+            elif fld == "number":
+                # pin to float64: the token-faithful int/float mix would
+                # give different Arrow schemas per block
+                df[f"{column}{EXPLODE_PREFIX}{fld}"] = pd.to_numeric(
+                    col, errors="coerce").to_numpy(dtype="float64")
+            else:
+                df[f"{column}{EXPLODE_PREFIX}{fld}"] = col.to_numpy()
         return df
 
     return ds.map_batches(f, batch_format="pandas")

@@ -515,6 +515,15 @@ ALL_FIELDS = [
     "year", "month", "day", "hour", "minutes", "seconds", "zonestr", "precision",
     "truth", "symbol",
 ]
+# The reference explode's default field selection
+# (kgtk/value/kgtkvalue.py:169-187 DEFAULT_FIELD_NAMES) — the date
+# component fields (year..zonestr) are opt-in there too.
+DEFAULT_EXPLODE_FIELDS = [
+    "data_type", "valid", "list_len", "text", "language",
+    "language_suffix", "number", "low_tolerance", "high_tolerance",
+    "si_units", "units_node", "latitude", "longitude", "date_and_time",
+    "precision", "truth", "symbol",
+]
 _NUMERIC_FIELDS = {
     "number", "low_tolerance", "high_tolerance", "latitude", "longitude",
     "year", "month", "day", "hour", "minutes", "seconds", "precision",
@@ -590,8 +599,35 @@ def explode_fields(values) -> pd.DataFrame:
         if col not in df.columns:
             df[col] = pd.Series([None] * len(s), dtype=object)
     for col in _NUMERIC_FIELDS:
+        if col == "number":
+            continue
         df[col] = pd.to_numeric(df[col], errors="coerce")
+    # the reference parses the number token as int when it matches the
+    # int grammar, float otherwise (kgtk/value/kgtkvalue.py fields.number
+    # = int(numberstr) or float(numberstr)) — keep that distinction so
+    # 12345 renders "12345" but 186.2e04 renders "1862000.0"
+    df["number"] = pd.Series(
+        [_parse_number_token(v) for v in df["number"]],
+        dtype=object, index=df.index)  # keep int/float mixed (map() would refloat)
     return df[ALL_FIELDS]
+
+
+_INT_TOKEN_RE = re.compile(
+    r"^[-+]?(?:\d+|0[xX][0-9a-fA-F]+|0[oO][0-7]+|0[bB][01]+)$")
+
+
+def _parse_number_token(v):
+    if v is None or not isinstance(v, str) or v == "":
+        return None
+    if _INT_TOKEN_RE.match(v):
+        try:
+            return int(v, 0)
+        except ValueError:  # leading zeros reject base 0
+            return int(v)
+    try:
+        return float(v)
+    except ValueError:
+        return None
 
 
 def _unwrap_field(v: str) -> str:
@@ -636,9 +672,14 @@ def implode_fields(df: pd.DataFrame) -> pd.Series:
     out[m] = df.loc[m, "number"].map(numfmt)
     m = t == "quantity"
     if m.any():
+        def has(x) -> bool:
+            # empty strings mean "field absent" (TSV-read exploded
+            # inputs carry "" rather than null)
+            return pd.notna(x) and (not isinstance(x, str) or x != "")
+
         def q(row):
             v = numfmt(row["number"])
-            if pd.notna(row.get("low_tolerance")) and pd.notna(row.get("high_tolerance")):
+            if has(row.get("low_tolerance")) and has(row.get("high_tolerance")):
                 v += f"[{numfmt(row['low_tolerance'])},{numfmt(row['high_tolerance'])}]"
             if isinstance(row.get("units_node"), str) and row["units_node"]:
                 v += row["units_node"]

@@ -273,20 +273,20 @@ def test_explode_field_values_match_reference_docs():
     assert g("symbol", "symbol") == "quadrature"
 
 
-def test_explode_expands_lists_by_default():
-    # reference kgtkexplode.py:173-181: a |-list value explodes into one
-    # output row per item (--expand-list default True)
+def test_explode_list_expansion_opt_in():
+    # reference kgtkexplode.py:45,173: --expand defaults False — a
+    # |-list row stays whole, carrying only data_type/valid/list_len;
+    # with --expand it becomes one output row per item
     import ray.data
     ds = ray.data.from_pandas(pd.DataFrame(
         [["john", "list", "home|work"]],
         columns=["node1", "label", "node2"]))
-    out = O.explode_node2(ds).to_pandas().sort_values("node2")
-    assert out["node2"].tolist() == ["home", "work"]
-    assert out["node2;kgtk:data_type"].tolist() == ["symbol", "symbol"]
-    # opt-out keeps the list row whole with its length
-    whole = O.explode_node2(ds, expand_list=False).to_pandas()
+    whole = O.explode_node2(ds).to_pandas()
     assert whole["node2"].tolist() == ["home|work"]
     assert whole["node2;kgtk:list_len"].tolist() == [2]
+    out = O.explode_node2(ds, expand_list=True).to_pandas().sort_values("node2")
+    assert out["node2"].tolist() == ["home", "work"]
+    assert out["node2;kgtk:data_type"].tolist() == ["symbol", "symbol"]
 
 
 def test_reorder_columns_ellipsis_and_trim():
@@ -453,3 +453,90 @@ def test_ifempty_reference_fixture_golden():
                     ["location"]).to_pandas()
     gold = _golden("ifempty_golden1.tsv")
     assert _rowset(out) == _rowset(gold)
+
+
+@pytest.mark.parametrize("i", [1, 2])
+def test_explode_reference_fixture_golden(i):
+    """Parity with the reference exploder's own output on
+    explode-file{1,2}.tsv (kgtk explode defaults: node2, all fields,
+    lists expanded first)."""
+    from kgtk_ray.ops.validate import explode_node2
+    out = explode_node2(read_kgtk_tsv(f"{REF}/explode-file{i}.tsv"),
+                        kgtk_cells=True).to_pandas()
+    assert _rowset(out) == _rowset(_golden(f"explode_golden{i}.tsv"))
+
+
+def test_implode_reference_fixture_golden1():
+    """Parity with the reference imploder on implode-file1.tsv
+    (kgtk implode --without si_units language_suffix: node2 rebuilt in
+    place from the kgtk: subfield columns, prefixed columns kept)."""
+    from kgtk_ray.ops.validate import implode_node2
+    out = implode_node2(read_kgtk_tsv(f"{REF}/implode-file1.tsv"),
+                        drop_fields=False).to_pandas()
+    assert _rowset(out) == _rowset(_golden("implode_golden1.tsv"))
+
+
+def test_implode_reference_fixture_golden2():
+    """Parity with the reference imploder on implode-file2.tsv
+    (kgtk implode --mode NONE: node2 appended, the unsupported list row
+    kept with empty node2)."""
+    from kgtk_ray.ops.validate import implode_node2
+    out = implode_node2(read_kgtk_tsv(f"{REF}/implode-file2.tsv"),
+                        drop_fields=False).to_pandas()
+    assert _rowset(out) == _rowset(_golden("implode_golden2.tsv"))
+
+
+def test_clean_data_reference_fixture_golden():
+    """Parity with kgtk clean-data on clean_data-file1.tsv (invalid
+    date ^2020-05-00T00:00 dropped, valid rows kept — the reference
+    default KgtkValueOptions has repair_month_or_day_zero=False, so the
+    bad row rejects rather than repairing)."""
+    from kgtk_ray import values as V
+    from kgtk_ray.ops.validate import clean_edges
+    out = clean_edges(read_kgtk_tsv(f"{REF}/clean_data-file1.tsv"),
+                      options=V.ValueOptions()).to_pandas()
+    assert _rowset(out) == _rowset(_golden("clean_data_golden1.tsv"))
+
+
+def test_ifnotempty_reference_fixture_golden():
+    """Parity with kgtk ifnotempty --columns location on
+    ifnotempty-file1.tsv."""
+    out = O.ifnotempty(read_kgtk_tsv(f"{REF}/ifnotempty-file1.tsv"),
+                       ["location"]).to_pandas()
+    assert _rowset(out) == _rowset(_golden("ifnotempty_golden1.tsv"))
+
+
+def test_calc_reference_fixture_golden():
+    """Parity with kgtk calc --do percentage -c node2 node1;total --into
+    result on calc-file1.tsv (incl. the reference's %5.2f leading-space
+    format, kgtk/cli/calc.py)."""
+    out = O.calc_percentage(read_kgtk_tsv(f"{REF}/calc-file1.tsv"),
+                            "node2", "node1;total").to_pandas()
+    assert _rowset(out) == _rowset(_golden("calc_golden1.tsv"))
+
+
+@pytest.mark.parametrize("golden,kw", [
+    ("lift_golden5_7.tsv",
+     dict(label_file="lift-file7.tsv", input_file="lift-file5.tsv",
+          lift_columns=["node1"])),
+    ("lift_golden8_9.tsv",
+     dict(label_file="lift-file9.tsv", input_file="lift-file8.tsv")),
+    ("lift_golden8_9_name.tsv",
+     dict(label_file="lift-file9.tsv", input_file="lift-file8.tsv",
+          label_value="name")),
+    ("lift_golden8_9_from.tsv",
+     dict(label_file="lift-file9.tsv", input_file="lift-file8.tsv",
+          label_value="name", lift_from="full-name",
+          lift_columns=["node1"], suffix=";full-name")),
+])
+def test_lift_label_file_reference_fixture_golden(golden, kw):
+    """Parity with the reference lifter's --label-file variants on its
+    own fixtures: --columns-to-lift, --property, --lift-from,
+    --lift-suffix (docs/transform/lift.md worked examples run through
+    the reference CLI)."""
+    from kgtk_ray.ops.shuffle import lift
+    kw = dict(kw)
+    labels = read_kgtk_tsv(f"{REF}/{kw.pop('label_file')}")
+    ds = read_kgtk_tsv(f"{REF}/{kw.pop('input_file')}")
+    out = lift(ds, labels, **kw).to_pandas().fillna("")
+    assert _rowset(out) == _rowset(_golden(golden))
