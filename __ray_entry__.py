@@ -1254,7 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_entities": _q_export_entities,
         "lower": _q_lower,
         "implode": _q_implode,
-        "every_nth": _q_every_nth,
+        "fingerprint": _q_fingerprint,
         "tail": _q_tail,
         "text_normalize": _q_text_normalize,
         "import_wikidata": _q_import_wikidata,
@@ -1274,15 +1274,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unreify_values": _q_unreify_values,  # rewritten to reference
         # semantics (old-label gate, id column, allow-multiple-values)
         "column_ops": _q_column_ops,
-        "corpus_curation": _q_corpus_curation,
+        "explode": _q_explode,  # reference default fields/expand, r4
+        "lift": _q_lift,  # --lift-from + empty-value filter, r4
         "minhash_dedup": _q_minhash,
         "dedup_against": _q_dedup_against,
-        "ngram_dedup": _q_ngram_dedup,
         "ifexists": _q_ifexists,
         "clean_repair": _q_clean_repair,
         "compact": _q_compact,
         "kg_pipeline": _q_kg_pipeline,
         # --- green in CORRECTNESS_r03 on current code (tail) ---
+        "corpus_curation": _q_corpus_curation,
+        "ngram_dedup": _q_ngram_dedup,
+        "every_nth": _q_every_nth,
         "corpus_stats": _q_corpus_stats,
         "split_dataset": _q_split_dataset,
         "pii_scrub": _q_pii_scrub,
@@ -1300,7 +1303,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index": _q_ivf_index,
         "paths_distributed": _q_paths_distributed,
         "frame_sample": _q_frame_sample,
-        "fingerprint": _q_fingerprint,
         "validate_properties": _q_validate_properties,
         "repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
@@ -1319,9 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique": _q_unique,
         "ifnotexists": _q_ifnotexists,
         "kgtk_join": _q_join,
-        "lift": _q_lift,
         "add_id": _q_add_id,
-        "explode": _q_explode,
         "calc": _q_calc,
         "topk_cosine": _q_topk_cosine,
     }

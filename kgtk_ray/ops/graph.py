@@ -543,6 +543,7 @@ def _paths_distributed(edges: Dataset, sources: Sequence[str],
 
 def connected_components(edges: Dataset, *, max_iters: int = 50,
                          method: str = "lowest",
+                         properties: Sequence[str] | None = None,
                          num_partitions: int = 16) -> Dataset:
     """Undirected connected components via distributed min-label
     propagation (reference uses graph-tool label_components,
@@ -569,6 +570,14 @@ def connected_components(edges: Dataset, *, max_iters: int = 50,
     import pyarrow as pa
 
     from ._bucket import bucketed_join
+
+    if properties:
+        # reference --properties: only edges with these labels define
+        # connectivity (kgtk/cli/connected-components.py)
+        props = set(properties)
+        edges = edges.map_batches(
+            lambda df, props=props: df[df["label"].isin(props)],
+            batch_format="pandas")
 
     und = edges.map_batches(
         lambda df: pd.concat([
@@ -675,11 +684,17 @@ def _name_clusters_ds(labels: Dataset, method: str,
         names = bucketed_group_apply(labels, ["comp"], join_members,
                                      num_buckets=num_partitions)
     elif method == "hash":
+        # reference naming (kgtk/gt/connected_components.py:125-127):
+        # prefix + base64(md5("+".join(sorted(set(members)))))
         def hash_members(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("comp", sort=False)["node"].agg(
-                lambda s: hex(int(np.bitwise_xor.reduce(
-                    pd.util.hash_array(np.sort(s.to_numpy(dtype=object)))))
-                    & 0xFFFFFFFF))
+            import base64
+            import hashlib
+
+            def h(s: pd.Series) -> str:
+                cat = "+".join(sorted(set(s)))
+                return "CLUS" + base64.b64encode(
+                    hashlib.md5(cat.encode()).digest()).decode()
+            g = df.groupby("comp", sort=False)["node"].agg(h)
             return pd.DataFrame({"comp": g.index, "name": g.to_numpy()})
         names = bucketed_group_apply(labels, ["comp"], hash_members,
                                      num_buckets=num_partitions)

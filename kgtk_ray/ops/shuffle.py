@@ -504,7 +504,15 @@ def lift(
             df = drop_label_rows(df).copy()
             for c in out_cols:
                 if c in df.columns:
-                    df[c + suffix] = df[c].map(lm).fillna("")
+                    target = c + suffix
+                    mapped = df[c].map(lm)
+                    # reference build_output_column_names
+                    # (kgtklift.py:398-416): a colliding name overwrites
+                    # the existing column IN PLACE — unmapped keys keep
+                    # the prior cell (so --lift-suffix= rewrites node1/
+                    # node2 to cluster ids, leaving unclustered values)
+                    df[target] = mapped.fillna(
+                        df[target] if target in df.columns else "")
             return df
 
         return ds.map_batches(f, batch_format="pandas")
@@ -523,8 +531,13 @@ def lift(
     left_fields["__lift_key__"] = pa.string()
     for c in present:
         lifted_name = c + suffix
+        # a colliding output name overwrites the existing column in
+        # place (kgtklift.py:398-416) — join under a temp name, then
+        # coalesce mapped-over-original
+        collide = lifted_name in left_fields
+        rhs_name = "__lift_val__" if collide else lifted_name
         rhs = merged.map_batches(
-            lambda t, new=lifted_name: pa.table(
+            lambda t, new=rhs_name: pa.table(
                 {"__lift_key__": pc.cast(t["node1"], pa.string()),
                  new: pc.cast(t["node2"], pa.string())}),
             batch_format="pyarrow")
@@ -536,14 +549,20 @@ def lift(
             lhs, rhs, "__lift_key__",
             left_fields=dict(left_fields),
             right_fields={"__lift_key__": pa.string(),
-                          lifted_name: pa.string()},
+                          rhs_name: pa.string()},
             how="left", num_buckets=n_buckets).drop_columns(
             ["__lift_key__"])
-        out = out.map_batches(
-            lambda df, new=lifted_name: df.assign(
-                **{new: df[new].fillna("")}),
-            batch_format="pandas")
-        left_fields[lifted_name] = pa.string()
+        if collide:
+            out = out.map_batches(
+                lambda df, new=lifted_name, tmp=rhs_name: df.assign(
+                    **{new: df[tmp].fillna(df[new])}).drop(columns=[tmp]),
+                batch_format="pandas")
+        else:
+            out = out.map_batches(
+                lambda df, new=lifted_name: df.assign(
+                    **{new: df[new].fillna("")}),
+                batch_format="pandas")
+            left_fields[lifted_name] = pa.string()
     return out
 
 

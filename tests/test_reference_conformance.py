@@ -540,3 +540,34 @@ def test_lift_label_file_reference_fixture_golden(golden, kw):
     ds = read_kgtk_tsv(f"{REF}/{kw.pop('input_file')}")
     out = lift(ds, labels, **kw).to_pandas().fillna("")
     assert _rowset(out) == _rowset(_golden(golden))
+
+
+def test_cc_pipeline_reference_fixture_golden():
+    """Replay the reference's cc-test1.sh pipeline on cc-file1.tsv:
+    connected-components --properties mw:SameAs (default HASH naming:
+    CLUS + b64(md5("+".join(sorted members)))) → lift --lift-suffix=
+    --columns-to-lift node1 node2 --label-select-value
+    connected_component (in-place overwrite, unmapped keep original)
+    → filter --invert -p ';mw:SameAs;' → compact.  Golden stage
+    outputs from the reference CLI (the CC stage hand-derived per
+    kgtk/gt/connected_components.py:125-127 since graph-tool is
+    absent here)."""
+    from kgtk_ray.ops.graph import connected_components
+    from kgtk_ray.ops.shuffle import compact, lift
+
+    src = read_kgtk_tsv(f"{REF}/cc-file1.tsv")
+    clusters = connected_components(src, method="hash",
+                                    properties=["mw:SameAs"])
+    got = clusters.to_pandas()
+    assert _rowset(got) == _rowset(_golden("cc_clusters_golden.tsv"))
+
+    merged = lift(read_kgtk_tsv(f"{REF}/cc-file1.tsv"), clusters,
+                  label_value="connected_component",
+                  lift_columns=["node1", "node2"], suffix="")
+    assert _rowset(merged.to_pandas().fillna("")) == _rowset(
+        _golden("cc_merged_golden.tsv"))
+
+    filtered = O.kgtk_filter(merged, pred="mw:SameAs", invert=True)
+    final = compact(filtered)
+    assert _rowset(final.to_pandas().fillna("")) == _rowset(
+        _golden("cc_pipeline_golden.tsv"))
