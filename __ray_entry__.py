@@ -682,7 +682,9 @@ def _q_validate_properties(sf: str):
         "value": ["nation_dt", r"N\d+", r"R[0-3]", "3",
                   "10", "40", "nation_dt", r"N\d+"],
     })
-    return validate_properties(edges, patterns)
+    # per-row mode (the oracle SQL models row-level rejection; the
+    # library default is the reference's grouped node1 rejection)
+    return validate_properties(edges, patterns, reject_node1_groups=False)
 
 
 def _q_paths(sf: str):
@@ -1277,7 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode": _q_explode,  # reference default fields/expand, r4
         "lift": _q_lift,  # --lift-from + empty-value filter, r4
         "minhash_dedup": _q_minhash,
-        "dedup_against": _q_dedup_against,
+        "validate_properties": _q_validate_properties,  # r4 rule rewrite
         "ifexists": _q_ifexists,
         "clean_repair": _q_clean_repair,
         "compact": _q_compact,
@@ -1303,7 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index": _q_ivf_index,
         "paths_distributed": _q_paths_distributed,
         "frame_sample": _q_frame_sample,
-        "validate_properties": _q_validate_properties,
+        "dedup_against": _q_dedup_against,
         "repetition": _q_repetition,
         "gopher_filter": _q_gopher_filter,
         "dup_ngrams": _q_dup_ngrams,

@@ -62,19 +62,34 @@ _LIST_KINDS = {
     "equal_to_date", "not_equal_to_date",
 }
 _PATTERN_KINDS = {"node1_pattern", "node2_pattern", "node2_not_pattern",
-                  "label_pattern", "id_pattern", "id_not_pattern"}
+                  "label_pattern", "id_pattern", "id_not_pattern",
+                  "matches"}
 _NUM_KINDS = {"minval", "maxval", "greater_than", "less_than",
               "minoccurs", "maxoccurs", "mindistinct", "maxdistinct"}
 _TRUTH_KINDS = {"node1_is_valid", "node2_is_valid", "node2_blank",
                 "node2_not_blank", "id_blank", "id_not_blank",
-                "mustoccur", "reject"}
+                "mustoccur", "reject", "node1_allow_list",
+                "label_allow_list", "node2_allow_list", "id_allow_list",
+                "unknown", "property", "datatype", "groupbyprop"}
 _DATE_KINDS = {"mindate", "maxdate", "greater_than_date",
                "less_than_date"}
+# single-valued string kinds
+_SCALAR_KINDS = {"nextcase", "node2_column"}
+# column-name-list kinds
+_COLLIST_KINDS = {"not_in_columns"}
 
 
 def compile_rules(patterns: pd.DataFrame) -> dict[str, dict]:
-    """Pattern table -> {prop_or_datatype: {kind: parsed value}}."""
+    """Pattern table -> {prop_or_datatype: {kind: parsed value}}.
+    Pattern-kind values arrive KGTK-quoted (``"p.*"``); the quotes are
+    stripped like the reference's KgtkValue field access."""
     rules: dict[str, dict] = {}
+
+    def unquote(v: str) -> str:
+        if len(v) >= 2 and v[0] == v[-1] == '"':
+            return v[1:-1]
+        return v
+
     for prop, kind, value in zip(patterns["prop"], patterns["kind"],
                                  patterns["value"]):
         kind = str(kind)
@@ -84,13 +99,18 @@ def compile_rules(patterns: pd.DataFrame) -> dict[str, dict]:
             r[kind].extend(split_list(str(value)))
         elif kind in _PATTERN_KINDS:
             r.setdefault(kind, [])
-            r[kind].append(str(value))
+            r[kind].append(unquote(str(value)))
         elif kind in _NUM_KINDS:
             r[kind] = float(value)
         elif kind in _TRUTH_KINDS:
             r[kind] = str(value) in ("True", "true", "1")
         elif kind in _DATE_KINDS:
             r[kind] = str(value)
+        elif kind in _SCALAR_KINDS:
+            r[kind] = str(value)
+        elif kind in _COLLIST_KINDS:
+            r.setdefault(kind, [])
+            r[kind].extend(split_list(str(value)))
         else:
             raise ValueError(f"unknown pattern kind {kind!r} for {prop!r}")
     return rules
@@ -131,6 +151,110 @@ class _RowValidator:
             (p, k): [re.compile(x) for x in r[k]]
             for p, r in rules.items() for k in _PATTERN_KINDS if k in r
         }
+        # label regexes that pull rows into another datatype's rules
+        self.matches_regex = {p: self.regex[(p, "matches")]
+                              for p, r in rules.items() if "matches" in r}
+        # datatypes applied to rows whose label matched nothing
+        self.unknown_dts = [p for p, r in rules.items() if r.get("unknown")]
+
+    # per-column scalar checks, reusable for list items ------------
+    def _col_badlist(self, s: pd.Series, pre: str, dt: str,
+                     r: dict) -> list[tuple[np.ndarray, str]]:
+        """All (bad-mask, why) checks of logical column ``pre`` of
+        datatype ``dt`` applied to a scalar series ``s`` (callers
+        handle ``|``-lists separately)."""
+        out: list[tuple[np.ndarray, str]] = []
+        n = len(s)
+        tk = f"{pre}_type"
+        if tk in r:
+            types = classify(s.to_numpy())
+            out.append((~np.isin(types, r[tk]), tk))
+        ntk = f"{pre}_not_type"
+        if ntk in r:
+            types = classify(s.to_numpy())
+            out.append((np.isin(types, r[ntk]), ntk))
+        vk = f"{pre}_values"
+        if vk in r:
+            out.append((~s.isin(set(r[vk])).to_numpy(), vk))
+        nvk = f"{pre}_not_values"
+        if nvk in r:
+            out.append((s.isin(set(r[nvk])).to_numpy(), nvk))
+        # full-match patterns (inclusion = any matches; exclusion =
+        # none may match), reference :1147-1183
+        pk = f"{pre}_pattern"
+        if (dt, pk) in self.regex:
+            hit = np.zeros(n, dtype=bool)
+            for rx in self.regex[(dt, pk)]:
+                hit |= s.str.fullmatch(rx).to_numpy()
+            out.append((~hit, pk))
+        npk = f"{pre}_not_pattern"
+        if (dt, npk) in self.regex:
+            hit = np.zeros(n, dtype=bool)
+            for rx in self.regex[(dt, npk)]:
+                hit |= s.str.fullmatch(rx).to_numpy()
+            out.append((hit, npk))
+        bk = f"{pre}_blank"
+        if bk in r:
+            empty = (s == "").to_numpy()
+            out.append((~empty if r[bk] else empty, bk))
+        nbk = f"{pre}_not_blank"
+        if nbk in r:
+            empty = (s == "").to_numpy()
+            out.append((empty if r[nbk] else ~empty, nbk))
+        ivk = f"{pre}_is_valid"
+        if r.get(ivk):
+            out.append((~validate(s.to_numpy()), ivk))
+
+        if pre != "node2":
+            return out
+        # numeric / date rules target the (possibly redirected) node2
+        num_kinds = [k for k in ("minval", "maxval", "greater_than",
+                                 "less_than", "equal_to", "not_equal_to")
+                     if k in r]
+        date_kinds = [k for k in ("mindate", "maxdate",
+                                  "greater_than_date", "less_than_date",
+                                  "equal_to_date", "not_equal_to_date")
+                     if k in r]
+        if num_kinds or date_kinds:
+            fields = explode_fields(s.to_numpy())
+            if num_kinds:
+                num = pd.to_numeric(fields["number"],
+                                    errors="coerce").to_numpy(dtype=float)
+                isnum = np.isin(fields["data_type"], ["number", "quantity"]) \
+                    & fields["valid"].to_numpy(dtype=bool)
+                for k in num_kinds:
+                    if k == "minval":
+                        bad = ~isnum | (num < r[k])
+                    elif k == "maxval":
+                        bad = ~isnum | (num > r[k])
+                    elif k == "greater_than":
+                        bad = ~isnum | (num <= r[k])
+                    elif k == "less_than":
+                        bad = ~isnum | (num >= r[k])
+                    elif k == "equal_to":
+                        bad = ~isnum | ~np.isin(num, [float(x) for x in r[k]])
+                    else:  # not_equal_to
+                        bad = ~isnum | np.isin(num, [float(x) for x in r[k]])
+                    out.append((np.asarray(bad, dtype=bool), k))
+            if date_kinds:
+                isdate = (fields["data_type"] == "date_and_times") \
+                    & fields["valid"].to_numpy(dtype=bool)
+                key = s.str.lstrip("^").to_numpy(dtype=object)
+                for k in date_kinds:
+                    if k == "mindate":
+                        bad = ~isdate | (key < _date_key(r[k]))
+                    elif k == "maxdate":
+                        bad = ~isdate | (key > _date_key(r[k]))
+                    elif k == "greater_than_date":
+                        bad = ~isdate | (key <= _date_key(r[k]))
+                    elif k == "less_than_date":
+                        bad = ~isdate | (key >= _date_key(r[k]))
+                    elif k == "equal_to_date":
+                        bad = ~isdate | ~np.isin(key, _date_key(r[k]))
+                    else:
+                        bad = ~isdate | np.isin(key, _date_key(r[k]))
+                    out.append((bad.astype(bool), k))
+        return out
 
     # -- single-datatype row-level check over a masked sub-frame --
     def _check_dt(self, df: pd.DataFrame, m: np.ndarray, dt: str,
@@ -156,143 +280,165 @@ class _RowValidator:
             return passed
 
         cols = {"node1": df["node1"].astype(str),
-                "label": df["label"].astype(str),
-                "node2": df["node2"].astype(str)}
+                "label": df["label"].astype(str)}
+        # node2_column: this prop's "node2" checks read another column
+        # (reference get_node2_idx); a missing column fails the rows
+        n2col = r.get("node2_column", "node2")
+        if n2col in df.columns:
+            cols["node2"] = df[n2col].fillna("").astype(str)
+        else:
+            fail(m.copy(), "node2_column_missing")
+            return passed
         if "id" in df.columns:
             cols["id"] = df["id"].fillna("").astype(str)
 
-        for col, pre in (("node1", "node1"), ("node2", "node2"),
-                         ("label", "label"), ("id", "id")):
-            if col not in cols:
-                continue
-            s = cols[col]
-            # type lists
-            tk = f"{pre}_type"
-            if tk in r:
-                types = classify(s.to_numpy())
-                fail(~np.isin(types, r[tk]), tk)
-            ntk = f"{pre}_not_type"
-            if ntk in r:
-                types = classify(s.to_numpy())
-                fail(np.isin(types, r[ntk]), ntk)
-            # value lists
-            vk = f"{pre}_values"
-            if vk in r:
-                fail(~s.isin(set(r[vk])).to_numpy(), vk)
-            nvk = f"{pre}_not_values"
-            if nvk in r:
-                fail(s.isin(set(r[nvk])).to_numpy(), nvk)
-            # full-match patterns (inclusion = any matches; exclusion =
-            # none may match), reference :1147-1183
-            pk = f"{pre}_pattern"
-            if (dt, pk) in self.regex:
-                hit = np.zeros(len(df), dtype=bool)
-                for rx in self.regex[(dt, pk)]:
-                    hit |= s.str.fullmatch(rx).to_numpy()
-                fail(~hit, pk)
-            npk = f"{pre}_not_pattern"
-            if (dt, npk) in self.regex:
-                hit = np.zeros(len(df), dtype=bool)
-                for rx in self.regex[(dt, npk)]:
-                    hit |= s.str.fullmatch(rx).to_numpy()
-                fail(hit, npk)
-            # blank / not blank (truth-flagged)
-            bk = f"{pre}_blank"
-            if bk in r:
-                empty = (s == "").to_numpy()
-                fail(~empty if r[bk] else empty, bk)
-            nbk = f"{pre}_not_blank"
-            if nbk in r:
-                empty = (s == "").to_numpy()
-                fail(empty if r[nbk] else ~empty, nbk)
-            # KGTK validity
-            ivk = f"{pre}_is_valid"
-            if r.get(ivk):
-                fail(~validate(s.to_numpy()), ivk)
+        def has_rules(pre: str) -> bool:
+            return any(k.startswith(f"{pre}_") and k != f"{pre}_allow_list"
+                       and k != "node2_column" for k in r)
 
-        # numeric / date rules target node2
-        num_kinds = [k for k in ("minval", "maxval", "greater_than",
-                                 "less_than", "equal_to", "not_equal_to")
-                     if k in r]
-        date_kinds = [k for k in ("mindate", "maxdate",
-                                  "greater_than_date", "less_than_date",
-                                  "equal_to_date", "not_equal_to_date")
-                     if k in r]
-        if num_kinds or date_kinds:
-            fields = explode_fields(cols["node2"].to_numpy())
-            if num_kinds:
-                num = fields["number"].to_numpy(dtype=float)
-                isnum = np.isin(fields["data_type"], ["number", "quantity"]) \
-                    & fields["valid"].to_numpy(dtype=bool)
-                for k in num_kinds:
-                    if k == "minval":
-                        bad = ~isnum | (num < r[k])
-                    elif k == "maxval":
-                        bad = ~isnum | (num > r[k])
-                    elif k == "greater_than":
-                        bad = ~isnum | (num <= r[k])
-                    elif k == "less_than":
-                        bad = ~isnum | (num >= r[k])
-                    elif k == "equal_to":
-                        bad = ~isnum | ~np.isin(num, [float(x) for x in r[k]])
-                    else:  # not_equal_to
-                        bad = ~isnum | np.isin(num, [float(x) for x in r[k]])
-                    fail(np.asarray(bad, dtype=bool), k)
-            if date_kinds:
-                isdate = (fields["data_type"] == "date_and_times") \
-                    & fields["valid"].to_numpy(dtype=bool)
-                key = cols["node2"].str.lstrip("^").to_numpy(dtype=object)
-                for k in date_kinds:
-                    if k == "mindate":
-                        bad = ~isdate | (key < _date_key(r[k]))
-                    elif k == "maxdate":
-                        bad = ~isdate | (key > _date_key(r[k]))
-                    elif k == "greater_than_date":
-                        bad = ~isdate | (key <= _date_key(r[k]))
-                    elif k == "less_than_date":
-                        bad = ~isdate | (key >= _date_key(r[k]))
-                    elif k == "equal_to_date":
-                        bad = ~isdate | ~np.isin(key, _date_key(r[k]))
-                    else:
-                        bad = ~isdate | np.isin(key, _date_key(r[k]))
-                    fail(bad.astype(bool), k)
+        # label: raw pattern checks only — the reference applies
+        # label_patterns directly, with no list screening/autovalidate
+        # (validate_prop_or_datatype's label loop)
+        if has_rules("label"):
+            for bad, why in self._col_badlist(cols["label"], "label",
+                                              dt, r):
+                fail(bad, why)
+
+        for pre in ("node1", "node2", "id"):
+            if pre not in cols:
+                continue
+            if pre == "node1":
+                # validate_node1 runs only when node1 rules or occurs
+                # kinds exist (reference :1607-1608)
+                if not has_rules("node1") and not any(
+                        k in r for k in ("minoccurs", "maxoccurs",
+                                         "mustoccur")):
+                    continue
+            elif pre == "id" and not has_rules("id"):
+                continue
+            # node2 is ALWAYS screened for a matched datatype
+            # (validate_prop_or_datatype calls validate_node2
+            # unconditionally): invalid KGTK values and non-allowed
+            # lists fail even with zero node2 rules
+            s = cols[pre]
+            is_list = s.str.contains(r"(?<!\\)\|", regex=True).to_numpy() \
+                & (s != "").to_numpy()
+            listm = is_list & m
+            scalm = m & ~is_list
+            if listm.any():
+                if not r.get(f"{pre}_allow_list"):
+                    # a |-list value is prohibited unless allowed
+                    # (reference validate_node1/node2 "prohibited list")
+                    fail(listm, f"{pre}_prohibited_list")
+                else:
+                    # every list item must pass every column check
+                    idxs: list[int] = []
+                    items: list[str] = []
+                    for i in np.where(listm)[0]:
+                        for it in split_list(s.iloc[i]):
+                            idxs.append(i)
+                            items.append(it)
+                    sub = pd.Series(items, dtype=object)
+                    idx_arr = np.asarray(idxs)
+                    bads = [(~validate(sub.to_numpy()), "autovalidate")]
+                    bads.extend(self._col_badlist(sub, pre, dt, r))
+                    for bad, why in bads:
+                        if not bad.any():
+                            continue
+                        hit = np.zeros(len(df), dtype=bool)
+                        hit[idx_arr[bad]] = True
+                        fail(hit, why)
+            if scalm.any():
+                # autovalidate (reference default True): the value must
+                # be valid KGTK before any pattern applies
+                fail(~validate(s.to_numpy()) & scalm, "autovalidate")
+                for bad, why in self._col_badlist(s, pre, dt, r):
+                    fail(bad & scalm, why)
         return passed
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ok = np.ones(len(df), dtype=bool)
-        reasons = np.full(len(df), "", dtype=object)
-        matched = np.full(len(df), "", dtype=object)
-        labels = df["label"].astype(str).to_numpy()
-
-        for prop in self.rules:
-            m = labels == prop
-            if not m.any():
-                continue
-            # isa: conform to ALL closure datatypes (reference :1829)
-            closure = _isa_closure(self.rules, prop)
-            for dt in closure:
-                self._check_dt(df, m, dt, ok, reasons)
-            matched[m] = "|".join(closure)
-            # switch: first case whose row rules pass (reference :1871)
-            cases = self.rules[prop].get("switch", [])
-            if cases:
-                unmatched = m.copy()
-                for case in cases:
-                    case_closure = _isa_closure(self.rules, case)
+    def _apply_datatype(self, df: pd.DataFrame, m: np.ndarray, prop: str,
+                        ok: np.ndarray, reasons: np.ndarray,
+                        matched: np.ndarray) -> None:
+        """Validate rows selected by ``m`` against datatype ``prop``:
+        its isa closure, then its switch cases (with nextcase
+        fallthrough, reference :1871-1941)."""
+        # isa: conform to ALL closure datatypes (reference :1829)
+        closure = _isa_closure(self.rules, prop)
+        for dt in closure:
+            self._check_dt(df, m, dt, ok, reasons)
+        cstr = "|".join(closure)
+        matched[m] = np.array(
+            [cstr if v == "" else v + "|" + cstr for v in matched[m]],
+            dtype=object)
+        # switch: first case whose row rules pass; a failing case with
+        # a nextcase rule falls through to it (reference :1899-1934)
+        cases = self.rules[prop].get("switch", [])
+        if cases:
+            unmatched = m.copy()
+            for case in cases:
+                dt_case = case
+                seen: set[str] = set()
+                while dt_case and dt_case not in seen and unmatched.any():
+                    seen.add(dt_case)
+                    case_closure = _isa_closure(self.rules, dt_case)
                     trial = np.ones(len(df), dtype=bool)
                     for dt in case_closure:
                         trial &= self._check_dt(df, unmatched, dt, ok,
                                                 reasons, mark=False)
                     hit = unmatched & trial
                     if hit.any():
-                        cstr = "|".join(case_closure)
+                        cc = "|".join(case_closure)
                         matched[hit] = np.array(
-                            [v + "|" + cstr for v in matched[hit]],
+                            [v + "|" + cc for v in matched[hit]],
                             dtype=object)
                     unmatched &= ~hit
-                bad = unmatched & ok
-                reasons[bad] = "switch"
-                ok &= ~unmatched
+                    dt_case = self.rules.get(dt_case, {}).get("nextcase")
+            bad = unmatched & ok
+            reasons[bad] = "switch"
+            ok &= ~unmatched
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ok = np.ones(len(df), dtype=bool)
+        reasons = np.full(len(df), "", dtype=object)
+        matched = np.full(len(df), "", dtype=object)
+        labels = df["label"].astype(str).to_numpy()
+        matched_any = np.zeros(len(df), dtype=bool)
+
+        # not_in_columns: a prop naming prohibited columns fails any
+        # row carrying that prop as a cell value there (reference
+        # validate_not_in_columns :1075-1093)
+        for prop, r in self.rules.items():
+            for colname in r.get("not_in_columns", []):
+                if colname in df.columns:
+                    bad = (df[colname].astype(str) == prop).to_numpy()
+                    first = bad & ok
+                    reasons[first] = "not_in_columns"
+                    ok[bad] = False
+
+        for prop in self.rules:
+            m = labels == prop
+            if not m.any():
+                continue
+            matched_any |= m
+            self._apply_datatype(df, m, prop, ok, reasons, matched)
+
+        # matches: rows whose LABEL fullmatches a datatype's regex also
+        # validate against that datatype (reference :2040-2048)
+        for dt, rxs in self.matches_regex.items():
+            hit = np.zeros(len(df), dtype=bool)
+            lbl = pd.Series(labels)
+            for rx in rxs:
+                hit |= lbl.str.fullmatch(rx).to_numpy()
+            if hit.any():
+                matched_any |= hit
+                self._apply_datatype(df, hit, dt, ok, reasons, matched)
+
+        # unknown: rows whose label matched nothing validate against
+        # each unknown-flagged datatype (reference :2050-2054)
+        if self.unknown_dts and not matched_any.all():
+            rest = ~matched_any
+            for dt in self.unknown_dts:
+                self._apply_datatype(df, rest, dt, ok, reasons, matched)
 
         df = df.copy()
         df["_ok"] = ok
@@ -305,10 +451,15 @@ from ._bucket import schema_pa_fields as _schema_pa_fields  # noqa: E402
 
 
 def _group_phase(checked: Dataset, rules: dict[str, dict],
-                 num_partitions: int) -> Dataset:
+                 num_partitions: int, *,
+                 count_all_rows: bool = False) -> Dataset:
     """minoccurs / maxoccurs / mustoccur / requires / prohibits: one
     distributed (node1, label) count, then a per-node1 bucketed rule
-    scan emitting one violation row per bad node1."""
+    scan emitting one violation row per bad node1.
+
+    ``count_all_rows`` counts every row (the reference's grouped mode
+    updates the occurs scoreboard during row validation regardless of
+    the row's verdict); the default counts only row-valid rows."""
     group_props = {p: r for p, r in rules.items()
                    if any(k in r for k in ("minoccurs", "maxoccurs",
                                            "requires", "prohibits"))}
@@ -320,16 +471,21 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
     checked = checked.materialize()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[df["_ok"]]
-        g = sub.groupby(["node1", "label"], as_index=False).size()
-        return g.rename(columns={"size": "c"})
+        # c: the occurrence count the rules check (all rows in grouped
+        # mode, row-valid rows otherwise); t: total rows, so the scan
+        # can tell "prop absent" from "prop present but all invalid"
+        g = df.groupby(["node1", "label"], as_index=False).agg(
+            c=("_ok", "size" if count_all_rows else "sum"),
+            t=("_ok", "size"))
+        g["c"] = g["c"].astype("int64")
+        return g
 
     from ._bucket import bucketed_group_apply, bucketed_join
     from .agg import grouped_aggregate
 
     counts = grouped_aggregate(
         checked.map_batches(partial, batch_format="pandas"),
-        ["node1", "label"], {"n": ("c", "sum")},
+        ["node1", "label"], {"n": ("c", "sum"), "t": ("t", "sum")},
         num_buckets=num_partitions)
 
     rref = ray.put((group_props, must_props))
@@ -339,20 +495,25 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
         rows = []
         for node1, sub in df.groupby("node1", sort=False):
             have = dict(zip(sub["label"], sub["n"]))
+            present = dict(zip(sub["label"], sub["t"]))
             bad_props: list[str] = []
             whole = False
             for p in mp:
                 if p not in have:
                     whole = True
             for p, r in gp.items():
-                n = have.get(p, 0)
-                if n == 0 and "minoccurs" not in r:
+                if present.get(p, 0) == 0:
+                    # the prop never occurs in this group: occurs rules
+                    # attach only to groups containing the prop
+                    # (reference occurs_scoreboard entries exist only
+                    # for processed rows, :1656-1672)
                     continue
+                n = have.get(p, 0)
                 if n == 0 and r.get("minoccurs", 0) > 0:
-                    # zero valid occurrences: there are no rows of this
-                    # prop to mark, so reject the whole group (reference
-                    # reports it via report_occurance_violations,
-                    # propertypatternvalidator.py:2104)
+                    # per-row mode counts only row-valid rows: zero
+                    # VALID occurrences of a present prop leaves no rows
+                    # to mark, so reject the whole group (reference
+                    # reports via report_occurance_violations, :2104)
                     whole = True
                     continue
                 if n < r.get("minoccurs", 0) or n > r.get("maxoccurs",
@@ -493,7 +654,10 @@ def _chain_phase(checked: Dataset, rules: dict[str, dict],
         bad = ifnotexists(vals, targets, input_keys=["v"],
                           filter_keys=["node1"]).materialize()
 
-        if bad.count() <= BROADCAST_LIMIT:
+        n_bad = bad.count()
+        if n_bad == 0:  # empty datasets can lose their schema
+            continue
+        if n_bad <= BROADCAST_LIMIT:
             bset = ray.put(set(bad.to_pandas()["v"]))
 
             def mark(df: pd.DataFrame, p=prop, c=col, k=kind,
@@ -544,11 +708,49 @@ def _chain_phase(checked: Dataset, rules: dict[str, dict],
     return checked
 
 
+def _node1_group_phase(checked: Dataset, num_partitions: int) -> Dataset:
+    """Reference default (--process-node1-groups True,
+    cli/validate-properties.py:43-46): any failing row or group rule
+    rejects the WHOLE node1 group.  Distributed: a tiny (node1,
+    group_ok) aggregate joined back onto the rows."""
+    from ._bucket import bucketed_join
+    from .agg import grouped_aggregate
+
+    checked = checked.materialize()
+    verdict = grouped_aggregate(
+        checked.map_batches(
+            lambda df: pd.DataFrame(
+                {"node1": df["node1"].astype(str),
+                 "g": df["_ok"].astype(bool).astype("int64")}),
+            batch_format="pandas"),
+        ["node1"], {"g": ("g", "min")}, num_buckets=num_partitions)
+
+    joined = bucketed_join(
+        checked, verdict, "node1",
+        left_fields=_schema_pa_fields(checked),
+        right_fields={"node1": pa.string(), "g": pa.int64()},
+        how="left", num_buckets=num_partitions)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        bad = (df["g"].fillna(0) == 0).to_numpy()
+        out = df.drop(columns=["g"]).copy()
+        out["_ok"] = out["_ok"].astype(bool)
+        first = bad & out["_ok"].to_numpy()
+        out.loc[first, "reason"] = "node1_group"
+        out.loc[bad, "_ok"] = False
+        out["_ok"] = out["_ok"].astype(bool)
+        return out
+
+    return joined.map_batches(apply, batch_format="pandas")
+
+
 def validate_properties(
     edges: Dataset,
     patterns: pd.DataFrame,
     *,
     emit: str = "pass",
+    reject_node1_groups: bool = True,
+    distinct_rejects: bool = False,
     num_partitions: int = 16,
 ) -> Dataset:
     """Validate edges against a property-pattern table (full kind list
@@ -557,21 +759,48 @@ def validate_properties(
     ``emit='pass'`` returns conforming rows, ``'reject'`` returns
     violating rows with a ``reason`` column (the reference's
     PASS/EXCLUDE/REPORT action subset, kgtk/io/kgtkreader.py:742-767).
-    """
+
+    ``reject_node1_groups`` (the reference CLI default,
+    --process-node1-groups, cli/validate-properties.py:43-46) rejects
+    every row of a node1 group when any of its rows or group rules
+    fail; ``False`` is the reference's ungrouped per-row mode, except
+    that occurs/requires/prohibits violations still reject the
+    violating prop's rows here (the reference only REPORTS them in
+    that mode).  ``distinct_rejects`` opts into rejecting
+    mindistinct/maxdistinct violations — the reference only reports
+    them (report_distinct_violations, :2149)."""
     rules = compile_rules(patterns)
     synthetic_id = "id" not in edges.schema().names
     if synthetic_id:
         edges = edges.map_batches(lambda df: df.assign(id=""),
                                   batch_format="pandas")
+
+    def drop_key_lists(df: pd.DataFrame) -> pd.DataFrame:
+        # KGTK format v2 prohibits |-lists in node1/label/node2; the
+        # validating reader excludes such rows from BOTH outputs
+        # (kgtk/io/kgtkreader.py:1209-1224, COMPLAIN default)
+        keep = np.ones(len(df), dtype=bool)
+        for c in ("node1", "label", "node2"):
+            if c in df.columns:
+                keep &= ~(df[c].astype(str)
+                          .str.contains(r"(?<!\\)\|", regex=True)
+                          .to_numpy())
+        return df[keep]
+
+    edges = edges.map_batches(drop_key_lists, batch_format="pandas")
     from ._bucket import MIN_BUNDLE_ROWS
     checked = edges.map_batches(
         _RowValidator, fn_constructor_args=(rules,),
         batch_format="pandas", batch_size=MIN_BUNDLE_ROWS,
         concurrency=(1, 8))
 
-    checked = _group_phase(checked, rules, num_partitions)
-    checked = _distinct_phase(checked, rules, num_partitions)
+    checked = _group_phase(checked, rules, num_partitions,
+                           count_all_rows=reject_node1_groups)
+    if distinct_rejects:
+        checked = _distinct_phase(checked, rules, num_partitions)
     checked = _chain_phase(checked, rules, num_partitions)
+    if reject_node1_groups:
+        checked = _node1_group_phase(checked, num_partitions)
 
     drop = ["_ok", "reason", "_matched"] if emit == "pass" else [
         "_ok", "_matched"]

@@ -9,12 +9,15 @@ import ray.data
 from kgtk_ray.ops.propvalidate import validate_properties
 
 
-def run(edges, patterns, emit="pass"):
+def run(edges, patterns, emit="pass", **kw):
+    # per-row mode: these tests encode the ungrouped semantics (the
+    # library default is the reference's grouped --process-node1-groups)
+    kw.setdefault("reject_node1_groups", False)
     ds = ray.data.from_pandas(pd.DataFrame(edges))
     out = validate_properties(ds, pd.DataFrame(patterns,
                                                columns=["prop", "kind",
                                                         "value"]),
-                              emit=emit)
+                              emit=emit, **kw)
     return out.to_pandas()
 
 
@@ -87,12 +90,16 @@ def test_prohibits():
 
 
 def test_distinct_bounds():
+    # the reference only REPORTS distinct violations
+    # (report_distinct_violations, propertypatternvalidator.py:2149);
+    # distinct_rejects=True opts into rejecting them
     edges = [edge(f"Q{i}", "tag", f"t{i % 2}") for i in range(6)]
     pats = [("tag", "maxdistinct", "1")]
-    out = run(edges, pats)
+    assert len(run(edges, pats)) == 6  # reference default: report-only
+    out = run(edges, pats, distinct_rejects=True)
     assert len(out) == 0  # 2 distinct values > 1 -> all tag rows rejected
     pats = [("tag", "mindistinct", "2")]
-    out = run(edges, pats)
+    out = run(edges, pats, distinct_rejects=True)
     assert len(out) == 6
 
 
@@ -110,12 +117,20 @@ def test_chain():
 
 
 def test_isa_inheritance():
-    # prop inherits parent's rules transitively and must satisfy ALL
-    edges = [edge("a", "height", "180cm"), edge("b", "height", '"tall"')]
+    # prop inherits parent's rules transitively and must satisfy ALL.
+    # note: "180cm" would ALSO fail — cm is not in the reference's SI
+    # grammar, and autovalidate (reference default True,
+    # propertypatternvalidator.py:940) rejects invalid KGTK node2
+    # values before any rule applies
+    edges = [edge("a", "height", "180m"), edge("b", "height", '"tall"'),
+             edge("c", "height", "180cm")]
     pats = [("height", "isa", "measurement"),
             ("measurement", "node2_type", "quantity|number")]
     out = run(edges, pats)
     assert list(out.node1) == ["a"]
+    rej = run(edges, pats, emit="reject")
+    assert dict(zip(rej.node1, rej.reason)) == {"b": "node2_type",
+                                                "c": "autovalidate"}
 
 
 def test_switch_first_match():

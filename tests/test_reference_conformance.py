@@ -571,3 +571,30 @@ def test_cc_pipeline_reference_fixture_golden():
     final = compact(filtered)
     assert _rowset(final.to_pandas().fillna("")) == _rowset(
         _golden("cc_pipeline_golden.tsv"))
+
+
+@pytest.mark.parametrize("emit,golden", [
+    ("pass", "ppv_pass_golden.tsv"),
+    ("reject", "ppv_reject_golden.tsv"),
+])
+def test_validate_properties_reference_fixture_golden(emit, golden):
+    """Parity with the reference's own validate-properties fixture:
+    kgtk validate-properties -i ppv-file2.tsv --pattern-file
+    ppv-file1.tsv (defaults: --process-node1-groups True — whole-group
+    rejection; distinct violations report-only).  Exercises matches,
+    unknown, nextcase switches, node2_column redirect, not_in_columns,
+    allow-lists, property/datatype declarations, chains, requires/
+    prohibits and isa together."""
+    import csv
+
+    from kgtk_ray.ops.propvalidate import validate_properties
+    pats = pd.read_csv(f"{REF}/ppv-file1.tsv", sep="\t", dtype=str,
+                       keep_default_na=False, quoting=csv.QUOTE_NONE)
+    pats = pats.rename(columns={"node1": "prop", "label": "kind",
+                                "node2": "value"})
+    ds = read_kgtk_tsv(f"{REF}/ppv-file2.tsv")
+    out = validate_properties(ds, pats, emit=emit).to_pandas()
+    cols = ["node1", "label", "node2"]
+    got = sorted(map(tuple, out[cols].fillna("").astype(str).to_numpy()))
+    want = sorted(map(tuple, _golden(golden)[cols].to_numpy()))
+    assert got == want
