@@ -616,7 +616,10 @@ def _nt_lines(sf: str):
 
 def _q_import_ntriples(sf: str):
     from kgtk_ray.io import import_ntriples
-    return import_ntriples(_nt_lines(sf), namespaces=_EX_NS)
+    # oracle models plain conversion: no n1.. allocation pass, no
+    # appended used-namespace rows (reference CLI extras)
+    return import_ntriples(_nt_lines(sf), namespaces=_EX_NS,
+                           allocate_namespaces=False)
 
 
 def _q_generate_ntriples(sf: str):

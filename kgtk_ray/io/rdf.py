@@ -36,16 +36,24 @@ import ray.data
 
 Dataset = ray.data.Dataset
 
-# subject predicate object from one N-triples line (simple, no nested
-# quotes in URIs; literal may contain escaped quotes).
-_NT_RE = re.compile(
-    r'^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+'
-    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)\s*\.\s*$'
-)
+# One N-triples line, mirroring the reference row grammar
+# (kgtk/imports/kgtkntriples.py:100-120): each field is a URI, blank
+# node, string literal with optional ^^<datatype>, or bare numeric;
+# single-whitespace separators and a trailing " .".  Extension: we also
+# accept "text"@lang literals (the reference grammar omits them and
+# rejects such lines).
+_URI = r'(?:<[^>]+>)'
+_BNODE = r'(?:_:[0-9a-zA-Z_]+)'
+_STRING = r'"(?:[^"\\]|\\.)*"'
+_NUMBER = r'(?:[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)'
+_FIELD = rf'(?:{_URI}|{_BNODE}|{_STRING}(?:@[A-Za-z0-9-]+|\^\^{_URI})?|{_NUMBER})'
+_NT_RE = re.compile(rf'^({_FIELD})\s({_FIELD})\s({_FIELD})\s\.$')
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
-_NUMERIC_TYPES = {XSD + t for t in ("int", "integer", "double", "float",
-                                    "decimal", "long", "short")}
+# the reference's structured-literal shortcuts
+# (kgtkntriples.py:328-340): ONLY these four datatypes become bare
+# KGTK numbers (integer/long/short literals reify instead)
+_NUMERIC_TYPES = {XSD + t for t in ("int", "double", "float", "decimal")}
 
 DEFAULT_NAMESPACES = {
     "http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf",
@@ -55,73 +63,269 @@ DEFAULT_NAMESPACES = {
     "http://schema.org/": "schema",
 }
 
+_SLASH_HASH = re.compile(r"[/#]")
+
+
+def _uri_sections(body: str) -> list[str]:
+    """Slash/hash-terminated prefixes of ``body`` after the scheme,
+    longest first (reference kgtkntriples.py:226-238)."""
+    ss = body.rfind("://")
+    start = ss + 3 if ss >= 1 else 0
+    ends = [m.end(0) for m in _SLASH_HASH.finditer(body, start)]
+    return [body[:e] for e in reversed(ends)]
+
 
 def _convert_uri(body: str, namespaces: dict[str, str]) -> str:
-    """Longest-prefix namespace match (reference semantics:
-    kgtk/imports/kgtkntriples.py:199-262, right-to-left longest)."""
+    """Reference convert_uri (kgtkntriples.py:199-262): exact body
+    match, then right-to-left longest section match; unmatched bodies
+    keep their angle brackets (namespace allocation happens in
+    import_ntriples' discovery pass)."""
     if body in namespaces:
         return namespaces[body] + ":"
-    best = None
-    for prefix, nsid in namespaces.items():
-        if body.startswith(prefix):
-            if best is None or len(prefix) > len(best[0]):
-                best = (prefix, nsid)
-    if best is not None:
-        return best[1] + ":" + body[len(best[0]):]
+    for sect in _uri_sections(body):
+        if sect in namespaces:
+            return namespaces[sect] + ":" + body[len(sect):]
     return "<" + body + ">"
 
 
+def _escape_pipes(s: str) -> str:
+    return s.replace("|", "\\|")
+
+
 def _convert_term(item: str, namespaces: dict[str, str],
-                  local_ns: str = "_") -> str:
+                  local_ns: str = "X",
+                  newnodes: dict | None = None,
+                  pos: int | None = None,
+                  extra_rows: list | None = None) -> str:
+    """Reference convert() (kgtkntriples.py:372-392).  ``newnodes``
+    maps a term position to its reified node symbol for
+    unknown-datatype structured literals; the two reification rows are
+    appended to ``extra_rows``."""
+    if item.startswith("_:"):
+        return local_ns + item[1:]
     if item.startswith("<"):
         return _convert_uri(item[1:-1], namespaces)
-    if item.startswith("_:"):
-        return local_ns + item[1:]  # "_:b1" -> "_:b1" with local prefix "_"
-    # literal
-    if item.endswith('"'):
-        return item  # plain string literal stays a KGTK string
-    up = item.rfind('"^^<')
-    if up >= 0:
-        value = item[1:up]
-        dtype = item[up + 4:-1]
-        if dtype in _NUMERIC_TYPES:
-            return value
-        if dtype == XSD + "boolean":
-            return "True" if value in ("true", "1") else "False"
-        if dtype == XSD + "dateTime" or dtype == XSD + "date":
-            return "^" + value
-        if dtype == XSD + "string":
-            return '"' + value + '"'
-        return '"' + value + '"'  # unknown datatype: keep the lexical form
-    at = item.rfind('"@')
-    if at >= 0:
-        return "'" + item[1:at] + "'@" + item[at + 2:]
-    return item
+    if item.startswith('"'):
+        if item.endswith('"'):
+            return _escape_pipes(item)  # plain KGTK string
+        up = item.rfind('"^^<')
+        if up >= 0:
+            value = item[1:up]
+            dtype = item[up + 4:-1]
+            if dtype == XSD + "string":
+                return _escape_pipes('"' + value + '"')
+            if dtype in _NUMERIC_TYPES:
+                return value
+            if dtype == XSD + "boolean":
+                if value in ("true", "1"):
+                    return "True"
+                if value in ("false", "0"):
+                    return "False"
+                return item  # reference keeps the raw literal
+            if dtype == XSD + "dateTime":
+                return "^" + value
+            # unknown datatype: reify (kgtkntriples.py:348-365)
+            conv = _convert_uri(dtype, namespaces)
+            if newnodes is not None and pos in newnodes:
+                sym = newnodes[pos]
+                if extra_rows is not None:
+                    extra_rows.append((sym, "kgtk:structured_value",
+                                       _escape_pipes('"' + value + '"')))
+                    extra_rows.append((sym, "kgtk:structured_uri", conv))
+                return sym
+            return item
+        at = item.rfind('"@')
+        if at >= 0:  # extension: lang-tagged literal -> lq-string
+            return "'" + item[1:at] + "'@" + item[at + 2:]
+    return item  # bare numeric (reference convert_numeric passes through)
+
+
+def _parse_batch(df: pd.DataFrame, line_col: str) -> pd.DataFrame:
+    ext = df[line_col].astype(str).str.rstrip("\r\n").str.extract(_NT_RE)
+    ext.columns = ["s", "p", "o"]
+    out = ext.dropna().reset_index(drop=True)
+    return out
+
+
+def _unknown_dtype_pos(term: str, namespaces: dict[str, str]) -> bool:
+    """True when the term is a structured literal whose datatype URI is
+    not one of the built-in conversions (it will reify)."""
+    if not term.startswith('"') or not term.endswith(">"):
+        return False
+    up = term.rfind('"^^<')
+    if up < 0:
+        return False
+    dtype = term[up + 4:-1]
+    return not (dtype == XSD + "string" or dtype in _NUMERIC_TYPES
+                or dtype == XSD + "boolean" or dtype == XSD + "dateTime")
 
 
 def import_ntriples(lines: Dataset, *, line_col: str = "line",
-                    namespaces: dict[str, str] | None = None) -> Dataset:
+                    namespaces: dict[str, str] | None = None,
+                    allocate_namespaces: bool = True,
+                    output_namespaces: bool = True,
+                    local_namespace_prefix: str = "X",
+                    namespace_id_prefix: str = "n",
+                    newnode_prefix: str = "kgtk:node") -> Dataset:
     """Parse a Dataset of N-triples text lines into KGTK edges
-    ``(node1, label, node2)``.
+    ``(node1, label, node2)`` per the reference importer
+    (kgtk/imports/kgtkntriples.py, --local-namespace-use-uuid False):
 
-    Vectorized regex split per batch; per-term conversion is a dict
-    lookup + prefix match over the (small, broadcast) namespace map.
-    Malformed lines are dropped (reference routes them to a reject
-    file; callers needing rejects can diff against the input).
+    * blank nodes get ``local_namespace_prefix``;
+    * URIs match the namespace table (exact body, then right-to-left
+      longest slash/hash section); unmatched URIs allocate new
+      namespace ids ``n1, n2, ...`` in first-occurrence order
+      (``allocate_namespaces``);
+    * structured literals convert per datatype: xsd int/double/float/
+      decimal -> bare number, boolean -> True/False (invalid booleans
+      keep the raw literal, matching the reference's pass-through),
+      dateTime -> ``^value``, string -> KGTK string; UNKNOWN datatypes
+      reify into ``kgtk:nodeN`` plus two rows (kgtk:structured_value /
+      kgtk:structured_uri), numbered in first-occurrence order;
+    * used namespaces append as ``(nsid, prefix_expansion, "uri")``
+      rows (``output_namespaces``, reference used-only default);
+    * unparseable lines drop (the reference routes them to a reject
+      file).  Extension: ``"text"@lang`` literals import as KGTK
+      lq-strings instead of being rejected by the row grammar.
+
+    Scale shape: the discovery pass reduces to a namespace-count-sized
+    driver table (distinct longest-sections + min first-position) and a
+    reified-literal position table; conversion is one stateless pass
+    with the final namespace map broadcast.
     """
     ns = dict(DEFAULT_NAMESPACES if namespaces is None else namespaces)
 
-    def parse(df: pd.DataFrame) -> pd.DataFrame:
-        ext = df[line_col].astype(str).str.extract(_NT_RE)
-        ext.columns = ["s", "p", "o"]
-        ext = ext.dropna()
-        return pd.DataFrame({
-            "node1": ext.s.map(lambda t: _convert_term(t, ns)),
-            "label": ext.p.map(lambda t: _convert_term(t, ns)),
-            "node2": ext.o.map(lambda t: _convert_term(t, ns)),
-        })
+    if not allocate_namespaces:
+        def parse_simple(df: pd.DataFrame) -> pd.DataFrame:
+            ext = _parse_batch(df, line_col)
+            return pd.DataFrame({
+                "node1": ext.s.map(lambda t: _convert_term(
+                    t, ns, local_namespace_prefix)),
+                "label": ext.p.map(lambda t: _convert_term(
+                    t, ns, local_namespace_prefix)),
+                "node2": ext.o.map(lambda t: _convert_term(
+                    t, ns, local_namespace_prefix)),
+            })
+        return lines.map_batches(parse_simple, batch_format="pandas")
 
-    return lines.map_batches(parse, batch_format="pandas")
+    from ..ops._rowindex import add_row_index
+
+    idx = add_row_index(lines, "__order__")
+
+    # ---- discovery pass: namespace sections + reified positions ----
+    def discover(df: pd.DataFrame) -> pd.DataFrame:
+        ext = df[line_col].astype(str).str.rstrip("\r\n").str.extract(_NT_RE)
+        ext.columns = ["s", "p", "o"]
+        ext["__order__"] = df["__order__"].to_numpy()
+        ext = ext.dropna()
+        rows = []
+        for s, p, o, order in ext.itertuples(index=False):
+            for slot, term in enumerate((s, p, o)):
+                pos = int(order) * 3 + slot
+                bodies = []
+                if term.startswith("<"):
+                    bodies.append(term[1:-1])
+                elif _unknown_dtype_pos(term, {}):
+                    up = term.rfind('"^^<')
+                    dtype = term[up + 4:-1]
+                    if not (dtype == XSD + "string"
+                            or dtype in _NUMERIC_TYPES
+                            or dtype == XSD + "boolean"
+                            or dtype == XSD + "dateTime"):
+                        bodies.append(dtype)
+                    rows.append(("", pos, 1))  # reified literal marker
+                for body in bodies:
+                    if body in ns:
+                        continue
+                    sects = _uri_sections(body)
+                    if any(s_ in ns for s_ in sects):
+                        continue  # resolves against the initial table
+                    key = sects[0] if sects else body
+                    rows.append((key, pos, 0))
+        return pd.DataFrame(rows, columns=["pfx", "pos", "reify"])
+
+    found = idx.map_batches(discover, batch_format="pandas")
+    from ..ops.agg import grouped_aggregate
+    firsts = grouped_aggregate(
+        found.map_batches(
+            lambda df: df[df["reify"] == 0]
+            .groupby("pfx", as_index=False).agg(pos=("pos", "min")),
+            batch_format="pandas"),
+        ["pfx"], {"pos": ("pos", "min")}).to_pandas()
+
+    # emulate the reference's incremental allocation over the (small)
+    # distinct longest-section table in first-occurrence order
+    counter = 1
+    order = firsts.sort_values("pos")["pfx"] if len(firsts) else []
+    for pfx in order:
+        if pfx in ns:
+            continue
+        if any(s_ in ns for s_ in _uri_sections(pfx)):
+            continue  # an earlier allocation's section covers it
+        while f"{namespace_id_prefix}{counter}" in ns.values():
+            counter += 1
+        ns[pfx] = f"{namespace_id_prefix}{counter}"
+        counter += 1
+
+    # reified-literal numbering: rank by first-occurrence position
+    rp = found.map_batches(
+        lambda df: df.loc[df["reify"] == 1, ["pos"]],
+        batch_format="pandas").to_pandas()
+    reify_pos = sorted(rp["pos"]) if len(rp) else []
+    newnodes = {int(p): f"{newnode_prefix}{i + 1}"
+                for i, p in enumerate(reify_pos)}
+    nref = ray.put((ns, newnodes))
+
+    used: set[str] = set()
+
+    def convert(df: pd.DataFrame) -> pd.DataFrame:
+        nsm, nn = ray.get(nref)
+        ext = df[line_col].astype(str).str.rstrip("\r\n").str.extract(_NT_RE)
+        ext.columns = ["s", "p", "o"]
+        ext["__order__"] = df["__order__"].to_numpy()
+        ext = ext.dropna()
+        extra: list = []
+        out = {"node1": [], "label": [], "node2": []}
+        for s, p, o, order in ext.itertuples(index=False):
+            base = int(order) * 3
+            out["node1"].append(_convert_term(
+                s, nsm, local_namespace_prefix, nn, base, extra))
+            out["label"].append(_convert_term(
+                p, nsm, local_namespace_prefix, nn, base + 1, extra))
+            out["node2"].append(_convert_term(
+                o, nsm, local_namespace_prefix, nn, base + 2, extra))
+        res = pd.DataFrame(out)
+        if extra:
+            res = pd.concat(
+                [pd.DataFrame(extra, columns=["node1", "label", "node2"]),
+                 res], ignore_index=True)
+        return res
+
+    out = idx.map_batches(convert, batch_format="pandas")
+
+    if output_namespaces:
+        out = out.materialize()  # consumed twice: rows + used-id scan
+        # used-only namespace rows (reference write_namespaces_to_output
+        # :476-484, sorted by namespace id).  "used" = any body/section
+        # hit — recompute from the tiny allocation table + one distinct
+        # scan of converted prefixes.
+        def used_ids(df: pd.DataFrame) -> pd.DataFrame:
+            ids = set()
+            for col in ("node1", "label", "node2"):
+                pre = df[col].astype(str).str.split(":", n=1).str[0]
+                ids.update(pre.unique())
+            return pd.DataFrame({"nsid": sorted(ids)})
+
+        inv = {v: k for k, v in ns.items()}
+        uids = sorted(set(out.map_batches(
+            used_ids, batch_format="pandas").to_pandas()["nsid"])
+            & set(inv))
+        if uids:
+            nsrows = pd.DataFrame({
+                "node1": uids, "label": "prefix_expansion",
+                "node2": ['"' + inv[u] + '"' for u in uids]})
+            out = out.union(ray.data.from_pandas(nsrows))
+    return out
 
 
 def _expand_term(term: str, namespaces_inv: dict[str, str]) -> str:

@@ -598,3 +598,32 @@ def test_validate_properties_reference_fixture_golden(emit, golden):
     got = sorted(map(tuple, out[cols].fillna("").astype(str).to_numpy()))
     want = sorted(map(tuple, _golden(golden)[cols].to_numpy()))
     assert got == want
+
+
+@pytest.mark.parametrize("i,src,use_ns", [
+    (1, "import-ntriples-file1.txt", False),
+    (2, "import-ntriples-file2.ttl.nt", True),
+    (3, "import-ntriples-file3.ttl.nt", True),
+])
+def test_import_ntriples_reference_fixture_golden(i, src, use_ns):
+    """Parity with kgtk import-ntriples --local-namespace-use-uuid
+    False on its own fixtures: literal predicates, boolean/dateTime
+    datatype shortcuts (invalid booleans pass through raw), X: blank
+    nodes, first-occurrence n1.. namespace allocation against the
+    initial namespace table, and used-namespace prefix_expansion
+    rows."""
+    import csv
+
+    import ray.data as rd
+
+    from kgtk_ray.io.rdf import import_ntriples
+    ns = {}
+    if use_ns:
+        nsdf = pd.read_csv(f"{REF}/initial-ntriple-namespaces.tsv",
+                           sep="\t", dtype=str, keep_default_na=False,
+                           quoting=csv.QUOTE_NONE)
+        ns = {r.node2.strip('"'): r.node1 for r in nsdf.itertuples()}
+    lines = rd.read_text(f"{REF}/{src}")
+    out = import_ntriples(lines, line_col="text",
+                          namespaces=ns).to_pandas()
+    assert _rowset(out) == _rowset(_golden(f"ntriples_golden{i}.tsv"))
