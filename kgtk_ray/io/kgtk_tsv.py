@@ -64,7 +64,9 @@ def _header_columns(path: str) -> list[str]:
     return line.lstrip("﻿").rstrip("\r").split("\t")
 
 
-def read_kgtk_tsv(path: str | list[str], *, normalize: bool = True) -> ray.data.Dataset:
+def read_kgtk_tsv(path: str | list[str], *, normalize: bool = True,
+                  fill_short_lines: bool = False,
+                  truncate_long_lines: bool = False) -> ray.data.Dataset:
     """Read a KGTK TSV file into a Dataset of string columns.
 
     Column aliases are resolved to node1/label/node2/id and nulls become
@@ -73,16 +75,52 @@ def read_kgtk_tsv(path: str | list[str], *, normalize: bool = True) -> ray.data.
     inference would otherwise mangle them: ``True`` -> bool -> "true",
     ISO datetimes -> timestamp -> space-separated render, ``007`` ->
     7); the header is sniffed once to pin the column types.
+
+    Rows with the wrong column count are EXCLUDED, the reference
+    reader's default (short/long-line-action COMPLAIN,
+    kgtk/io/kgtkreader.py:282-310); ``fill_short_lines`` pads short
+    rows with "" and ``truncate_long_lines`` drops surplus cells (the
+    reference's --fill-short-lines / --truncate-long-lines repairs,
+    parsed through a text-split path since Arrow's CSV reader can only
+    skip invalid rows).
     """
     first = path[0] if isinstance(path, (list, tuple)) else path
     names = _header_columns(first)
-    ds = ray.data.read_csv(
-        path,
-        parse_options=pyarrow.csv.ParseOptions(delimiter="\t", quote_char=False),
-        convert_options=pyarrow.csv.ConvertOptions(
-            strings_can_be_null=False,
-            column_types={n: pa.string() for n in names}),
-    )
+
+    if fill_short_lines or truncate_long_lines:
+        def split_lines(df) -> pa.Table:
+            import pandas as _pd
+            rows = []
+            for line in df["text"]:
+                line = str(line).rstrip("\r\n")
+                if line.lstrip("﻿").split("\t") == names:
+                    continue  # header line
+                parts = line.split("\t")
+                if len(parts) < len(names):
+                    if not fill_short_lines:
+                        continue
+                    parts = parts + [""] * (len(names) - len(parts))
+                elif len(parts) > len(names):
+                    if not truncate_long_lines:
+                        continue
+                    parts = parts[:len(names)]
+                rows.append(parts)
+            out = _pd.DataFrame(rows, columns=names, dtype=object)
+            return pa.Table.from_pandas(out.fillna(""),
+                                        preserve_index=False)
+
+        ds = ray.data.read_text(path).map_batches(
+            split_lines, batch_format="pandas")
+    else:
+        ds = ray.data.read_csv(
+            path,
+            parse_options=pyarrow.csv.ParseOptions(
+                delimiter="\t", quote_char=False,
+                invalid_row_handler=lambda row: "skip"),
+            convert_options=pyarrow.csv.ConvertOptions(
+                strings_can_be_null=False,
+                column_types={n: pa.string() for n in names}),
+        )
     # make every column string-typed (arrow may infer ints)
     ds = ds.map_batches(_normalize_batch if normalize else _to_string_batch,
                         batch_format="pyarrow")

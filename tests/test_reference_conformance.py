@@ -627,3 +627,31 @@ def test_import_ntriples_reference_fixture_golden(i, src, use_ns):
     out = import_ntriples(lines, line_col="text",
                           namespaces=ns).to_pandas()
     assert _rowset(out) == _rowset(_golden(f"ntriples_golden{i}.tsv"))
+
+
+def test_reader_short_line_actions():
+    """Reference KgtkReader short-line handling on its own fixture
+    (kgtk/io/kgtkreader.py:282-310): the COMPLAIN default excludes rows
+    with missing trailing columns (golden = kgtk clean-data output);
+    --fill-short-lines pads them with empty cells instead."""
+    out = read_kgtk_tsv(f"{REF}/short-line-file1.tsv").to_pandas()
+    assert _rowset(out) == _rowset(_golden("shortline_golden1.tsv"))
+    filled = read_kgtk_tsv(f"{REF}/short-line-file1.tsv",
+                           fill_short_lines=True).to_pandas()
+    assert len(filled) == 6
+    assert (filled[filled["node2"] == "12345"]["location"] == "").all()
+
+
+def test_cat_csv_output_reference_fixture_golden():
+    """Parity with kgtk cat --output-format csv on catcsv-file1.tsv:
+    KGTK strings re-quote as CSV strings, bare cells containing commas
+    quote, lists pass through."""
+    import os
+
+    from kgtk_ray.io.formats import format_lines
+    ds = read_kgtk_tsv(f"{REF}/catcsv-file1.tsv")
+    lines = format_lines(ds, fmt="csv").to_pandas()["line"].tolist()
+    want = open(os.path.join(os.path.dirname(__file__), "data",
+                             "catcsv_golden1.csv")).read().rstrip(
+        "\n").split("\n")
+    assert sorted(lines) == sorted(want[1:])  # body; header written by sink
