@@ -344,6 +344,29 @@ def _q_connected_components(sf: str):
     return connected_components(_edges_nation(sf).drop_columns(["n_name"]))
 
 
+def _q_scc(sf: str):
+    """Strongly connected components (--strong): nation->region edges
+    are one-way; suppliers serve their nation and every third supplier
+    is also served_by back, so the only cycles are those mutual pairs —
+    each SCC is a nation plus its %3 suppliers, everything else
+    singleton."""
+    from kgtk_ray.ops import connected_components
+    sup = rd.read_parquet(f"{sf}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    serves = sup.map_batches(lambda df: pd.DataFrame({
+        "node1": "S" + df.s_suppkey.astype(str), "label": "serves",
+        "node2": "N" + df.s_nationkey.astype(str)}),
+        batch_format="pandas")
+    served_by = sup.map_batches(lambda df: pd.DataFrame({
+        "node1": "N" + df.s_nationkey.astype(str), "label": "served_by",
+        "node2": "S" + df.s_suppkey.astype(str)})[
+        (df.s_suppkey % 3 == 0).to_numpy()],
+        batch_format="pandas")
+    edges = _edges_nation(sf).drop_columns(["n_name"]).union(
+        serves, served_by)
+    return connected_components(edges, strong=True)
+
+
 def _q_tumbling(sf: str):
     from kgtk_ray.ops import tumbling_window
     ev = rd.read_parquet(f"{sf}/events.parquet")
@@ -1250,7 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "quality": _q_quality,
         "token_counts": _q_tokens,
-        "cat": _q_cat,
+        "scc": _q_scc,  # new in r4 (--strong)
         "import_ntriples": _q_import_ntriples,
         "generate_ntriples": _q_generate_ntriples,
         "unreify_rdf": _q_unreify,
@@ -1288,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact": _q_compact,
         "kg_pipeline": _q_kg_pipeline,
         # --- green in CORRECTNESS_r03 on current code (tail) ---
+        "cat": _q_cat,
         "corpus_curation": _q_corpus_curation,
         "ngram_dedup": _q_ngram_dedup,
         "every_nth": _q_every_nth,
@@ -1543,6 +1567,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep ON rep.region = e.node2
             UNION
             SELECT region, 'connected_component', rep FROM rep
+        """,
+        "scc": f"""
+            WITH RECURSIVE e AS (
+              SELECT node1 AS a, node2 AS b FROM ({_EDGE_SQL_NATION})
+              UNION ALL
+              SELECT 'S' || CAST(s_suppkey AS VARCHAR),
+                     'N' || CAST(s_nationkey AS VARCHAR) FROM supplier
+              UNION ALL
+              SELECT 'N' || CAST(s_nationkey AS VARCHAR),
+                     'S' || CAST(s_suppkey AS VARCHAR)
+              FROM supplier WHERE s_suppkey % 3 = 0
+            ),
+            nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+            mut AS (
+              SELECT DISTINCT e1.a, e1.b FROM e e1
+              JOIN e e2 ON e1.a = e2.b AND e1.b = e2.a
+            ),
+            reach(a, b) AS (
+              SELECT v, v FROM nodes
+              UNION
+              SELECT r.a, m.b FROM reach r JOIN mut m ON r.b = m.a
+            )
+            SELECT a AS node1, 'connected_component' AS label,
+                   MIN(b) AS node2
+            FROM reach GROUP BY a
         """,
         "tumbling_window": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,

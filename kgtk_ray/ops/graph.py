@@ -541,14 +541,163 @@ def _paths_distributed(edges: Dataset, sources: Sequence[str],
         batch_format="pandas")
 
 
+def _minlabel_fixpoint(adj: Dataset, *, num_partitions: int,
+                       max_iters: int,
+                       seeds: Dataset | None = None) -> Dataset:
+    """Min-label propagation to fixpoint over an adjacency Dataset
+    ``(node, nbr)``: every node starts with its own name (or ``seeds``
+    rows ``(node, comp)``) and repeatedly takes the min over itself and
+    its in-neighbors.  Fully distributed: one bucketed join + one
+    bucketed grouped-min per round, the driver sees only the changed
+    counter.  Returns ``(node, comp)``."""
+    from ._bucket import bucketed_group_apply, bucketed_join
+
+    import pyarrow as pa
+
+    if seeds is None:
+        labels = _distinct_nodes(
+            adj.map_batches(lambda df: df.rename(
+                columns={"node": "node1", "nbr": "node2"}),
+                batch_format="pandas")
+        ).map_batches(lambda df: df.assign(comp=df["node"]),
+                      batch_format="pandas") \
+            .repartition(num_partitions).materialize()
+    else:
+        labels = seeds.repartition(num_partitions).materialize()
+
+    for _ in range(max_iters):
+        # push each node's component across its edges, then per-node
+        # min over {own comp} ∪ {neighbor comps}; ``src`` tags the own
+        # row so the same bucketed pass also counts changed labels.
+        prop = bucketed_join(
+            adj, labels, "node",
+            left_fields={"node": pa.string(), "nbr": pa.string()},
+            right_fields={"node": pa.string(), "comp": pa.string()},
+            num_buckets=num_partitions) \
+            .map_batches(lambda df: pd.DataFrame(
+                {"node": df["nbr"], "comp": df["comp"], "src": 1}),
+                batch_format="pandas")
+        own = labels.map_batches(lambda df: df.assign(src=0),
+                                 batch_format="pandas")
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            new = df.groupby("node", sort=False)["comp"].min()
+            old = df[df["src"] == 0].set_index("node")["comp"]
+            out = new.reset_index()
+            out["changed"] = (new != old.reindex(new.index)).to_numpy(
+                dtype="int64")
+            return out
+
+        merged = bucketed_group_apply(prop.union(own), ["node"], step,
+                                      num_buckets=num_partitions) \
+            .repartition(num_partitions).materialize()
+        changed = merged.sum("changed")
+        labels = merged.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+    return labels
+
+
+def _strongly_connected(edges: Dataset, *, num_partitions: int,
+                        max_iters: int) -> Dataset:
+    """Strongly connected components (reference ``--strong``,
+    kgtk/gt/connected_components.py:43,156 label_components on the
+    directed graph) via forward-backward coloring: per round, f(v) =
+    min active node reaching v along edge direction and b(v) = min
+    active node v reaches; nodes with f==b settle into the SCC named by
+    that node, peel, repeat.  Every distinct settled color peels one
+    SCC per round, so rounds scale with the SCC condensation's depth
+    (a pure path graph degenerates to one SCC per round — the known
+    FW-BW worst case).  Returns ``(node, comp)``."""
+    from ._bucket import bucketed_group_apply
+
+    fwd = edges.map_batches(
+        lambda df: df[["node1", "node2"]].astype(str).drop_duplicates()
+        .rename(columns={"node1": "node", "node2": "nbr"}),
+        batch_format="pandas").repartition(num_partitions).materialize()
+
+    assigned: list[Dataset] = []
+    active_adj = fwd
+    for _ in range(max_iters):
+        f = _minlabel_fixpoint(active_adj, num_partitions=num_partitions,
+                               max_iters=max_iters)
+        rev = active_adj.map_batches(
+            lambda df: pd.DataFrame({"node": df["nbr"],
+                                     "nbr": df["node"]}),
+            batch_format="pandas")
+        b = _minlabel_fixpoint(rev, num_partitions=num_partitions,
+                               max_iters=max_iters)
+
+        def settle(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.pivot_table(index="node", columns="dir", values="comp",
+                               aggfunc="first")
+            if "f" not in g.columns or "b" not in g.columns:
+                return pd.DataFrame({"node": [], "comp": [],
+                                     "settled": []})
+            out = g.reset_index()
+            out["settled"] = (out["f"] == out["b"]).astype("int64")
+            return pd.DataFrame({"node": out["node"], "comp": out["f"],
+                                 "settled": out["settled"]})
+
+        both = f.map_batches(lambda df: df.assign(dir="f"),
+                             batch_format="pandas").union(
+            b.map_batches(lambda df: df.assign(dir="b"),
+                          batch_format="pandas"))
+        verdict = bucketed_group_apply(both, ["node"], settle,
+                                       num_buckets=num_partitions) \
+            .materialize()
+        done = verdict.filter(expr="settled == 1") \
+            .drop_columns(["settled"]).materialize()
+        assigned.append(done)
+        remaining = verdict.filter(expr="settled == 0")
+        if remaining.count() == 0:
+            break
+        # restrict the adjacency to edges with both endpoints active
+        from ..ops.shuffle import ifexists
+        keep = remaining.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"]}),
+            batch_format="pandas")
+        active_adj = ifexists(
+            ifexists(active_adj, keep, input_keys=["node"],
+                     filter_keys=["node"]),
+            keep.map_batches(lambda df: df.rename(
+                columns={"node": "nbr"}), batch_format="pandas"),
+            input_keys=["nbr"], filter_keys=["nbr"]).materialize()
+        # isolated actives (all their edges peeled) are singleton SCCs
+        deg_nodes = _distinct_nodes(active_adj.map_batches(
+            lambda df: df.rename(columns={"node": "node1",
+                                          "nbr": "node2"}),
+            batch_format="pandas"))
+        from ..ops.shuffle import ifnotexists
+        singles = ifnotexists(keep, deg_nodes, input_keys=["node"],
+                              filter_keys=["node"]) \
+            .map_batches(lambda df: df.assign(comp=df["node"]),
+                         batch_format="pandas").materialize()
+        if singles.count():
+            assigned.append(singles)
+            # and drop them from further rounds (they have no edges, so
+            # the adjacency restriction above already excludes them)
+        if active_adj.count() == 0:
+            break
+    out = assigned[0]
+    for d in assigned[1:]:
+        out = out.union(d)
+    return out
+
+
 def connected_components(edges: Dataset, *, max_iters: int = 50,
                          method: str = "lowest",
                          properties: Sequence[str] | None = None,
+                         strong: bool = False,
                          num_partitions: int = 16) -> Dataset:
     """Undirected connected components via distributed min-label
     propagation (reference uses graph-tool label_components,
     kgtk/gt/connected_components.py).  Returns ``(node1=node,
     label="connected_component", node2=cluster-name)``.
+
+    ``strong`` computes STRONGLY connected components over the edge
+    direction instead (the reference's ``--strong``,
+    label_components(directed=True)) — see ``_strongly_connected``.
 
     ``method`` selects the cluster-naming rule (reference ``Method``
     enum, kgtk/gt/connected_components.py:21-37): ``lowest`` (default;
@@ -579,53 +728,20 @@ def connected_components(edges: Dataset, *, max_iters: int = 50,
             lambda df, props=props: df[df["label"].isin(props)],
             batch_format="pandas")
 
-    und = edges.map_batches(
-        lambda df: pd.concat([
-            df[["node1", "node2"]].astype(str),
-            df[["node2", "node1"]].astype(str).rename(
-                columns={"node2": "node1", "node1": "node2"})],
-            ignore_index=True).drop_duplicates()
-        .rename(columns={"node1": "node", "node2": "nbr"}),
-        batch_format="pandas").repartition(num_partitions).materialize()
-
-    labels = _distinct_nodes(
-        und.map_batches(lambda df: df.rename(columns={"node": "node1",
-                                                      "nbr": "node2"}),
-                        batch_format="pandas")
-    ).map_batches(lambda df: df.assign(comp=df["node"]),
-                  batch_format="pandas") \
-        .repartition(num_partitions).materialize()
-
-    for _ in range(max_iters):
-        # push each node's component across its edges, then per-node
-        # min over {own comp} ∪ {neighbor comps}; ``src`` tags the own
-        # row so the same bucketed pass also counts changed labels.
-        prop = bucketed_join(
-            und, labels, "node",
-            left_fields={"node": pa.string(), "nbr": pa.string()},
-            right_fields={"node": pa.string(), "comp": pa.string()},
-            num_buckets=num_partitions) \
-            .map_batches(lambda df: pd.DataFrame(
-                {"node": df["nbr"], "comp": df["comp"], "src": 1}),
-                batch_format="pandas")
-        own = labels.map_batches(lambda df: df.assign(src=0),
-                                 batch_format="pandas")
-
-        def step(df: pd.DataFrame) -> pd.DataFrame:
-            new = df.groupby("node", sort=False)["comp"].min()
-            old = df[df["src"] == 0].set_index("node")["comp"]
-            out = new.reset_index()
-            out["changed"] = (new != old.reindex(new.index)).to_numpy(
-                dtype="int64")
-            return out
-
-        merged = bucketed_group_apply(prop.union(own), ["node"], step,
-                                      num_buckets=num_partitions) \
-            .repartition(num_partitions).materialize()
-        changed = merged.sum("changed")
-        labels = merged.drop_columns(["changed"]).materialize()
-        if not changed:
-            break
+    if strong:
+        labels = _strongly_connected(edges, num_partitions=num_partitions,
+                                     max_iters=max_iters)
+    else:
+        und = edges.map_batches(
+            lambda df: pd.concat([
+                df[["node1", "node2"]].astype(str),
+                df[["node2", "node1"]].astype(str).rename(
+                    columns={"node2": "node1", "node1": "node2"})],
+                ignore_index=True).drop_duplicates()
+            .rename(columns={"node1": "node", "node2": "nbr"}),
+            batch_format="pandas").repartition(num_partitions).materialize()
+        labels = _minlabel_fixpoint(und, num_partitions=num_partitions,
+                                    max_iters=max_iters)
 
     labels = _name_clusters_ds(labels, method, num_partitions)
     return labels.map_batches(

@@ -165,3 +165,91 @@ def test_graph_statistics_edges_distributed_path_equal(ray_session):
     sp = slow[~nonpr].node2.astype(float).to_numpy()
     assert (abs(fp - sp) < 1e-9).all()
     assert list(fast[~nonpr].id) == list(slow[~nonpr].id)
+
+
+def test_strongly_connected_components():
+    """--strong (reference kgtk/gt/connected_components.py:43,156:
+    label_components over the directed graph) vs a reference Tarjan
+    run in-process: cycles merge, chains stay singletons."""
+    import pandas as pd
+    import ray.data
+
+    from kgtk_ray.ops.graph import connected_components
+
+    es = [("a", "b"), ("b", "c"), ("c", "a"),      # SCC {a,b,c}
+          ("c", "d"), ("d", "e"), ("e", "d"),      # SCC {d,e}
+          ("e", "f"),                              # f singleton
+          ("g", "g"),                              # self-loop singleton
+          ("h", "i"), ("i", "j")]                  # chain: h, i, j singles
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [(s, "p", o) for s, o in es], columns=["node1", "label", "node2"]))
+    out = connected_components(ds, strong=True).to_pandas()
+    got = dict(zip(out.node1, out.node2))
+
+    # in-process Tarjan oracle
+    import itertools
+    adj: dict = {}
+    nodes = set()
+    for s, o in es:
+        adj.setdefault(s, []).append(o)
+        nodes.update((s, o))
+    index = {}
+    low = {}
+    stack, onstack = [], set()
+    sccs = []
+    counter = itertools.count()
+
+    def strongconnect(v):
+        work = [(v, iter(adj.get(v, [])))]
+        index[v] = low[v] = next(counter)
+        stack.append(v)
+        onstack.add(v)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = next(counter)
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(adj.get(w, []))))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                low[work[-1][0]] = min(low[work[-1][0]], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                sccs.append(sorted(comp))
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+
+    want = {n: min(comp) for comp in sccs for n in comp}
+    assert got == want
+
+
+def test_strong_vs_weak_components_differ_on_dags():
+    import pandas as pd
+    import ray.data
+
+    from kgtk_ray.ops.graph import connected_components
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [("x", "p", "y"), ("y", "p", "z")],
+        columns=["node1", "label", "node2"]))
+    weak = connected_components(ds).to_pandas()
+    strong = connected_components(ds, strong=True).to_pandas()
+    assert set(weak.node2) == {"x"}          # one weak component
+    assert dict(zip(strong.node1, strong.node2)) == {
+        "x": "x", "y": "y", "z": "z"}        # all singletons
