@@ -560,7 +560,8 @@ def _ttl_block(subject: str, preds: list) -> str:
 
 def entity_ttl(entity: str, rows: pd.DataFrame, prop_types: dict,
                *, label_set: str = "label", alias_set: str = "aliases",
-               description_set: str = "descriptions") -> str:
+               description_set: str = "descriptions",
+               truthy: bool = True) -> str:
     """Serialize one entity's edge group (statement edges with
     node1 == entity, qualifier edges with node1 == a statement id) to
     the truthy Turtle stanzas — entity block, statement blocks sorted
@@ -627,9 +628,15 @@ def entity_ttl(entity: str, rows: pd.DataFrame, prop_types: dict,
             continue
         stmt_subj = f"wds:{entity}-{e_id}"
         add("p:" + prop, stmt_subj)
-        add("wdt:" + prop, vtok)
+        if truthy:
+            # non-truthy mode (reference generator.py:437-443
+            # add_statement vs add_truthy_statement; goldens
+            # P10_not_truthy.ttl/Q57160439_not_truthy.ttl) emits no
+            # direct wdt: claims and ranks NormalRank
+            add("wdt:" + prop, vtok)
         spreds = [("a", ["wikibase:Statement"]),
-                  ("wikibase:rank", ["wikibase:BestRank"]),
+                  ("wikibase:rank", ["wikibase:BestRank" if truthy
+                                     else "wikibase:NormalRank"]),
                   ("<http://www.isi.edu/etk/createdBy>",
                    ["<http://www.isi.edu/datamart>"]),
                   ("ps:" + prop, [vtok])]
@@ -652,9 +659,17 @@ def entity_ttl(entity: str, rows: pd.DataFrame, prop_types: dict,
                 spreds.append(("pq:" + qprop, [qtok]))
         stmt_blocks.append(_ttl_block(stmt_subj, spreds))
 
-    blocks = [_ttl_block(ent_tok, preds)] + stmt_blocks + value_blocks
-    for q in sorted(items):
-        blocks.append(_ttl_block("wd:" + q, [("a", ["wikibase:Item"])]))
+    item_blocks = [_ttl_block("wd:" + q, [("a", ["wikibase:Item"])])
+                   for q in sorted(items)]
+    if truthy:
+        # golden P10_truthy.ttl: item stanzas serialize last
+        blocks = [_ttl_block(ent_tok, preds)] + stmt_blocks \
+            + value_blocks + item_blocks
+    else:
+        # golden P10_not_truthy.ttl: item stanzas precede the wds:
+        # statement stanzas
+        blocks = [_ttl_block(ent_tok, preds)] + item_blocks \
+            + stmt_blocks + value_blocks
     return "\n".join(blocks)
 
 

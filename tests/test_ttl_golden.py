@@ -42,3 +42,19 @@ def test_ttl_dataset_per_entity(ray_session):
     assert list(df.entity) == ["Q57160439"]
     assert df.ttl.iloc[0].startswith("wd:Q57160439 a wikibase:Item ;")
     assert "pq:P1545" in df.ttl.iloc[0]  # qualifiers grouped by id prefix
+
+
+@pytest.mark.parametrize("tsv,golden", [
+    ("P10.tsv", "P10_not_truthy.ttl"),
+    ("Q57160439.tsv", "Q57160439_not_truthy.ttl"),
+])
+def test_not_truthy_ttl_byte_parity(ray_session, tmp_path, tsv, golden):
+    """truthy=False (reference test_property_triple_generation /
+    test_not_truthy_qnode_triple_generation): no direct wdt: claims,
+    NormalRank instead of BestRank."""
+    edges = ray.data.from_pandas(load_edges(tsv))
+    out = tmp_path / "out.ttl"
+    write_wikidata_ttl(edges, load_props(), str(out),
+                       label_set="label", alias_set="aliases",
+                       description_set="descriptions", truthy=False)
+    assert out.read_text() == open(f"{DATA}/{golden}").read()
