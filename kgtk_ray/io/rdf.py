@@ -535,16 +535,46 @@ def _ttl_value(value: str, prop_type: str, items: set) -> str | None:
         parsed = _ttl_time(value)
         return f'"{parsed[0]}"^^xsd:dateTime' if parsed else None
     if prop_type == "quantity":
-        import numpy as np
         from ..values import QUANTITY_RE
         m = QUANTITY_RE.match(value)
         if not m:
             return None
-        amount = np.format_float_positional(float(m.group("number")),
-                                            trim="-")
-        return f'"{amount}"^^xsd:decimal'
+        return _ttl_qty_literal(float(m.group("number")))
     # string / external-identifier / url / fallback
     return f'"{_ttl_escape(value)}"^^xsd:string'
+
+
+def _ttl_qty_literal(x: float) -> str:
+    """Bare Turtle numeric literal for a quantity amount, as rdflib
+    serializes the reference's QuantityValue (golden small_values.ttl):
+    plain decimal when repr has no exponent (xsd:decimal shorthand,
+    "7.0"), else uppercase-E scientific with unpadded exponent
+    (xsd:double shorthand, "1.9860001065575846E-7")."""
+    r = repr(float(x))
+    if "e" not in r and "E" not in r:
+        return r
+    mant, exp = r.split("e")
+    return f"{mant}E{int(exp)}"
+
+
+def _ttl_qty_node(m) -> str:
+    """wdv: value-node name for a quantity match (golden
+    small_values.ttl: wdv:Quantityc7c0c0c0 — positional amount with
+    '.' -> '-', then three 0 slots for the absent unit/bounds; the
+    slot order beyond the golden's all-absent case follows the
+    (unit, lower, upper) field order of the reference's
+    QuantityValue construction, generator.py:389-410)."""
+    import numpy as np
+    amount = np.format_float_positional(float(m.group("number")),
+                                        trim="-").replace(".", "-") \
+        .replace("+", "")
+    unit = m.group("units_node") or "0"
+    low = m.group("low")
+    high = m.group("high")
+    fmt = lambda v: (np.format_float_positional(float(v), trim="-")
+                     .replace(".", "-").replace("+", "")
+                     if v is not None else "0")
+    return f"wdv:Quantityc{amount}c{unit}c{fmt(low)}c{fmt(high)}"
 
 
 def _ttl_block(subject: str, preds: list) -> str:
@@ -640,6 +670,27 @@ def entity_ttl(entity: str, rows: pd.DataFrame, prop_types: dict,
                   ("<http://www.isi.edu/etk/createdBy>",
                    ["<http://www.isi.edu/datamart>"]),
                   ("ps:" + prop, [vtok])]
+        if ptype == "quantity":
+            # quantity values link to a wdv:Quantity value node via
+            # wdtn: (entity, truthy), psv: and psn: (statement), with
+            # its own QuantityValue stanza (golden small_values.ttl)
+            from ..values import QUANTITY_RE
+            qm = QUANTITY_RE.match(value)
+            if qm is not None:
+                vnode = _ttl_qty_node(qm)
+                if truthy:
+                    add("wdtn:" + prop, vnode)
+                spreds.append(("psv:" + prop, [vnode]))
+                spreds.append(("psn:" + prop, [vnode]))
+                qpreds = [("a", ["wikibase:QuantityValue"]),
+                          ("wikibase:quantityAmount", [vtok]),
+                          ("wikibase:quantityNormalized", [vnode])]
+                if qm.group("units_node"):
+                    qpreds.insert(2, ("wikibase:quantityUnit",
+                                      ["wd:" + qm.group("units_node")]))
+                block = _ttl_block(vnode, qpreds)
+                if block not in value_blocks:
+                    value_blocks.append(block)
         if ptype == "time":
             # time values get a psv: link to a wdv:Time value node with
             # its own stanza (golden Q57160439_truthy.ttl:200-215)
@@ -683,11 +734,37 @@ def generate_wikidata_ttl(edges, prop_types: dict, **kw):
 
     from ..ops._bucket import bucketed_group_apply
 
+    import pyarrow as pa
+
+    from ..ops._bucket import bucketed_join, schema_pa_fields
+
     pref = ray.put(dict(prop_types))
 
+    # entity of an edge: node1 for statement edges; for qualifier edges
+    # (node1 == some statement edge's id, reference generator.py:264-272)
+    # the owning statement's node1 — resolved with a bucketed join on
+    # the (id -> node1) table so hyphenated entity ids (golden
+    # small_values.tsv Q00005550-chemical-MESHC000006) group correctly
+    owners = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "__sid__": df["id"].astype(str),
+            "__owner__": df["node1"].astype(str)})
+        [(df["id"].fillna("").astype(str) != "").to_numpy()]
+        .drop_duplicates("__sid__"),
+        batch_format="pandas")
+    lf = schema_pa_fields(edges)
+    lf["__sid__"] = pa.string()
+    joined = bucketed_join(
+        edges.map_batches(lambda df: df.assign(
+            __sid__=df["node1"].astype(str)), batch_format="pandas"),
+        owners, "__sid__", left_fields=lf,
+        right_fields={"__sid__": pa.string(), "__owner__": pa.string()},
+        how="left")
+
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(__entity__=df["node1"].astype(str)
-                         .str.split("-").str[0])
+        ent = df["__owner__"].fillna(df["node1"].astype(str))
+        return df.drop(columns=["__sid__", "__owner__"]) \
+            .assign(__entity__=ent)
 
     def build(df: pd.DataFrame) -> pd.DataFrame:
         pt = ray.get(pref)
@@ -699,7 +776,7 @@ def generate_wikidata_ttl(edges, prop_types: dict, **kw):
         return pd.DataFrame(out, columns=["entity", "ttl"])
 
     import ray.data as _rd
-    tagged = edges.map_batches(tag, batch_format="pandas")
+    tagged = joined.map_batches(tag, batch_format="pandas")
     return bucketed_group_apply(tagged, ["__entity__"], build)
 
 

@@ -58,3 +58,21 @@ def test_not_truthy_ttl_byte_parity(ray_session, tmp_path, tsv, golden):
                        label_set="label", alias_set="aliases",
                        description_set="descriptions", truthy=False)
     assert out.read_text() == open(f"{DATA}/{golden}").read()
+
+
+def test_small_values_quantity_ttl_parity(ray_session, tmp_path):
+    """Quantity serialization against the reference's
+    small_values.ttl golden (test_triple_small_values): bare decimal /
+    uppercase-E double literals, wdtn/psv/psn links to wdv:Quantity
+    value nodes with QuantityValue stanzas.  Stanza-SET equality: the
+    golden's wdv stanza order follows rdflib's internal store order,
+    which has no stable public rule — every stanza still matches
+    byte-for-byte."""
+    edges = ray.data.from_pandas(load_edges("small_values.tsv"))
+    out = tmp_path / "out.ttl"
+    write_wikidata_ttl(edges, load_props(), str(out),
+                       label_set="label", alias_set="aliases",
+                       description_set="descriptions")
+    got = out.read_text()
+    want = open(f"{DATA}/small_values.ttl").read()
+    assert sorted(got.split("\n\n")) == sorted(want.split("\n\n"))
