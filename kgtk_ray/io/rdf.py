@@ -495,11 +495,22 @@ def _ttl_text(value: str) -> tuple[str, str]:
     return text, lang
 
 
+_YYYY_MM_DD_RE = re.compile(r"\d{4}-\d{2}-\d{2}$")
+_YYYY_RE = re.compile(r"\d{4}$")
+
+
 def _ttl_time(value: str) -> tuple[str, str] | None:
-    """^ISO8601Z/precision -> (dateTimeString, precision) per the
-    reference's TimeValue branch (generator.py:340-380: strip ^ and +,
-    require the /precision, strip the trailing Z); values without a
-    precision are skipped like the reference's except-branch."""
+    """Time parse per the reference's TimeValue branch
+    (generator.py:340-380): bare yyyy-mm-dd -> itself at year
+    precision (9); bare yyyy -> yyyy-01-01 at year precision; else
+    ^ISO8601Z/precision (strip ^ and +, require the /precision, strip
+    the trailing Z).  Anything else is "corrupted" — None, and the
+    caller drops the statement with its qualifiers (golden
+    corrupted.ttl / corrupted_warning.log)."""
+    if _YYYY_MM_DD_RE.fullmatch(value):
+        return value, "9"
+    if _YYYY_RE.fullmatch(value):
+        return value + "-01-01", "9"
     v = value
     if not v.startswith("^"):
         return None
@@ -588,14 +599,19 @@ def _ttl_block(subject: str, preds: list) -> str:
     return subject + " " + " ;\n    ".join(parts) + " .\n"
 
 
-def entity_ttl(entity: str, rows: pd.DataFrame, prop_types: dict,
-               *, label_set: str = "label", alias_set: str = "aliases",
-               description_set: str = "descriptions",
-               truthy: bool = True) -> str:
+def _entity_sections(entity: str, rows: pd.DataFrame, prop_types: dict,
+                     *, label_set: str = "label",
+                     alias_set: str = "aliases",
+                     description_set: str = "descriptions",
+                     truthy: bool = True):
     """Serialize one entity's edge group (statement edges with
-    node1 == entity, qualifier edges with node1 == a statement id) to
-    the truthy Turtle stanzas — entity block, statement blocks sorted
-    by id, then referenced-item blocks sorted."""
+    node1 == entity, qualifier edges with node1 == a statement id)
+    into its Turtle sections: ``(entity_block | None, stmt_blocks,
+    value_blocks, item_names)``.  The entity block is None when
+    nothing serialized for it — the reference only registers an entity
+    subject on a successful statement/label (generator.py:443), so an
+    entity whose every edge was corrupted vanishes from the output
+    (golden corrupted.ttl has no wd:Q1)."""
     import re as _re
 
     is_prop = bool(_re.fullmatch(r"P\d+", entity))
@@ -697,30 +713,62 @@ def entity_ttl(entity: str, rows: pd.DataFrame, prop_types: dict,
             dt, precision = _ttl_time(value)
             vnode = _ttl_time_node(dt, precision)
             spreds.append(("psv:" + prop, [vnode]))
-            value_blocks.append(_ttl_block(vnode, [
+            block = _ttl_block(vnode, [
                 ("a", ["wikibase:Time"]),
                 ("wikibase:timeCalendarModel", ["wd:Q1985727"]),
                 ("wikibase:timePrecision", [precision]),
                 ("wikibase:timeTimezone", ["0"]),
                 ("wikibase:timeValue", [f'"{dt}"^^xsd:dateTime']),
-            ]))
+            ])
+            if block not in value_blocks:
+                value_blocks.append(block)
         for qprop, qval in qual_map.get(e_id, []):
-            qtok = _ttl_value(qval, prop_types.get(qprop, "string"), items)
-            if qtok is not None:
-                spreds.append(("pq:" + qprop, [qtok]))
+            qptype = prop_types.get(qprop, "string")
+            qtok = _ttl_value(qval, qptype, items)
+            if qtok is None:
+                continue  # corrupted qualifier dropped alone
+            spreds.append(("pq:" + qprop, [qtok]))
+            if qptype == "time":
+                # time qualifiers also link a pqv: value node sharing
+                # the wdv:Time stanza (golden corrupted.ttl)
+                qdt, qprec = _ttl_time(qval)
+                qnode = _ttl_time_node(qdt, qprec)
+                spreds.append(("pqv:" + qprop, [qnode]))
+                qblock = _ttl_block(qnode, [
+                    ("a", ["wikibase:Time"]),
+                    ("wikibase:timeCalendarModel", ["wd:Q1985727"]),
+                    ("wikibase:timePrecision", [qprec]),
+                    ("wikibase:timeTimezone", ["0"]),
+                    ("wikibase:timeValue", [f'"{qdt}"^^xsd:dateTime']),
+                ])
+                if qblock not in value_blocks:
+                    value_blocks.append(qblock)
         stmt_blocks.append(_ttl_block(stmt_subj, spreds))
 
-    item_blocks = [_ttl_block("wd:" + q, [("a", ["wikibase:Item"])])
-                   for q in sorted(items)]
-    if truthy:
-        # golden P10_truthy.ttl: item stanzas serialize last
-        blocks = [_ttl_block(ent_tok, preds)] + stmt_blocks \
-            + value_blocks + item_blocks
+    if not is_prop and len(preds) == 1 and not stmt_blocks:
+        ent_block = None  # nothing serialized for this entity
     else:
-        # golden P10_not_truthy.ttl: item stanzas precede the wds:
-        # statement stanzas
-        blocks = [_ttl_block(ent_tok, preds)] + item_blocks \
-            + stmt_blocks + value_blocks
+        ent_block = _ttl_block(ent_tok, preds)
+    return ent_block, stmt_blocks, value_blocks, sorted(items)
+
+
+def entity_ttl(entity: str, rows: pd.DataFrame, prop_types: dict,
+               *, truthy: bool = True, **kw) -> str:
+    """One entity's stanzas concatenated in the reference layout
+    (truthy: entity, statements, values, items — golden
+    P10_truthy.ttl; non-truthy: entity, items, statements, values —
+    golden P10_not_truthy.ttl).  Empty string when the entity
+    serialized nothing."""
+    ent_block, stmt_blocks, value_blocks, items = _entity_sections(
+        entity, rows, prop_types, truthy=truthy, **kw)
+    if ent_block is None:
+        return ""
+    item_blocks = [_ttl_block("wd:" + q, [("a", ["wikibase:Item"])])
+                   for q in items]
+    if truthy:
+        blocks = [ent_block] + stmt_blocks + value_blocks + item_blocks
+    else:
+        blocks = [ent_block] + item_blocks + stmt_blocks + value_blocks
     return "\n".join(blocks)
 
 
@@ -766,13 +814,22 @@ def generate_wikidata_ttl(edges, prop_types: dict, **kw):
         return df.drop(columns=["__sid__", "__owner__"]) \
             .assign(__entity__=ent)
 
+    sections = kw.pop("sections", False)
+
     def build(df: pd.DataFrame) -> pd.DataFrame:
+        import json
+
         pt = ray.get(pref)
         out = []
         for entity, sub in df.groupby("__entity__", sort=False):
-            out.append((entity, entity_ttl(entity,
-                                           sub.drop(columns="__entity__"),
-                                           pt, **kw)))
+            sub = sub.drop(columns="__entity__")
+            if sections:
+                out.append((entity, json.dumps(
+                    _entity_sections(entity, sub, pt, **kw))))
+            else:
+                ttl = entity_ttl(entity, sub, pt, **kw)
+                if ttl:
+                    out.append((entity, ttl))
         return pd.DataFrame(out, columns=["entity", "ttl"])
 
     import ray.data as _rd
@@ -780,12 +837,45 @@ def generate_wikidata_ttl(edges, prop_types: dict, **kw):
     return bucketed_group_apply(tagged, ["__entity__"], build)
 
 
-def write_wikidata_ttl(edges, prop_types: dict, path: str, **kw) -> None:
-    """Full-file writer: header + entity stanzas sorted by entity id.
-    For byte-parity tests and small exports; at scale write the
-    (entity, ttl) dataset to partitioned storage instead."""
-    df = generate_wikidata_ttl(edges, prop_types, **kw).to_pandas()
+def write_wikidata_ttl(edges, prop_types: dict, path: str,
+                       truthy: bool = True, **kw) -> None:
+    """Full-file writer: header + globally-assembled sections in the
+    reference's file layout — all entity blocks (sorted by entity),
+    then (truthy) all statement blocks grouped by entity, all value
+    blocks (first occurrence wins: shared wdv: nodes appear once,
+    golden corrupted.ttl), then all item blocks sorted; non-truthy
+    puts item blocks right after the entity blocks
+    (P10_not_truthy.ttl).  For byte-parity tests and small exports; at
+    scale write the (entity, ttl) dataset to partitioned storage
+    instead."""
+    import json
+
+    df = generate_wikidata_ttl(edges, prop_types, sections=True,
+                               truthy=truthy, **kw).to_pandas()
+    df = df.sort_values("entity")
+    ent_blocks: list = []
+    stmts: list = []
+    values: list = []
+    items: list = []
+    for _, row in df.iterrows():
+        sec = json.loads(row["ttl"])
+        if sec[0] is None:
+            continue
+        ent_blocks.append(sec[0])
+        stmts.extend(sec[1])
+        for v in sec[2]:
+            if v not in values:
+                values.append(v)
+        for q in sec[3]:
+            if q not in items:
+                items.append(q)
+    item_blocks = [_ttl_block("wd:" + q, [("a", ["wikibase:Item"])])
+                   for q in sorted(items)]
+    if truthy:
+        blocks = ent_blocks + stmts + values + item_blocks
+    else:
+        blocks = ent_blocks + item_blocks + stmts + values
     with open(path, "w") as f:
         f.write(TTL_HEADER)
-        f.write("\n".join(df.sort_values("entity")["ttl"]))
+        f.write("\n".join(blocks))
         f.write("\n")  # the reference's files end with a blank line

@@ -76,3 +76,18 @@ def test_small_values_quantity_ttl_parity(ray_session, tmp_path):
     got = out.read_text()
     want = open(f"{DATA}/small_values.ttl").read()
     assert sorted(got.split("\n\n")) == sorted(want.split("\n\n"))
+
+
+def test_corrupted_edges_ttl_parity(ray_session, tmp_path):
+    """Corrupted-value handling against corrupted.ttl
+    (test_triple_corrupted_edges): an unparseable time value drops the
+    statement and its qualifiers; a corrupted qualifier drops alone;
+    bare yyyy values parse as yyyy-01-01 at year precision with shared
+    wdv:Time value nodes on both psv: and pqv: links, deduplicated
+    globally across entities."""
+    edges = ray.data.from_pandas(load_edges("corrupted_kgtk.tsv"))
+    out = tmp_path / "out.ttl"
+    write_wikidata_ttl(edges, load_props(), str(out),
+                       label_set="label", alias_set="aliases",
+                       description_set="descriptions")
+    assert out.read_text() == open(f"{DATA}/corrupted.ttl").read()
