@@ -344,6 +344,10 @@ def kgtk_join(
     right_join_on: Sequence[str] | None = None,
     left_join: bool = False,
     right_join: bool = False,
+    join_on_label: bool = False,
+    join_on_node2: bool = False,
+    left_prefix: str = "",
+    right_prefix: str = "",
     broadcast_limit: int = BROADCAST_LIMIT,
 ) -> Dataset:
     """KGTK's join (kgtk/join/kgtkjoiner.py) — NOT a relational
@@ -362,6 +366,30 @@ def kgtk_join(
     rcols = right.schema().names
     lkeys = list(join_on) if join_on else _default_edge_keys(lcols)[:1]
     rkeys = list(right_join_on) if right_join_on else lkeys
+    # --join-on-label / --join-on-node2 (kgtk/cli/join.py:56-61) widen
+    # the default node1 key
+    for flag, col in ((join_on_label, "label"), (join_on_node2, "node2")):
+        if flag:
+            if col not in lkeys:
+                lkeys.append(col)
+            if col not in rkeys:
+                rkeys.append(col)
+    # --left-prefix / --right-prefix rename NON-required columns in the
+    # output (kgtk/join/kgtkmergecolumns.py:36-80: id/node1/label/node2
+    # keep their names)
+    required = {"id", "node1", "label", "node2"}
+    if left_prefix:
+        ren = {c: left_prefix + c for c in lcols if c not in required}
+        left = left.map_batches(lambda df, r=ren: df.rename(columns=r),
+                                batch_format="pandas")
+        lcols = [ren.get(c, c) for c in lcols]
+        lkeys = [ren.get(c, c) for c in lkeys]
+    if right_prefix:
+        ren = {c: right_prefix + c for c in rcols if c not in required}
+        right = right.map_batches(lambda df, r=ren: df.rename(columns=r),
+                                  batch_format="pandas")
+        rcols = [ren.get(c, c) for c in rcols]
+        rkeys = [ren.get(c, c) for c in rkeys]
 
     def keys_raw(d: Dataset, cols: Sequence[str]) -> Dataset:
         """Per-batch-distinct keys — no shuffle; row count is an upper

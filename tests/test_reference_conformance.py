@@ -655,3 +655,27 @@ def test_cat_csv_output_reference_fixture_golden():
                              "catcsv_golden1.csv")).read().rstrip(
         "\n").split("\n")
     assert sorted(lines) == sorted(want[1:])  # body; header written by sink
+
+
+def test_join_prefix_and_key_widening():
+    """--right-prefix renames only non-required right columns
+    (kgtk/join/kgtkmergecolumns.py: id/node1/label/node2 exempt);
+    --join-on-label/--join-on-node2 widen the default node1 key
+    (kgtk/cli/join.py:56-61)."""
+    import ray.data
+
+    from kgtk_ray.ops.shuffle import kgtk_join
+    left = ray.data.from_pandas(pd.DataFrame(
+        [["a", "p", "1", "x1"], ["b", "p", "2", "x2"]],
+        columns=["node1", "label", "node2", "extra"]))
+    right = ray.data.from_pandas(pd.DataFrame(
+        [["a", "p", "1", "y1"], ["b", "q", "9", "y2"]],
+        columns=["node1", "label", "node2", "extra"]))
+    out = kgtk_join(left, right, right_prefix="r_").to_pandas().fillna("")
+    assert "r_extra" in out.columns and "extra" in out.columns
+    # inner join on node1: both keys survive
+    assert sorted(set(out.node1)) == ["a", "b"]
+    # widening to (node1,label,node2) drops the b rows (labels differ)
+    out2 = kgtk_join(left, right, join_on_label=True,
+                     join_on_node2=True).to_pandas()
+    assert sorted(set(out2.node1)) == ["a"]
