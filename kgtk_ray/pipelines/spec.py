@@ -88,6 +88,17 @@ def _builtin_ops() -> None:
     builtins["import_conceptnet"] = import_conceptnet
     builtins["import_atomic"] = import_atomic
     builtins["generate_wikidata_ttl"] = generate_wikidata_ttl
+    from ..ops.graph import (connected_components, degrees,
+                             graph_statistics_edges, pagerank,
+                             reachable_nodes)
+    from ..ops.unreify import unreify_rdf_statements, unreify_values
+    builtins["connected_components"] = connected_components
+    builtins["degrees"] = degrees
+    builtins["reachable_nodes"] = reachable_nodes
+    builtins["pagerank"] = pagerank
+    builtins["graph_statistics_edges"] = graph_statistics_edges
+    builtins["unreify_rdf_statements"] = unreify_rdf_statements
+    builtins["unreify_values"] = unreify_values
     # two-input steps take the second dataset as a kwarg
     builtins["ifexists"] = O.ifexists
     builtins["ifnotexists"] = O.ifnotexists

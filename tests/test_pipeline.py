@@ -252,3 +252,34 @@ def test_link_entities_embedding_fallback():
         entity_index=index, threshold=0.5).to_pandas() \
         .sort_values("node1").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_dsl_cc_pipeline_chain(ray_session):
+    """Replay the reference's cc-test1.sh pipe chain
+    (connected-components / lift --label-file - / filter / compact)
+    through the DSL, matching the golden output."""
+    import os
+
+    import pandas as pd
+
+    from kgtk_ray.io import read_kgtk_tsv
+    from kgtk_ray.pipelines.spec import run_pipeline
+    src = "/root/reference/kgtk/join/test/cc-file1.tsv"
+    clusters = run_pipeline(read_kgtk_tsv(src), [
+        {"op": "connected_components", "method": "hash",
+         "properties": ["mw:SameAs"]}])
+    out = run_pipeline(read_kgtk_tsv(src), [
+        {"op": "lift", "labels": clusters,
+         "label_value": "connected_component",
+         "lift_columns": ["node1", "node2"], "suffix": ""},
+        {"op": "filter", "pred": "mw:SameAs", "invert": True},
+        {"op": "compact"},
+    ]).to_pandas().fillna("")
+    import csv
+    gold = pd.read_csv(os.path.join(os.path.dirname(__file__), "data",
+                                    "cc_pipeline_golden.tsv"),
+                       sep="\t", dtype=str, keep_default_na=False,
+                       quoting=csv.QUOTE_NONE)
+    cols = sorted(gold.columns)
+    assert sorted(map(tuple, out[cols].astype(str).to_numpy())) == \
+        sorted(map(tuple, gold[cols].to_numpy()))
