@@ -317,9 +317,8 @@ def import_ntriples(lines: Dataset, *, line_col: str = "line",
             return pd.DataFrame({"nsid": sorted(ids)})
 
         inv = {v: k for k, v in ns.items()}
-        uids = sorted(set(out.map_batches(
-            used_ids, batch_format="pandas").to_pandas()["nsid"])
-            & set(inv))
+        udf = out.map_batches(used_ids, batch_format="pandas").to_pandas()
+        uids = sorted(set(udf["nsid"]) & set(inv)) if len(udf) else []
         if uids:
             nsrows = pd.DataFrame({
                 "node1": uids, "label": "prefix_expansion",

@@ -469,6 +469,8 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
     # consumed three times below (schema, partial counts, verdict join)
     # — pin it so the row phase doesn't re-execute per consumer
     checked = checked.materialize()
+    if checked.count() == 0:
+        return checked  # empty datasets can lose their schema
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # c: the occurrence count the rules check (all rows in grouped
@@ -717,6 +719,8 @@ def _node1_group_phase(checked: Dataset, num_partitions: int) -> Dataset:
     from .agg import grouped_aggregate
 
     checked = checked.materialize()
+    if checked.count() == 0:
+        return checked  # empty datasets can lose their schema
     verdict = grouped_aggregate(
         checked.map_batches(
             lambda df: pd.DataFrame(

@@ -523,8 +523,11 @@ def lift(
     merged = merged.materialize()
     n_labels = merged.count()
     if n_labels <= broadcast_limit:
-        label_map = dict(zip(*(lambda d: (d["node1"], d["node2"]))(
-            merged.to_pandas())))
+        if n_labels:
+            label_map = dict(zip(*(lambda d: (d["node1"], d["node2"]))(
+                merged.to_pandas())))
+        else:
+            label_map = {}  # empty datasets can lose their schema
         ref = ray.put(label_map)
 
         def f(df: pd.DataFrame) -> pd.DataFrame:

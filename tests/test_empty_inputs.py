@@ -131,3 +131,34 @@ def test_empty_through_new_r4_ops():
     # error-budget actions on an empty dataset: zero counters, no raise
     out, counters = validate_edges(e, ["node2"], invalid_action="report")
     assert n_rows(out) == 0 and counters["total"] == 0
+
+
+def test_round4_new_ops_empty_inputs(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from kgtk_ray.ops.graph import connected_components
+    from kgtk_ray.ops.propvalidate import validate_properties
+
+    e = ray.data.from_pandas(pd.DataFrame({
+        "node1": pd.Series([], dtype=str),
+        "label": pd.Series([], dtype=str),
+        "node2": pd.Series([], dtype=str)}))
+    assert n_rows(connected_components(e, strong=True)) == 0
+    assert n_rows(connected_components(e, properties=["p"])) == 0
+    pats = pd.DataFrame({"prop": ["p"], "kind": ["minoccurs"],
+                         "value": ["1"]})
+    assert n_rows(validate_properties(e, pats)) == 0  # grouped default
+
+    from kgtk_ray.io.rdf import import_ntriples
+    lines = ray.data.from_pandas(pd.DataFrame(
+        {"line": pd.Series([], dtype=str)}))
+    assert n_rows(import_ntriples(lines)) == 0
+
+    from kgtk_ray.ops.shuffle import lift
+    labels = ray.data.from_pandas(pd.DataFrame({
+        "node1": pd.Series([], dtype=str),
+        "label": pd.Series([], dtype=str),
+        "node2": pd.Series([], dtype=str)}))
+    out = lift(e, labels, lift_columns=["node1"], suffix="")
+    assert n_rows(out) == 0
