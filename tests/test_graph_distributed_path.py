@@ -253,3 +253,79 @@ def test_strong_vs_weak_components_differ_on_dags():
     assert set(weak.node2) == {"x"}          # one weak component
     assert dict(zip(strong.node1, strong.node2)) == {
         "x": "x", "y": "y", "z": "z"}        # all singletons
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_scc_random_digraphs_match_tarjan(seed):
+    """Randomized digraphs (seeded): the distributed FW-BW coloring
+    must match an in-process Tarjan on every graph shape — cycles,
+    chains, self-loops, disconnected pieces."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kgtk_ray.ops.graph import connected_components
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(6, 14))
+    m = int(rng.integers(n, 3 * n))
+    nodes = [f"v{i:02d}" for i in range(n)]
+    es = sorted({(nodes[int(a)], nodes[int(b)])
+                 for a, b in rng.integers(0, n, size=(m, 2))})
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [(s, "p", o) for s, o in es], columns=["node1", "label", "node2"]))
+    out = connected_components(ds, strong=True).to_pandas()
+    got = dict(zip(out.node1, out.node2))
+
+    # Tarjan oracle (iterative)
+    import itertools
+    adj: dict = {}
+    present = set()
+    for s, o in es:
+        adj.setdefault(s, []).append(o)
+        present.update((s, o))
+    index: dict = {}
+    low: dict = {}
+    stack: list = []
+    onstack: set = set()
+    sccs: list = []
+    counter = itertools.count()
+
+    def strongconnect(v):
+        work = [(v, iter(adj.get(v, [])))]
+        index[v] = low[v] = next(counter)
+        stack.append(v)
+        onstack.add(v)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = next(counter)
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(adj.get(w, []))))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                low[work[-1][0]] = min(low[work[-1][0]], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                sccs.append(comp)
+
+    for v in sorted(present):
+        if v not in index:
+            strongconnect(v)
+    want = {u: min(comp) for comp in sccs for u in comp}
+    assert got == want, (es, got, want)
