@@ -87,17 +87,73 @@ class SentenceEmbedder:
         return df
 
 
+def build_sentence(labels: list, descriptions: list, isas: list,
+                   has_values: list, has_props: list) -> str:
+    """Reference attribute_to_sentence, exactly
+    (kgtk/gt/embedding_utils.py:506-560): first sorted label, first
+    sorted description (comma-joined), " is " + sorted isa list
+    ("It is " with no prefix; "a||b" keeps b under "instance of", else
+    a space), sorted property-value phrases joined " and ", then
+    " has " / ", and has " + deduped property names, trailing period.
+    has_props are sorted here where the reference uses a (hash-order)
+    ``list(set(...))`` — the only deliberate determinism fix."""
+    s = ""
+    have_isa = False
+    labels = sorted(v for v in labels if v)
+    descriptions = sorted(v for v in descriptions if v)
+    isas = sorted(v for v in isas if v)
+    has_values = sorted(v for v in has_values if v)
+    has_props = sorted(set(v for v in has_props if v))
+    if labels:
+        s += labels[0]
+    if descriptions:
+        if s and descriptions[0] != "":
+            s += ", "
+        s += descriptions[0]
+    if isas:
+        have_isa = True
+        temp = ""
+        for each in isas:
+            if "||" in each:
+                each = (each.split("||")[1] if "instance of" in each
+                        else each.replace("||", " "))
+            temp += each + ", "
+        if s and temp:
+            s += " is "
+        elif not s:
+            s += "It is "
+        s += temp[:-2]
+    if has_values:
+        if s:
+            s += ", " if have_isa else " "
+        else:
+            s += "It "
+        s += " and ".join(has_values)
+    if has_props:
+        if s and has_props[0] != "":
+            s += ", and has " if have_isa else " has "
+        elif has_props[0] != "":
+            s += "It has "
+        s += " and ".join(has_props)
+    if s:
+        s += "."
+    return s
+
+
 def attribute_to_sentence(df: pd.DataFrame) -> pd.Series:
-    """Entity properties -> one sentence (reference
-    kgtk/gt/embedding_utils.py:506 attribute_to_sentence):
-    "<label>, <description>, is a <isa1>, <isa2>"."""
-    parts = df.get("label_text", pd.Series("", index=df.index)).astype(str)
-    desc = df.get("description", pd.Series("", index=df.index)).astype(str)
-    isa = df.get("isa", pd.Series("", index=df.index)).astype(str)
-    s = parts
-    s = s.where(desc == "", s + ", " + desc)
-    s = s.where(isa == "", s + ", is a " + isa.str.replace("|", ", ", regex=False))
-    return s.str.strip(", ")
+    """Entity property columns (``|``-list cells) -> one reference
+    sentence per row via :func:`build_sentence`.  Recognized columns:
+    label_text, description, isa, has_values, has_props."""
+    from ..format import split_list
+
+    def get(col):
+        return df.get(col, pd.Series("", index=df.index)).fillna("")             .astype(str)
+
+    cols = [get(c) for c in ("label_text", "description", "isa",
+                             "has_values", "has_props")]
+    return pd.Series(
+        [build_sentence(*(split_list(v) if v else [] for v in vals))
+         for vals in zip(*cols)], index=df.index, dtype=object)
 
 
 def text_embedding(ds: Dataset, *, text_col: str = "text",
