@@ -598,6 +598,70 @@ def _minlabel_fixpoint(adj: Dataset, *, num_partitions: int,
     return labels
 
 
+# Residual-subgraph edge gate for the SCC endgame: below it the active
+# subgraph collects to the driver for one in-process Tarjan pass
+# (~100 MB of string pairs at the limit).  Web-scale graphs reach it in
+# a few peel rounds; the distributed rounds above it never hold
+# node-scale driver state.
+SCC_LOCAL_EDGE_LIMIT = 1_000_000
+
+
+def _tarjan_scc(edges: list) -> dict:
+    """Iterative Tarjan over (src, dst) string pairs -> {node:
+    min-member SCC id} for every node present."""
+    import itertools
+
+    adj: dict = {}
+    present: set = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        present.update((a, b))
+    index: dict = {}
+    low: dict = {}
+    stack: list = []
+    onstack: set = set()
+    out: dict = {}
+    counter = itertools.count()
+    for root in sorted(present):
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, [])))]
+        index[root] = low[root] = next(counter)
+        stack.append(root)
+        onstack.add(root)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = next(counter)
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(adj.get(w, []))))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                rep = min(comp)
+                for w in comp:
+                    out[w] = rep
+    return out
+
+
 def _strongly_connected(edges: Dataset, *, num_partitions: int,
                         max_iters: int) -> Dataset:
     """Strongly connected components (reference ``--strong``,
@@ -608,7 +672,12 @@ def _strongly_connected(edges: Dataset, *, num_partitions: int,
     that node, peel, repeat.  Every distinct settled color peels one
     SCC per round, so rounds scale with the SCC condensation's depth
     (a pure path graph degenerates to one SCC per round — the known
-    FW-BW worst case).  Returns ``(node, comp)``."""
+    FW-BW worst case).  A TRIM phase before each coloring round peels
+    nodes lacking in- or out-edges within the active subgraph (they
+    cannot sit on a cycle, so each is a singleton SCC) — the standard
+    FW-BW-Trim speedup that disposes of a web graph's tendril tails
+    with one cheap distinct+anti-join per trim instead of two
+    O(diameter) fixpoints.  Returns ``(node, comp)``."""
     from ._bucket import bucketed_group_apply
 
     fwd = edges.map_batches(
@@ -616,9 +685,71 @@ def _strongly_connected(edges: Dataset, *, num_partitions: int,
         .rename(columns={"node1": "node", "node2": "nbr"}),
         batch_format="pandas").repartition(num_partitions).materialize()
 
+    from ..ops.shuffle import ifexists as _ifexists
+    from ..ops.shuffle import ifnotexists as _ifnotexists
+
+    def _distinct_col(d: Dataset, col: str) -> Dataset:
+        return bucketed_group_apply(
+            d.map_batches(lambda df, c=col: pd.DataFrame(
+                {"node": df[c].drop_duplicates()}), batch_format="pandas"),
+            ["node"], lambda df: df.drop_duplicates(),
+            num_buckets=num_partitions)
+
     assigned: list[Dataset] = []
     active_adj = fwd
     for _ in range(max_iters):
+        # endgame size gate: once the active subgraph is small (the
+        # giant SCCs and tendrils peel off in the first rounds), finish
+        # with one in-process Tarjan instead of paying O(rounds) more
+        # exchanges — a pure path graph would otherwise peel two nodes
+        # per trim round
+        if active_adj.count() <= SCC_LOCAL_EDGE_LIMIT:
+            df = active_adj.to_pandas()
+            if len(df):
+                local = _tarjan_scc(list(zip(df["node"], df["nbr"])))
+                assigned.append(ray.data.from_pandas(pd.DataFrame(
+                    {"node": list(local), "comp": list(local.values())})))
+            break
+        # trim: a node with no in-edges or no out-edges in the active
+        # subgraph is a singleton SCC
+        for _t in range(max_iters):
+            srcs = _distinct_col(active_adj, "node").materialize()
+            dsts = _distinct_col(active_adj, "nbr").materialize()
+            # nodes present on only one side
+            only_src = _ifnotexists(srcs, dsts, input_keys=["node"],
+                                    filter_keys=["node"])
+            only_dst = _ifnotexists(dsts, srcs, input_keys=["node"],
+                                    filter_keys=["node"])
+            singles = only_src.union(only_dst).materialize()
+            if singles.count() == 0:
+                break
+            assigned.append(singles.map_batches(
+                lambda df: df.assign(comp=df["node"]),
+                batch_format="pandas").materialize())
+            keep = _ifexists(srcs, dsts, input_keys=["node"],
+                             filter_keys=["node"]).materialize()
+            active_adj = _ifexists(
+                _ifexists(active_adj, keep, input_keys=["node"],
+                          filter_keys=["node"]),
+                keep.map_batches(lambda df: df.rename(
+                    columns={"node": "nbr"}), batch_format="pandas"),
+                input_keys=["nbr"], filter_keys=["nbr"]).materialize()
+            # nodes whose every edge was trimmed are singletons too
+            remaining = _distinct_col(active_adj, "node").union(
+                _distinct_col(active_adj, "nbr")) \
+                if active_adj.count() else None
+            stranded = (_ifnotexists(keep, remaining, input_keys=["node"],
+                                     filter_keys=["node"]).materialize()
+                        if remaining is not None else keep)
+            if stranded.count():
+                assigned.append(stranded.map_batches(
+                    lambda df: df.assign(comp=df["node"]),
+                    batch_format="pandas").materialize())
+            if active_adj.count() == 0:
+                break
+        if active_adj.count() == 0:
+            break
+
         f = _minlabel_fixpoint(active_adj, num_partitions=num_partitions,
                                max_iters=max_iters)
         rev = active_adj.map_batches(

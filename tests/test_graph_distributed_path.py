@@ -329,3 +329,29 @@ def test_scc_random_digraphs_match_tarjan(seed):
             strongconnect(v)
     want = {u: min(comp) for comp in sccs for u in comp}
     assert got == want, (es, got, want)
+
+
+def test_scc_forced_distributed_equals_tarjan_endgame(monkeypatch):
+    """Force the distributed trim + forward-backward coloring path
+    (endgame gate at 0) and assert it matches the gated (in-process
+    Tarjan) result on a mixed graph of cycles, tendrils and a chain."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    import kgtk_ray.ops.graph as G
+
+    rng = np.random.default_rng(5)
+    n = 10
+    nodes = [f"w{i:02d}" for i in range(n)]
+    es = sorted({(nodes[int(a)], nodes[int(b)])
+                 for a, b in rng.integers(0, n, size=(2 * n, 2))}
+                | {("c1", "c2"), ("c2", "c3"), ("c3", "c1"),
+                   ("t1", "t2"), ("t2", "t3")})
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [(s, "p", o) for s, o in es], columns=["node1", "label", "node2"]))
+    gated = G.connected_components(ds, strong=True).to_pandas()
+    monkeypatch.setattr(G, "SCC_LOCAL_EDGE_LIMIT", 0)
+    dist = G.connected_components(ds, strong=True).to_pandas()
+    assert dict(zip(dist.node1, dist.node2)) == \
+        dict(zip(gated.node1, gated.node2))
