@@ -810,6 +810,10 @@ def _strongly_connected(edges: Dataset, *, num_partitions: int,
             # the adjacency restriction above already excludes them)
         if active_adj.count() == 0:
             break
+    if not assigned:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "comp": pd.Series([], dtype=str)}))
     out = assigned[0]
     for d in assigned[1:]:
         out = out.union(d)

@@ -11,6 +11,7 @@ import pytest
 
 
 def _reference_fn():
+    inserted = []
     for mod, src in {
         "redis": "class Redis:\n    def __init__(self,*a,**k): pass\n",
         "pyrallel": "class ParallelProcessor:\n"
@@ -32,11 +33,16 @@ def _reference_fn():
             m = types.ModuleType(mod)
             exec(src, m.__dict__)
             sys.modules[mod] = m
+            inserted.append(mod)
     sys.path.insert(0, "/root/reference")
     try:
         from kgtk.gt.embedding_utils import EmbeddingVector
     finally:
         sys.path.remove("/root/reference")
+        # drop the stubs so later REAL imports (e.g. the embedder's
+        # sentence_transformers try-import) see the true environment
+        for mod in inserted:
+            sys.modules.pop(mod, None)
 
     class Dummy:
         _logger = logging.getLogger("ref")

@@ -7,6 +7,7 @@ import types
 
 import pytest
 
+_inserted = []
 for mod, src in {
     "sh": "class ErrorReturnCode(Exception): pass\n"
           "class SignalException(Exception): pass\n"
@@ -22,11 +23,14 @@ for mod, src in {
         m = types.ModuleType(mod)
         exec(src, m.__dict__)
         sys.modules[mod] = m
+        _inserted.append(mod)
 sys.path.insert(0, "/root/reference")
 from kgtk.kgtkformat import KgtkFormat  # noqa: E402
 from kgtk.value.kgtkvalue import KgtkValue  # noqa: E402
 
 sys.path.remove("/root/reference")
+for _mod in _inserted:  # don't leak stubs into later real imports
+    sys.modules.pop(_mod, None)
 
 from kgtk_ray.format import (join_list, join_sorted_unique,  # noqa: E402
                              split_list, stringify, unstringify)
