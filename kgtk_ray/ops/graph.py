@@ -541,6 +541,30 @@ def _paths_distributed(edges: Dataset, sources: Sequence[str],
         batch_format="pandas")
 
 
+def _unionfind_min(pairs: list) -> dict:
+    """Union-find over (a, b) string pairs -> {node: min-member
+    component id} for every node present."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    groups: dict = {}
+    for n in list(parent):
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in groups.values()
+            for n in members}
+
+
 def _minlabel_fixpoint(adj: Dataset, *, num_partitions: int,
                        max_iters: int,
                        seeds: Dataset | None = None) -> Dataset:
@@ -875,8 +899,19 @@ def connected_components(edges: Dataset, *, max_iters: int = 50,
                 ignore_index=True).drop_duplicates()
             .rename(columns={"node1": "node", "node2": "nbr"}),
             batch_format="pandas").repartition(num_partitions).materialize()
-        labels = _minlabel_fixpoint(und, num_partitions=num_partitions,
-                                    max_iters=max_iters)
+        if und.count() <= SCC_LOCAL_EDGE_LIMIT:
+            # size-gated endgame, same shape as the SCC one: a small
+            # edge set collects once for an in-process union-find
+            # instead of O(diameter) distributed min-label rounds
+            df = und.to_pandas()
+            comp = _unionfind_min(list(zip(df["node"], df["nbr"]))) \
+                if len(df) else {}
+            labels = ray.data.from_pandas(pd.DataFrame(
+                {"node": pd.Series(list(comp), dtype=str),
+                 "comp": pd.Series(list(comp.values()), dtype=str)}))
+        else:
+            labels = _minlabel_fixpoint(und, num_partitions=num_partitions,
+                                        max_iters=max_iters)
 
     labels = _name_clusters_ds(labels, method, num_partitions)
     return labels.map_batches(

@@ -355,3 +355,22 @@ def test_scc_forced_distributed_equals_tarjan_endgame(monkeypatch):
     dist = G.connected_components(ds, strong=True).to_pandas()
     assert dict(zip(dist.node1, dist.node2)) == \
         dict(zip(gated.node1, gated.node2))
+
+
+def test_wcc_forced_distributed_equals_unionfind_endgame(monkeypatch):
+    """Force the distributed min-label path (endgame gate at 0) and
+    assert it matches the gated union-find on a multi-component
+    graph."""
+    import pandas as pd
+    import ray.data
+
+    import kgtk_ray.ops.graph as G
+    es = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z"), ("c", "a")]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [(s, "p", o) for s, o in es], columns=["node1", "label", "node2"]))
+    gated = G.connected_components(ds).to_pandas()
+    monkeypatch.setattr(G, "SCC_LOCAL_EDGE_LIMIT", 0)
+    dist = G.connected_components(ds).to_pandas()
+    assert dict(zip(dist.node1, dist.node2)) == \
+        dict(zip(gated.node1, gated.node2)) == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
