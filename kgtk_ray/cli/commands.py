@@ -299,6 +299,11 @@ def _cfg_ifexists(p):
     add_bool(p, "--cache-input", dest="_cache_input")
     p.add_argument("--field-separator", dest="_fs", default=None)
     p.add_argument("--reject-file", dest="reject_file", default=None)
+    # mode flags accepted for compatibility: this reader infers nothing
+    # from mode, and explicit --input-keys/--filter-keys bypass the
+    # mode-based key defaults anyway
+    p.add_argument("--input-mode", dest="_imode", default=None)
+    p.add_argument("--filter-mode", dest="_fmode", default=None)
 
 
 def _run_ifexists(args, ctx: Ctx, exists: bool):
@@ -699,11 +704,17 @@ def _cfg_clean(p):
 @command("clean-data", "Validate + repair cells; write a clean copy.",
          aliases=("clean_data", "clean"), configure=_cfg_clean)
 def cmd_clean_data(args, ctx: Ctx):
-    """Reference kgtk/cli/clean_data.py."""
+    """Reference kgtk/cli/clean_data.py.  Default options are the
+    reference's STRICT KgtkValueOptions (no repairs — a day-zero date
+    is rejected, not fixed); repair knobs opt in via the
+    --repair-... / --allow-... flags.  (The library-level clean_edges
+    default of always-repair is a documented engine divergence; the
+    CLI follows the reference.)"""
     from ..ops import clean_edges
+    from ..values import ValueOptions
     ds = input_of(args, ctx)
     cols = [c for c in ds.schema().names if c != "id"]
-    opts = _value_options(args)
+    opts = _value_options(args) or ValueOptions()
     if args.reject_file:
         clean, rejects = clean_edges(ds, cols, with_rejects=True,
                                      options=opts,

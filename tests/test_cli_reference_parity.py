@@ -1,0 +1,125 @@
+"""Run the SAME command lines through the reference CLI (kgtk ...)
+and this engine's CLI (python -m kgtk_ray ...), and compare row sets.
+
+The reference CLI runs as a subprocess with its optional third-party
+dependencies shimmed (iso639/sh/lz4/... stubs under /tmp/refshim —
+same harness the golden-capture scripts use); fixtures are the
+reference's own under kgtk/join/test.  Skips when the shim or the
+reference tree is unavailable.
+"""
+import csv
+import io
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from kgtk_ray.cli import main
+
+REF_ROOT = "/root/reference"
+REF = f"{REF_ROOT}/kgtk/join/test"
+SHIM = "/tmp/refshim"
+
+
+def _reference_cli_available() -> bool:
+    if not (os.path.isdir(REF) and os.path.isdir(SHIM)):
+        return False
+    r = subprocess.run(
+        [sys.executable, "-c", "import kgtk.cli_entry"],
+        env={**os.environ, "PYTHONPATH": f"{SHIM}:{REF_ROOT}"},
+        capture_output=True)
+    return r.returncode == 0
+
+
+pytestmark = pytest.mark.skipif(not _reference_cli_available(),
+                                reason="reference CLI harness unavailable")
+
+
+def run_reference(argv: list[str]) -> pd.DataFrame:
+    r = subprocess.run(
+        [sys.executable, "-m", "kgtk", *argv],
+        env={**os.environ, "PYTHONPATH": f"{SHIM}:{REF_ROOT}"},
+        cwd=REF, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, f"reference CLI failed: {argv}\n{r.stderr[-800:]}"
+    return pd.read_csv(io.StringIO(r.stdout), sep="\t", dtype=str,
+                       keep_default_na=False, quoting=csv.QUOTE_NONE)
+
+
+def run_ours(argv: list[str], tmp_path) -> pd.DataFrame:
+    out = str(tmp_path / "ours.tsv")
+    # absolutize fixture names: Ray workers don't share the driver's cwd
+    argv = [f"{REF}/{a}" if os.path.isfile(f"{REF}/{a}") else a
+            for a in argv]
+    rc = main([*argv, "-o", out])
+    assert rc == 0, f"our CLI failed: {argv}"
+    return pd.read_csv(out, sep="\t", dtype=str, keep_default_na=False,
+                       quoting=csv.QUOTE_NONE)
+
+
+def normalize(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    return cols, sorted(map(tuple, df[cols].fillna("").to_numpy()))
+
+
+CASES = [
+    # ifexists family: default keys, explicit keys, label+node2 keys
+    ["ifexists", "ifexists-file1.tsv", "--filter-on", "ifexists-file2.tsv",
+     "--input-keys", "node1", "--filter-keys", "node1"],
+    ["ifexists", "ifexists-test1-file1.tsv", "--filter-on",
+     "ifexists-test1-file2.tsv"],
+    ["ifnotexists", "ifexists-file1.tsv", "--filter-on",
+     "ifexists-file2.tsv", "--input-keys", "node1", "--filter-keys",
+     "node1"],
+    ["ifexists", "ifexists-test2-file1.tsv", "--filter-on",
+     "ifexists-test2-file2.tsv", "--input-keys", "label", "node2",
+     "--filter-keys", "label", "node2", "--filter-mode", "NONE"],
+    # filter patterns
+    ["filter", "-i", "ifexists-file1.tsv", "-p", " ; zipcode ; "],
+    ["filter", "-i", "ifexists-file1.tsv", "-p", "peter ;; ", "--invert"],
+    # projections
+    ["remove-columns", "-i", "ifexists-file1.tsv", "-c", "years"],
+    ["rename-columns", "-i", "ifexists-file1.tsv", "--old-columns",
+     "location", "--new-columns", "where"],
+    ["reorder-columns", "-i", "ifexists-file1.tsv", "-c", "node2", "..."],
+    # ifempty / ifnotempty
+    ["ifempty", "-i", "ifempty-file1.tsv", "--columns", "node2"],
+    ["ifnotempty", "-i", "ifempty-file1.tsv", "--columns", "node2"],
+    # unique
+    ["unique", "ifexists-file1.tsv", "--column", "location"],
+    ["unique", "ifexists-file1.tsv", "--column", "location", "--empty",
+     "NONE"],
+    # compact + expand
+    ["compact", "--input-file", "compact-file1.tsv"],
+    ["expand", "--input-file", "expand-file1.tsv"],
+    # join modes
+    ["join", "--left-file", "kgtkjoiner-file1.tsv", "--right-file",
+     "kgtkjoiner-file2.tsv"],
+    ["join", "--left-file", "kgtkjoiner-file1.tsv", "--right-file",
+     "kgtkjoiner-file2.tsv", "--left-join"],
+    # lift
+    ["lift", "lift-file1.tsv"],
+    ["lift", "lift-file5.tsv", "--label-file", "lift-file7.tsv",
+     "--columns-to-lift", "node1"],
+    # calc
+    ["calc", "-i", "calc-file1.tsv", "-c", "node2", "node1;total",
+     "--do", "percentage", "--into", "result"],
+    # add-id (content-derived style is order-independent)
+    ["add-id", "-i", "add_id-file1.tsv", "--id-style",
+     "node1-label-node2"],
+    # clean-data (strict defaults)
+    ["clean-data", "-i", "clean_data-file1.tsv"],
+]
+
+
+@pytest.mark.parametrize("argv", CASES,
+                         ids=[" ".join(c[:2]) + f"#{i}"
+                              for i, c in enumerate(CASES)])
+def test_cli_parity(argv, tmp_path):
+    ref = run_reference(argv)
+    got = run_ours(argv, tmp_path)
+    ref_cols, ref_rows = normalize(ref)
+    got_cols, got_rows = normalize(got)
+    assert got_cols == ref_cols
+    assert got_rows == ref_rows
