@@ -875,36 +875,18 @@ def _cfg_graph_statistics(p):
 def cmd_graph_statistics(args, ctx: Ctx):
     """Reference kgtk/cli/graph_statistics.py."""
     from ..ops import cat, graph_statistics_edges
-    from ..ops.graph import hits as hits_op
     ds = input_of(args, ctx)
-    stats = graph_statistics_edges(ds, compute_pagerank=bool(args.pagerank))
-    import pandas as pd
-
-    def keep(df: "pd.DataFrame") -> "pd.DataFrame":
-        wanted = []
-        if args.degrees:
-            wanted += [args.in_prop, args.out_prop]
-        if args.pagerank:
-            wanted.append(args.pr_prop)
-        ren = {"vertex_in_degree": args.in_prop,
-               "vertex_out_degree": args.out_prop,
-               "vertex_pagerank": args.pr_prop}
-        df = df.copy()
-        df["label"] = df["label"].map(lambda v: ren.get(v, v))
-        return df[df["label"].isin(wanted)]
-
-    out = stats.map_batches(keep, batch_format="pandas")
-    if args.hits:
-        h = hits_op(ds)
-
-        def h_edges(df: "pd.DataFrame") -> "pd.DataFrame":
-            import pandas as _pd
-            rows = []
-            for _, r in df.iterrows():
-                rows.append((r["node"], args.auth_prop, str(r["auth"])))
-                rows.append((r["node"], args.hubs_prop, str(r["hub"])))
-            return _pd.DataFrame(rows, columns=["node1", "label", "node2"])
-        out = cat(out, h.map_batches(h_edges, batch_format="pandas"))
+    out = graph_statistics_edges(
+        ds, compute_pagerank=bool(args.pagerank),
+        compute_hits=bool(args.hits),
+        in_prop=args.in_prop, out_prop=args.out_prop,
+        pr_prop=args.pr_prop, hubs_prop=args.hubs_prop,
+        auth_prop=args.auth_prop)
+    if not args.degrees:
+        drop = {args.in_prop, args.out_prop}
+        out = out.map_batches(
+            lambda df, d=drop: df[~df["label"].isin(d)],
+            batch_format="pandas")
     if not args.statistics_only:
         out = cat(ds, out)
     return out

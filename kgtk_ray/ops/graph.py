@@ -98,14 +98,26 @@ def graph_statistics(edges: Dataset) -> dict:
 
 
 def graph_statistics_edges(edges: Dataset, *, compute_pagerank: bool = True,
+                           compute_hits: bool = False,
                            damping: float = 0.85, iters: int = 50,
+                           hits_iters: int = 10,
+                           in_prop: str = "vertex_in_degree",
+                           out_prop: str = "vertex_out_degree",
+                           pr_prop: str = "vertex_pagerank",
+                           hubs_prop: str = "vertex_hubs",
+                           auth_prop: str = "vertex_auth",
                            num_partitions: int = 16) -> Dataset:
     """The reference CLI's ``graph-statistics --statistics-only`` edge
     output (kgtk/cli/graph_statistics.py; worked example
     docs/analysis/graph_statistics.md): per vertex,
     ``(node, vertex_in_degree, <n>)``, ``(node, vertex_out_degree,
-    <n>)`` and (optionally) ``(node, vertex_pagerank, <score>)`` rows
-    with ids ``<node>-<label>-<seq>``.  PageRank scores are
+    <n>)`` and (optionally) ``(node, vertex_pagerank, <score>)``,
+    ``(node, vertex_hubs, <score>)``, ``(node, vertex_auth, <score>)``
+    rows with ids ``<node>-<label>-<seq>`` numbered per vertex across
+    ALL emitted properties in the reference's order (degrees, pagerank,
+    hubs, auth — graph_statistics.py:160-178); the ``*_prop`` options
+    rename both the label and the name embedded in the id, matching the
+    reference's ``v_prop_dict`` renames.  PageRank scores are
     L1-normalized, matching graph-tool's published values.
 
     One divergence: the reference numbers ``<seq>`` in graph-tool's
@@ -137,25 +149,45 @@ def graph_statistics_edges(edges: Dataset, *, compute_pagerank: bool = True,
             .set_index("node")["ind"]
         summary["outd"] = _node_counts(e, "node1", "outd").to_pandas() \
             .set_index("node")["outd"]
-        labels = ["vertex_in_degree", "vertex_out_degree"]
+        labels = [in_prop, out_prop]
         if compute_pagerank:
             prdf = pagerank(e, damping=damping, iters=iters,
                             num_partitions=num_partitions).to_pandas()
             pr = prdf.set_index("node1")["node2"].astype(float)
             summary["pr"] = pr / pr.sum()
-            labels.append("vertex_pagerank")
+            labels.append(pr_prop)
+        if compute_hits:
+            hdf = hits(e, iters=hits_iters,
+                       num_partitions=num_partitions).to_pandas()
+            piv = hdf.pivot(index="node1", columns="label", values="node2")
+            summary["hub"] = piv["hub"]
+            summary["auth"] = piv["authority"]
+            labels += [hubs_prop, auth_prop]
         summary = summary.sort_index()
         k = len(labels)
-        rows = []
-        for vi, (node, r) in enumerate(summary.iterrows()):
-            vals = [str(int(r["ind"]) if pd.notna(r["ind"]) else 0),
-                    str(int(r["outd"]) if pd.notna(r["outd"]) else 0)]
-            if compute_pagerank:
-                vals.append(repr(float(r["pr"])))
-            for j, (lab, v) in enumerate(zip(labels, vals)):
-                rows.append((node, lab, v, f"{node}-{lab}-{vi * k + j}"))
-        return ray.data.from_pandas(pd.DataFrame(
-            rows, columns=["node1", "label", "node2", "id"]))
+        node = summary.index.to_numpy(dtype=object)
+        base = np.arange(len(summary), dtype="int64") * k
+        cols = [summary["ind"].fillna(0).astype("int64").astype(str)
+                .to_numpy(),
+                summary["outd"].fillna(0).astype("int64").astype(str)
+                .to_numpy()]
+        if compute_pagerank:
+            cols.append(np.array([repr(v) for v in
+                                  summary["pr"].astype(float).to_numpy()],
+                                 dtype=object))
+        if compute_hits:
+            cols += [summary["hub"].astype(str).to_numpy(),
+                     summary["auth"].astype(str).to_numpy()]
+        parts = []
+        for j, (lab, vals) in enumerate(zip(labels, cols)):
+            ids = pd.Series(node) + f"-{lab}-" + \
+                pd.Series(base + j).astype(str)
+            parts.append(pd.DataFrame({
+                "node1": node, "label": lab, "node2": vals,
+                "id": ids.to_numpy(), "__o__": base + j}))
+        out = pd.concat(parts, ignore_index=True).sort_values("__o__")
+        return ray.data.from_pandas(
+            out.drop(columns="__o__").reset_index(drop=True))
 
     import pyarrow as pa
     nf = {"node": pa.string()}
@@ -169,7 +201,7 @@ def graph_statistics_edges(edges: Dataset, *, compute_pagerank: bool = True,
                                        "ind": pa.int64()},
                           right_fields={"node": pa.string(),
                                         "outd": pa.int64()}, how="left")
-    per_vertex = ["vertex_in_degree", "vertex_out_degree"]
+    per_vertex = [in_prop, out_prop]
     fields = {"node": pa.string(), "ind": pa.int64(), "outd": pa.int64()}
     if compute_pagerank:
         pr = pagerank(e, damping=damping, iters=iters,
@@ -184,25 +216,58 @@ def graph_statistics_edges(edges: Dataset, *, compute_pagerank: bool = True,
                               right_fields={"node": pa.string(),
                                             "pr": pa.float64()}, how="left")
         fields["pr"] = pa.float64()
-        per_vertex.append("vertex_pagerank")
+        per_vertex.append(pr_prop)
+    if compute_hits:
+        h = hits(e, iters=hits_iters, num_partitions=num_partitions)
+        # pivot (node1, hub|authority, score) -> (node, hub, auth):
+        # per-label projections joined on node — scores arrive as the
+        # writer-formatted strings hits() emits
+        hubs = h.filter(lambda r: r["label"] == "hub").map_batches(
+            lambda df: pd.DataFrame({"node": df["node1"].astype(str),
+                                     "hub": df["node2"].astype(str)}),
+            batch_format="pandas")
+        auths = h.filter(lambda r: r["label"] == "authority").map_batches(
+            lambda df: pd.DataFrame({"node": df["node1"].astype(str),
+                                     "auth": df["node2"].astype(str)}),
+            batch_format="pandas")
+        stats = bucketed_join(stats, hubs, "node", left_fields=fields,
+                              right_fields={"node": pa.string(),
+                                            "hub": pa.string()}, how="left")
+        fields["hub"] = pa.string()
+        stats = bucketed_join(stats, auths, "node", left_fields=fields,
+                              right_fields={"node": pa.string(),
+                                            "auth": pa.string()},
+                              how="left")
+        fields["auth"] = pa.string()
+        per_vertex += [hubs_prop, auth_prop]
     k = len(per_vertex)
 
     from ._rowindex import add_row_index
     ordered = add_row_index(stats.sort("node"), "__vi__")
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in df.iterrows():
-            base = int(r["__vi__"]) * k
-            vals = [str(int(r["ind"]) if pd.notna(r["ind"]) else 0),
-                    str(int(r["outd"]) if pd.notna(r["outd"]) else 0)]
-            if compute_pagerank:
-                vals.append(repr(float(r["pr"])))
-            for j, (lab, v) in enumerate(zip(per_vertex, vals)):
-                rows.append((r["node"], lab, v,
-                             f"{r['node']}-{lab}-{base + j}"))
-        return pd.DataFrame(rows,
-                            columns=["node1", "label", "node2", "id"])
+        """Vectorized row expansion: one (node, label, value, id) edge
+        per vertex per per-vertex statistic, interleaved per node like
+        the reference writes them (out row order is unspecified)."""
+        node = df["node"].astype(str).to_numpy()
+        base = df["__vi__"].to_numpy(dtype="int64") * k
+        cols = [df["ind"].fillna(0).astype("int64").astype(str).to_numpy(),
+                df["outd"].fillna(0).astype("int64").astype(str).to_numpy()]
+        if compute_pagerank:
+            cols.append(np.array([repr(v) for v in
+                                  df["pr"].astype(float).to_numpy()],
+                                 dtype=object))
+        if compute_hits:
+            cols += [df["hub"].astype(str).to_numpy(),
+                     df["auth"].astype(str).to_numpy()]
+        parts = []
+        for j, (lab, vals) in enumerate(zip(per_vertex, cols)):
+            ids = pd.Series(node) + f"-{lab}-" + pd.Series(base + j).astype(str)
+            parts.append(pd.DataFrame({
+                "node1": node, "label": lab, "node2": vals,
+                "id": ids.to_numpy(), "__o__": base + j}))
+        out = pd.concat(parts, ignore_index=True).sort_values("__o__")
+        return out.drop(columns="__o__").reset_index(drop=True)
 
     return ordered.map_batches(emit, batch_format="pandas")
 

@@ -374,3 +374,53 @@ def test_wcc_forced_distributed_equals_unionfind_endgame(monkeypatch):
     assert dict(zip(dist.node1, dist.node2)) == \
         dict(zip(gated.node1, gated.node2)) == {
         "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_graph_statistics_edges_with_hits(ray_session):
+    """compute_hits=True appends vertex_hubs / vertex_auth rows per
+    vertex with ids continuing the per-vertex interleaved numbering
+    (reference kgtk/cli/graph_statistics.py:160-178), on both the dense
+    and the forced-distributed assembly; *_prop renames reach both the
+    label and the id."""
+    import pandas as pd
+    import ray.data as rd
+    import kgtk_ray.ops.graph as G
+    e = rd.from_pandas(pd.DataFrame({
+        "node1": ["a", "a", "b", "c"],
+        "label": ["p"] * 4,
+        "node2": ["x", "y", "x", "y"],
+    }))
+    out = G.graph_statistics_edges(e, iters=30, compute_hits=True,
+                                   hubs_prop="hubZ").to_pandas()
+    # 5 vertices x 5 stats (in, out, pagerank, hubs, auth)
+    assert len(out) == 25
+    assert set(out.label) == {"vertex_in_degree", "vertex_out_degree",
+                              "vertex_pagerank", "hubZ", "vertex_auth"}
+    a_rows = out[out.node1 == "a"].sort_values(
+        "id", key=lambda s: s.str.rsplit("-", n=1).str[-1].astype(int))
+    assert list(a_rows.label) == ["vertex_in_degree", "vertex_out_degree",
+                                  "vertex_pagerank", "hubZ", "vertex_auth"]
+    assert list(a_rows.id) == [f"a-{l}-{i}" for i, l in
+                               enumerate(a_rows.label)]
+    # hub/auth scores: a emits 2 of 4 edges -> top hub; x,y are the
+    # only authorities
+    hubs = {r.node1: float(r.node2) for r in
+            out[out.label == "hubZ"].itertuples()}
+    assert hubs["a"] == max(hubs.values()) > 0
+    assert hubs["x"] == hubs["y"] == 0.0
+    auth = {r.node1: float(r.node2) for r in
+            out[out.label == "vertex_auth"].itertuples()}
+    assert auth["x"] > 0 and auth["y"] > 0 and auth["a"] == 0.0
+    # forced-distributed assembly agrees exactly
+    old = G.DENSE_NODE_LIMIT
+    try:
+        G.DENSE_NODE_LIMIT = 0
+        slow = G.graph_statistics_edges(
+            e, iters=30, compute_hits=True, hubs_prop="hubZ").to_pandas()
+    finally:
+        G.DENSE_NODE_LIMIT = old
+    f = out.sort_values("id").reset_index(drop=True)
+    s = slow.sort_values("id").reset_index(drop=True)
+    nonpr = f.label != "vertex_pagerank"
+    pd.testing.assert_frame_equal(f[nonpr].reset_index(drop=True),
+                                  s[nonpr].reset_index(drop=True))
