@@ -24,8 +24,18 @@ SHIM = "/tmp/refshim"
 
 
 def _reference_cli_available() -> bool:
-    if not (os.path.isdir(REF) and os.path.isdir(SHIM)):
+    if not os.path.isdir(REF):
         return False
+    if not os.path.isdir(SHIM):
+        # the shim lives in /tmp and may have been wiped since the last
+        # run — rebuild it rather than silently skipping the suite
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        try:
+            from scripts.bench_reference import make_shims
+            make_shims()
+        except Exception:
+            return False
     r = subprocess.run(
         [sys.executable, "-c", "import kgtk.cli_entry"],
         env={**os.environ, "PYTHONPATH": f"{SHIM}:{REF_ROOT}"},
