@@ -19,10 +19,19 @@ from .decontam import decontaminate
 from .lm import unigram_logprob
 from .pack import pack_sequences
 from .spans import dedup_spans
+from .urls import (
+    canonicalize_urls,
+    canonicalize_series,
+    dedup_urls,
+    filter_domains,
+    extract_host,
+)
 
 __all__ = ["langid", "quality_score", "token_counts", "fingerprint",
            "winnowing_fingerprints", "normalize_text", "normalize_text_series",
            "normalize_whitespace_series", "normalize_punctuation_series",
            "repetition_signals", "gopher_filter", "corpus_dup_ngram_frac",
            "scrub_pii", "scrub_series", "chunk_text", "decontaminate", "unigram_logprob",
-           "pack_sequences", "dedup_spans"]
+           "pack_sequences", "dedup_spans", "canonicalize_urls",
+           "canonicalize_series", "dedup_urls", "filter_domains",
+           "extract_host"]
