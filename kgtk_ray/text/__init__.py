@@ -19,6 +19,7 @@ from .decontam import decontaminate
 from .lm import unigram_logprob
 from .pack import pack_sequences
 from .spans import dedup_spans
+from .dsir import dsir_scores, dsir_sample
 from .urls import (
     canonicalize_urls,
     canonicalize_series,
@@ -34,4 +35,4 @@ __all__ = ["langid", "quality_score", "token_counts", "fingerprint",
            "scrub_pii", "scrub_series", "chunk_text", "decontaminate", "unigram_logprob",
            "pack_sequences", "dedup_spans", "canonicalize_urls",
            "canonicalize_series", "dedup_urls", "filter_domains",
-           "extract_host"]
+           "extract_host", "dsir_scores", "dsir_sample"]

@@ -483,6 +483,49 @@ def ref_wikidata_jsons(nation: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["qnode", "doc"])
 
 
+def _round_away(x: np.ndarray, nd: int = 6) -> np.ndarray:
+    scale = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def ref_dsir(docs: pd.DataFrame, *, num_buckets=10_000,
+             k=100) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Single-process DSIR over the documents table (corpus = doc_id %
+    10 != 0, target = % 10 == 0), mirroring the driver queries; returns
+    (scores, gumbel-top-k sample)."""
+    from kgtk_ray.ops.sample import _id_hash
+    from kgtk_ray.text.dsir import _ALPHA, _feature_buckets
+
+    tgt = docs[docs.doc_id % 10 == 0]
+    raw = docs[docs.doc_id % 10 != 0].reset_index(drop=True)
+
+    def counts(df):
+        _, b = _feature_buckets(df.text.astype(str), num_buckets, True)
+        return np.bincount(b, minlength=num_buckets)
+
+    cr, ct = counts(raw), counts(tgt)
+    lr = np.log(cr + _ALPHA) - np.log(cr.sum() + _ALPHA * num_buckets)
+    lt = np.log(ct + _ALPHA) - np.log(ct.sum() + _ALPHA * num_buckets)
+    rows, b = _feature_buckets(raw.text.astype(str), num_buckets, True)
+    w = np.zeros(len(raw))
+    n = np.zeros(len(raw), dtype=np.int64)
+    np.add.at(w, rows, (lt - lr)[b])
+    np.add.at(n, rows, 1)
+    scores = pd.DataFrame({"doc_id": raw.doc_id.to_numpy(), "n_feats": n,
+                           "dsir_score": _round_away(w)})
+    u = (_id_hash(raw.doc_id.to_numpy()).astype(np.float64) + 0.5) / 2**32
+    key = w - np.log(-np.log(u))
+    samp = pd.DataFrame({"doc_id": raw.doc_id.to_numpy(), "n_feats": n,
+                         "dsir_score": w, "dsir_key": key})
+    # select on the UNROUNDED key (as the distributed sort does), round
+    # only the emitted values
+    samp = samp.sort_values(["dsir_key", "doc_id"],
+                            ascending=[False, True]).head(k)
+    samp["dsir_score"] = _round_away(samp["dsir_score"].to_numpy())
+    samp["dsir_key"] = _round_away(samp["dsir_key"].to_numpy())
+    return scores, samp.reset_index(drop=True)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     docs = pq.read_table(f"{SF}/documents.parquet",
@@ -509,6 +552,9 @@ def main() -> None:
     save(ref_dedup_against(docs), "dedup_against.parquet")
     save(ref_link_embedding(SF), "link_embedding.parquet")
     save(ref_wikidata_jsons(nation), "wikidata_jsons.parquet")
+    dsir_scores, dsir_sample = ref_dsir(docs)
+    save(dsir_scores, "dsir_scores.parquet")
+    save(dsir_sample, "dsir_sample.parquet")
 
 
 if __name__ == "__main__":
