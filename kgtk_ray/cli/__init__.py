@@ -94,6 +94,14 @@ class Ctx:
     stderr: TextIO = field(default_factory=lambda: sys.stderr)
     #: set by a runner to override the default emit (e.g. md text)
     consumed: bool = False
+    #: canonical -> original header name for alias columns seen on
+    #: input (the reference CLI never rewrites headers: a file whose
+    #: label column is spelled ``relation`` keeps ``relation`` in the
+    #: output, kgtk/io/kgtkbase.py:153-191 resolves aliases per read
+    #: without renaming).  Our reader normalizes to canonical names so
+    #: operators are simple; this map restores the user's spelling at
+    #: the final file/stdout boundary.  First-seen alias wins.
+    alias_restore: dict = field(default_factory=dict)
 
     # ---- input -----------------------------------------------------
     def read(self, spec, *, required: bool = True) -> Optional[Dataset]:
@@ -108,7 +116,39 @@ class Ctx:
             if spec == "-" or required:
                 return self._read_stdin()
             return None
+        self._note_aliases(spec)
         return read_any(spec)
+
+    def _note_aliases(self, spec: str) -> None:
+        """Record original header spellings of alias columns so the
+        final output can restore them (see ``alias_restore``)."""
+        if str(spec).endswith((".parquet", ".jsonl", ".jl")):
+            return
+        try:
+            from ..format import resolve_column_aliases
+            from ..io.kgtk_tsv import _header_columns
+            renames = resolve_column_aliases(_header_columns(str(spec)))
+        except Exception:
+            return
+        for orig, canon in renames.items():
+            if orig != canon:
+                self.alias_restore.setdefault(canon, orig)
+
+    def _restore_aliases(self, ds: Dataset) -> Dataset:
+        """Rename canonical columns back to the input's alias
+        spellings where that does not collide with another column."""
+        if not self.alias_restore:
+            return ds
+        cols = ds.schema().names
+        ren = {c: o for c, o in self.alias_restore.items()
+               if c in cols and o not in cols}
+        if not ren:
+            return ds
+
+        def f(t):
+            return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+        return ds.map_batches(f, batch_format="pyarrow")
 
     def read_many(self, specs, *, required: bool = True) -> list[Dataset]:
         specs = [_path_str(s) for s in _flatten(specs)]
@@ -137,10 +177,10 @@ class Ctx:
         dest = _path_str(getattr(args, "output_file", None)) or "-"
         fmt = getattr(args, "output_format", None) or "kgtk"
         if dest != "-":
-            write_any(ds, dest, fmt)
+            write_any(self._restore_aliases(ds), dest, fmt)
             return None
         if self.is_last:
-            stream_to(ds, self.stdout, fmt)
+            stream_to(self._restore_aliases(ds), self.stdout, fmt)
             return None
         return ds
 
@@ -150,9 +190,9 @@ class Ctx:
         if ds is None or spec in (None, ""):
             return
         if spec == "-":
-            stream_to(ds, self.stdout, fmt)
+            stream_to(self._restore_aliases(ds), self.stdout, fmt)
             return
-        write_any(ds, spec, fmt)
+        write_any(self._restore_aliases(ds), spec, fmt)
 
 
 def _path_str(p) -> Optional[str]:

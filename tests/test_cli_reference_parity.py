@@ -120,6 +120,52 @@ CASES = [
      "node1-label-node2"],
     # clean-data (strict defaults)
     ["clean-data", "-i", "clean_data-file1.tsv"],
+    # explode (reference default field set over the reference's own
+    # typed-value fixtures)
+    ["explode", "-i", "explode-file1.tsv"],
+    ["explode", "-i", "explode-file2.tsv"],
+    # compact variants: lists, empty cells, multi-column, and a file
+    # whose label column is spelled `relation` (alias-spelling must be
+    # preserved in the output header, kgtk/io/kgtkbase.py:153-191)
+    ["compact", "--input-file", "compact-file2.tsv"],
+    ["compact", "--input-file", "compact-file3.tsv"],
+    ["compact", "--input-file", "compact-file4.tsv"],
+    ["compact", "--input-file", "compact-file5.tsv"],
+    ["compact", "--input-file", "compact-file6.tsv"],
+    ["cat", "-i", "compact-file6.tsv"],  # alias passthrough
+    # lift across the reference's own fixture matrix (labels in-file
+    # and via matched/unmatched shapes)
+    ["lift", "lift-file2.tsv"],
+    ["lift", "lift-file3.tsv"],
+    ["lift", "lift-file4.tsv"],
+    ["lift", "lift-file6.tsv"],
+    ["lift", "lift-file9.tsv"],
+    ["lift", "lift-file10.tsv"],
+    # unique on a non-default column
+    ["unique", "unique-file1.tsv", "--column", "node2"],
+    # cat: quoted-comma cells, and an alias-aware two-file column merge
+    ["cat", "-i", "catcsv-file1.tsv"],
+    ["cat", "-i", "ifexists-file1.tsv", "ifempty-file1.tsv"],
+    # ifexists on the wide fixtures
+    ["ifexists", "ifexists-file3.tsv", "--filter-on", "ifexists-file4.tsv"],
+    # join on the second fixture pair (both modes)
+    ["join", "--left-file", "kgtkjoiner-test1-file1.tsv",
+     "--right-file", "kgtkjoiner-test1-file2.tsv"],
+    ["join", "--left-file", "kgtkjoiner-test2-file1.tsv",
+     "--right-file", "kgtkjoiner-test2-file2.tsv", "--left-join"],
+    # unreify: the reference's own shell-test command lines
+    ["unreify-values", "-i", "unreify-values-file1.tsv",
+     "--trigger-label", "rdf:type", "--trigger-node2", "ont:Confidence",
+     "--value-label", "ont:confidenceValue", "--old-label",
+     "ont:confidence"],
+    ["unreify-rdf-statements", "-i", "unreify-rdf-statements-file1.tsv"],
+    # ifempty on a non-default column
+    ["ifempty", "-i", "ifempty-file1.tsv", "--columns", "location"],
+    # projections over extra columns
+    ["remove-columns", "-i", "unique-file1.tsv", "-c", "location", "years"],
+    # clean-data: date/value repair fixtures and short lines
+    ["clean-data", "-i", "reformat-file1.tsv"],
+    ["clean-data", "-i", "short-line-file1.tsv"],
 ]
 
 
