@@ -53,8 +53,12 @@ def _sample_texts(ds: Dataset, *, text_col: str, id_col: str,
                               kind="mergesort").head(n)
 
     part = ds.map_batches(topn, batch_format="pandas")
-    return (part.sort(["__h__", id_col]).limit(n).to_pandas()
-            .drop(columns="__h__"))
+    out = part.sort(["__h__", id_col]).limit(n).to_pandas()
+    if out.empty:
+        # Ray loses the schema of empty materialized datasets
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             text_col: pd.Series([], dtype=object)})
+    return out.drop(columns="__h__")
 
 
 def _featurize(texts: pd.Series, num_buckets: int, bigrams: bool):
