@@ -1353,6 +1353,41 @@ def _q_clf_filter(sf: str):
                        ["clf_score"])
 
 
+def _q_c4_lines(sf: str):
+    """C4 line-level filtering (Raffel et al. 2020 §2.2) over
+    deterministic multi-line pages synthesized from documents: kept
+    lines end in terminal punctuation with >=5 words and no
+    'javascript'; pages with 'lorem ipsum' / '{' or <3 surviving lines
+    drop entirely.  The oracle replicates every rule with DuckDB
+    list_filter (order-preserving)."""
+    from kgtk_ray.text.lines import c4_line_filter
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source", "lang"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        i = df.doc_id.astype("int64").to_numpy()
+        sid = df.doc_id.astype(str)
+        nl = "\n"
+        text = ("Doc " + sid + " from " + df.source + " in " + df.lang
+                + " is documented here."
+                + nl + "too short."
+                + nl + "This long line has no terminal punctuation at the end"
+                + np.where(i % 7 == 0, nl + "This javascript line is long "
+                           "and would otherwise be kept.", "")
+                + np.where(i % 11 == 0, nl + "lorem ipsum dolor sit amet "
+                           "consectetur adipiscing elit.", "")
+                + np.where(i % 13 == 0, nl + "A template brace { lurks "
+                           "in this page body.", "")
+                + nl + "Another proper sentence to keep for document "
+                + sid + "!"
+                + nl + "Is sentence three of document " + sid
+                + " surviving now?")
+        return pd.DataFrame({"doc_id": df.doc_id, "text": text})
+
+    return c4_line_filter(docs.map_batches(mk, batch_format="pandas"))
+
+
 def _q_domain_filter(sf: str):
     """Domain blocklist filtering (UT1-blocklist shape): hosts site1/
     site4 dropped via a broadcast set, host column kept for stats."""
@@ -1381,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_filter": _q_domain_filter,
         "dsir_scores": _q_dsir_scores,
         "dsir_sample": _q_dsir_sample,
+        "c4_lines": _q_c4_lines,
         "clf_scores": _q_clf_scores,
         "clf_filter": _q_clf_filter,
         # --- new in round 4 (importers promoted from pytest-only) ---
@@ -1598,6 +1634,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, url_canon FROM canon
             QUALIFY row_number() OVER (PARTITION BY url_canon
                                        ORDER BY doc_id) = 1
+        """,
+        "c4_lines": """
+            WITH pages AS (
+              SELECT doc_id,
+                'Doc ' || CAST(doc_id AS VARCHAR) || ' from ' || source
+                || ' in ' || lang || ' is documented here.'
+                || chr(10) || 'too short.'
+                || chr(10) || 'This long line has no terminal punctuation at the end'
+                || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+                     || 'This javascript line is long and would otherwise be kept.'
+                     ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                     || 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                     ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN chr(10)
+                     || 'A template brace { lurks in this page body.'
+                     ELSE '' END
+                || chr(10) || 'Another proper sentence to keep for document '
+                || CAST(doc_id AS VARCHAR) || '!'
+                || chr(10) || 'Is sentence three of document '
+                || CAST(doc_id AS VARCHAR) || ' surviving now?' AS text
+              FROM documents),
+            keep AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), x ->
+                         regexp_matches(x, '[.!?\"]\\s*$')
+                         AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                         AND NOT regexp_matches(lower(x), '\\bjavascript\\b')
+                     ) AS kept
+              FROM pages
+              WHERE NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{'))
+            SELECT doc_id, array_to_string(kept, chr(10)) AS text
+            FROM keep WHERE len(kept) >= 3
         """,
         "clf_scores": f"""
             SELECT doc_id, n_feats, clf_score

@@ -25,6 +25,7 @@ from .classifier import (
     train_quality_classifier,
 )
 from .dsir import dsir_scores, dsir_sample
+from .lines import c4_line_filter
 from .urls import (
     canonicalize_urls,
     canonicalize_series,
@@ -41,4 +42,4 @@ __all__ = ["langid", "quality_score", "token_counts", "fingerprint",
            "pack_sequences", "dedup_spans", "canonicalize_urls",
            "canonicalize_series", "dedup_urls", "filter_domains",
            "extract_host", "dsir_scores", "dsir_sample", "quality_classifier_scores",
-           "classifier_filter", "train_quality_classifier"]
+           "classifier_filter", "train_quality_classifier", "c4_line_filter"]
