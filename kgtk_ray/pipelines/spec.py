@@ -74,7 +74,20 @@ def _builtin_ops() -> None:
                          simhash_dedup)
     from ..io.importers import import_atomic, import_conceptnet
     from ..io.rdf import generate_wikidata_ttl
-    from ..text import chunk_text, dedup_spans, pack_sequences, scrub_pii
+    from ..text import (c4_line_filter, canonicalize_urls, chunk_text,
+                        classifier_filter, dedup_spans, dedup_urls,
+                        dsir_sample, dsir_scores, filter_domains,
+                        pack_sequences, quality_classifier_scores,
+                        scrub_pii)
+    builtins["canonicalize_urls"] = canonicalize_urls
+    builtins["dedup_urls"] = dedup_urls
+    builtins["filter_domains"] = filter_domains
+    builtins["c4_line_filter"] = c4_line_filter
+    # two-input curation steps: the second corpus arrives as a kwarg
+    builtins["dsir_scores"] = dsir_scores
+    builtins["dsir_sample"] = dsir_sample
+    builtins["quality_classifier_scores"] = quality_classifier_scores
+    builtins["classifier_filter"] = classifier_filter
     builtins["minhash_dedup"] = minhash_dedup
     builtins["simhash_dedup"] = simhash_dedup
     builtins["semdedup"] = semdedup

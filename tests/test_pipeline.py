@@ -222,6 +222,31 @@ def test_run_pipeline_curation_ops_registered():
     assert set(out.columns) >= {"doc_id", "text", "shard", "pos"}
 
 
+def test_run_pipeline_round4_curation_ops():
+    """Round-4 webtext ops compose through the `/` pipe DSL; two-corpus
+    steps take the second dataset as a kwarg."""
+    from kgtk_ray.pipelines.spec import OPS, run_pipeline
+    for name in ("canonicalize_urls", "dedup_urls", "filter_domains",
+                 "c4_line_filter", "dsir_scores", "dsir_sample",
+                 "quality_classifier_scores", "classifier_filter"):
+        assert name in OPS, name
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "url": ["https://A.com/x/", "https://a.com:443/x",
+                "https://blocked.org/y"],
+        "text": ["spark table scan", "spark table scan", "dog cat"],
+    }))
+    tgt = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [9], "text": ["spark table"]}))
+    out = run_pipeline(docs, [
+        {"op": "filter_domains", "blocklist": {"blocked.org"}},
+        {"op": "dedup_urls"},
+        {"op": "dsir_scores", "target": tgt, "num_buckets": 64},
+    ]).to_pandas()
+    assert out.doc_id.tolist() == [1]
+    assert out.dsir_score.iloc[0] != 0.0
+
+
 def test_link_entities_embedding_fallback():
     """north_rule linker: alias-dict hit first, embedding-index catch
     for fuzzy mentions, surface-form passthrough for misses."""
