@@ -197,6 +197,61 @@ def run_bench() -> dict:
     timed("corpus_stats", lambda: E._q_corpus_stats(SF_DIR).count())
     timed("shard_assign", lambda: E._q_shard_assign(SF_DIR).count())
     timed("corpus_curation", lambda: E._q_corpus_curation(SF_DIR).count())
+    timed("url_dedup", lambda: E._q_url_dedup(SF_DIR).count())
+    timed("dsir_sample", lambda: E._q_dsir_sample(SF_DIR).count())
+
+    # the FULL webtext curation stack as one stream (headline #2):
+    # url front door -> langid -> gopher quality -> PII -> span dedup
+    # -> MinHash near-dup -> decontaminate vs an eval slice ->
+    # quality-classifier lottery -> split -> shard.  Each stage is
+    # oracle-checked individually (queries()); this measures their
+    # composition at bench scale.
+    def bench_curation_full():
+        from kgtk_ray.dedup import minhash_dedup
+        from kgtk_ray.ops import shard_assign, split_dataset
+        from kgtk_ray.text import (classifier_filter, decontaminate,
+                                   dedup_spans, dedup_urls, gopher_filter,
+                                   langid, scrub_pii)
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+        docs = docs.map_batches(lambda df: df.assign(
+            url="https://s" + (df.doc_id % 50).astype(str) + ".org/d/"
+                + df.doc_id.astype(str)), batch_format="pandas")
+        ev = docs.map_batches(lambda df: df[df.doc_id % 97 == 0],
+                              batch_format="pandas")
+        pos = docs.map_batches(lambda df: df[df.doc_id % 10 == 0],
+                               batch_format="pandas")
+        from kgtk_ray.ops.shuffle import ifexists
+        ds = dedup_urls(docs)
+        ds = langid(ds)
+        ds = gopher_filter(ds, min_tokens=30, max_dup_word_frac=0.55,
+                           max_top_word_frac=0.13)
+        # checkpoint: the span-deduped corpus feeds two consumers (the
+        # MinHash cluster pass and the representative semi-join input)
+        ds = dedup_spans(scrub_pii(ds), k=3).materialize()
+        # near-dup clusters -> keep the min-member representative
+        reps = minhash_dedup(ds).map_batches(
+            lambda df: df[df.doc_id == df.cluster][["doc_id"]],
+            batch_format="pandas")
+        ds = ifexists(ds, reps, input_keys=["doc_id"],
+                      filter_keys=["doc_id"])
+        # checkpoint the reduced corpus: three consumers branch off it
+        # (classifier negative sampling, scoring, and the final
+        # semi-join) — without this the lazy chain upstream re-executes
+        # once per consumer.  At 100 TB this is the persist-to-parquet
+        # phase boundary the kg pipeline's materialize_edges provides.
+        ds = decontaminate(ds, ev, k=4).materialize()
+        kept = classifier_filter(ds, pos, lottery_alpha=2.0).map_batches(
+            lambda df: df[["doc_id"]], batch_format="pandas")
+        final = split_dataset(
+            shard_assign(ifexists(ds, kept, input_keys=["doc_id"],
+                                  filter_keys=["doc_id"]),
+                         id_col="doc_id", n_shards=8),
+            id_col="doc_id",
+            fractions={"train": 0.9, "valid": 0.05, "test": 0.05})
+        results["curation_full_rows"] = final.count()
+
+    timed("curation_full", bench_curation_full)
 
     # distributed pagerank on the full lineitem edge table (the graph
     # iteratives' scale check: rank state stays a Dataset; driver RSS
