@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..format import merge_list_series
+from ..format import merge_lists_grouped
 
 Dataset = ray.data.Dataset
 
@@ -107,8 +107,7 @@ def compact(
         dups = df[dup]
         if not len(dups):
             return uniq
-        merged = dups.groupby(keys, as_index=False, sort=False).agg(
-            {c: merge_list_series for c in rest})
+        merged = merge_lists_grouped(dups, keys, rest)
         return pd.concat([uniq, merged], ignore_index=True)
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -124,8 +123,7 @@ def compact(
         dups = df[dup]
         if not len(dups):
             return uniq
-        merged = dups.groupby(keys, as_index=False, sort=False).agg(
-            {c: merge_list_series for c in rest})
+        merged = merge_lists_grouped(dups, keys, rest)
         return pd.concat([uniq, merged], ignore_index=True)
 
     # phase 1: per-batch combiner (normalizes every cell and collapses
@@ -504,8 +502,7 @@ def lift(
         uniq = df[~dup]
         dups = df[dup]
         if len(dups):
-            m = dups.groupby("node1", as_index=False, sort=False).agg(
-                {"node2": merge_list_series})
+            m = merge_lists_grouped(dups, ["node1"], ["node2"])
             return pd.concat([uniq, m], ignore_index=True)
         return uniq
 

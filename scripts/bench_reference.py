@@ -1,11 +1,12 @@
 """Head-to-head single-node throughput: reference KGTK vs kgtk_ray.
 
 Runs the reference's own operator implementations (KgtkCompact,
-KgtkIfExists, Unique — imported from /root/reference with tiny stub
-modules for its unused optional deps) and our Ray Data equivalents on
-the SAME derived edge TSV/parquet at a given scale factor, and prints
-one JSON line of wall times.  This is the "matches-or-beats the
-reference's single-node throughput" evidence for BASELINE.md.
+KgtkIfExists, Unique, KgtkLift, and the clean-data reader/writer loop
+— imported from /root/reference with tiny stub modules for its unused
+optional deps) and our Ray Data equivalents on the SAME derived edge
+TSV/parquet at a given scale factor, and prints one JSON line of wall
+times.  This is the "matches-or-beats the reference's single-node
+throughput" evidence for BASELINE.md.
 
 Usage:  python scripts/bench_reference.py [sf_dir] [num_cpus]
 """
@@ -87,6 +88,19 @@ def build_inputs(sf: str, rep: int = 1) -> tuple[str, str]:
             FROM '{sf}/orders.parquet' WHERE o_orderkey % 7 = 0""")
         con.sql(f"COPY f TO '{filt_tsv}' (FORMAT CSV, DELIMITER '\t', HEADER)")
         con.sql(f"COPY f TO '{filt_pq}' (FORMAT PARQUET)")
+    labels_tsv = "/tmp/refbench_labels.tsv"
+    labels_pq = "/tmp/refbench_labels.parquet"
+    if not (os.path.exists(labels_tsv) and os.path.exists(labels_pq)):
+        import duckdb
+        con = duckdb.connect()
+        con.sql(f"""
+            CREATE VIEW lbl AS
+            SELECT 'P'||CAST(p_partkey AS VARCHAR) AS node1,
+                   'label' AS label, p_name AS node2
+            FROM '{sf}/part.parquet'""")
+        con.sql(f"COPY lbl TO '{labels_tsv}' "
+                "(FORMAT CSV, DELIMITER '\t', HEADER)")
+        con.sql(f"COPY lbl TO '{labels_pq}' (FORMAT PARQUET)")
     return edges_tsv, edges_pq
 
 
@@ -106,8 +120,12 @@ def bench_reference(edges_tsv: str) -> dict[str, float]:
     sys.path.insert(0, SHIM)
     sys.path.insert(0, "/root/reference")
     from kgtk.iff.kgtkifexists import KgtkIfExists
+    from kgtk.io.kgtkreader import KgtkReader, KgtkReaderOptions
+    from kgtk.io.kgtkwriter import KgtkWriter
     from kgtk.join.unique import Unique
+    from kgtk.lift.kgtklift import KgtkLift
     from kgtk.reshape.kgtkcompact import KgtkCompact
+    from kgtk.utils.validationaction import ValidationAction
 
     times: dict[str, float] = {}
     times["ref_compact"] = _best_of(2, lambda: KgtkCompact(
@@ -124,6 +142,26 @@ def bench_reference(edges_tsv: str) -> dict[str, float]:
         filter_file_path=Path("/tmp/refbench_filter.tsv"),
         input_keys=["node1"], filter_keys=["id"],
         output_file_path=Path("/tmp/refbench_ref_ifexists.tsv")).process())
+    times["ref_lift"] = _best_of(2, lambda: KgtkLift(
+        input_file_path=Path(edges_tsv),
+        label_file_path=Path("/tmp/refbench_labels.tsv"),
+        output_file_path=Path("/tmp/refbench_ref_lift.tsv")).process())
+
+    def ref_clean() -> None:
+        # the reference clean-data core (kgtk/cli/clean_data.py:115-131):
+        # a validating KgtkReader streamed row-by-row into a KgtkWriter,
+        # invalid values excluded (strict default KgtkValueOptions)
+        ropts = KgtkReaderOptions(
+            repair_and_validate_values=True,
+            invalid_value_action=ValidationAction.EXCLUDE)
+        kr = KgtkReader.open(Path(edges_tsv), options=ropts)
+        kw = KgtkWriter.open(kr.column_names,
+                             Path("/tmp/refbench_ref_clean.tsv"))
+        for row in kr:
+            kw.write(row)
+        kw.close()
+
+    times["ref_clean"] = _best_of(2, ref_clean)
     return times
 
 
@@ -156,6 +194,14 @@ def bench_ours(edges_pq: str, num_cpus: int) -> dict[str, float]:
         O.ifexists(rd.read_parquet(edges_pq),
                    rd.read_parquet("/tmp/refbench_filter.parquet"),
                    input_keys=["node1"], filter_keys=["id"]), "ray_ifexists"))
+    times["ray_lift"] = _best_of(2, lambda: sink(
+        O.lift(rd.read_parquet(edges_pq),
+               rd.read_parquet("/tmp/refbench_labels.parquet")), "ray_lift"))
+    from kgtk_ray.values import ValueOptions
+    times["ray_clean"] = _best_of(2, lambda: sink(
+        O.clean_edges(rd.read_parquet(edges_pq),
+                      ["node1", "label", "node2", "supp", "ln"],
+                      options=ValueOptions()), "ray_clean"))
     ray.shutdown()
     return times
 
@@ -165,7 +211,8 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     ncpu = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     rep = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    for d in ("ray_compact", "ray_unique", "ray_ifexists"):
+    for d in ("ray_compact", "ray_unique", "ray_ifexists", "ray_lift",
+              "ray_clean"):
         shutil.rmtree(f"/tmp/refbench_{d}", ignore_errors=True)
     edges_tsv, edges_pq = build_inputs(sf, rep)
     n_rows = sum(1 for _ in open(edges_tsv)) - 1
@@ -173,7 +220,7 @@ def main() -> None:
     ours = bench_ours(edges_pq, ncpu)
     out = {"sf": sf, "rows": n_rows, "num_cpus": ncpu, "rep": rep,
            **ref, **ours}
-    for op in ("compact", "unique", "ifexists"):
+    for op in ("compact", "unique", "ifexists", "lift", "clean"):
         out[f"speedup_{op}"] = round(ref[f"ref_{op}"] / ours[f"ray_{op}"], 2)
     print(json.dumps(out))
 
