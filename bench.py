@@ -87,6 +87,16 @@ def run_bench() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Executor tuning, measured on the headline pipeline (see
+    # BASELINE.md "executor configuration"): the default per-operator
+    # resource reservation splits the CPU budget across the ~6 plan
+    # operators, which on small CPU counts throttles the hot fused map
+    # stage to ~1 concurrent task (8-CPU leg: 60 s -> 11 s from this
+    # one flag).  Disabling reservation silently drops Ray Data's
+    # memory-limit fraction from 0.5 to 0.25, which the page-corpus
+    # read then saturates — so pin the fraction back explicitly.
+    ctx.op_resource_reservation_enabled = False
+    ctx.override_object_store_memory_limit_fraction = 0.5
 
     import numpy as np
     import pandas as pd
@@ -111,9 +121,11 @@ def run_bench() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         # parallelism scaled to the session's CPU budget (the cluster-size
         # proxy): ~2 blocks per CPU keeps per-task scheduling overhead
-        # amortized; the linker pool takes half the CPUs at 0.5 CPU per
-        # actor, leaving the other half for the map/shuffle stages; batch
-        # size grows with the pool so each actor sees full batches.
+        # amortized.  The dict-only linker runs as stateless tasks (the
+        # concurrency arg only sizes the actor pool of the
+        # embedding-index tier, unused here — a 16-actor pool re-spawned
+        # per execution measured ~9 s of stall on this corpus); batch
+        # size grows with the CPU budget so tasks see full batches.
         pages = rd.read_parquet(pages_path,
                                 override_num_blocks=2 * NUM_CPUS)
         edges = kg_pipeline_from_pages(
@@ -290,11 +302,16 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     # The scaling criterion simulates N vs 4N cluster nodes.  It must be
     # measured in the compute-bound regime (the 100 TB regime), not the
-    # fixed-overhead regime: at the default corpus size a single run is
-    # ~40% constant cost (actor-pool startup, sort barriers, scheduling
-    # latency) which no amount of CPUs removes.  So --scaling uses a 4x
-    # larger replicated corpus unless overridden.
-    rep = int(os.environ.get("GRAFT_SCALING_REP", str(max(PAGE_REP, 120))))
+    # fixed-overhead regime: per-wave dispatch + the sort barrier cost a
+    # roughly data-independent ~6-10 s on the 32-CPU leg, which no
+    # amount of CPUs removes — at small corpus sizes that constant IS
+    # the 32-CPU wall time.  The round-4 executor/pipeline speedups
+    # (vectorized merge, task-based linker, single-exchange sorted
+    # compact, reservation fix) cut the per-page cost ~3x, so the
+    # corpus needed to stay compute-bound grew accordingly: 960
+    # replications (14.4M pages, ~5.8M output edges) puts the 32-CPU
+    # leg's scalable work at ~2x its constant overhead.
+    rep = int(os.environ.get("GRAFT_SCALING_REP", str(max(PAGE_REP, 960))))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -14,6 +14,7 @@ from .core import (
 )
 from .shuffle import (
     compact,
+    compact_sorted,
     unique_counts,
     ifexists,
     ifnotexists,
@@ -45,7 +46,7 @@ from .profile import grouped_profile
 __all__ = [
     "kgtk_filter", "ifempty", "ifnotempty", "calc_percentage", "expand_lists",
     "normalize_nodes", "lower_labels", "add_id", "remove_columns", "rename_columns",
-    "reorder_columns", "cat", "compact", "unique_counts", "ifexists", "ifnotexists",
+    "reorder_columns", "cat", "compact", "compact_sorted", "unique_counts", "ifexists", "ifnotexists",
     "kgtk_join", "lift", "sort_edges", "dedup_exact_edges", "validate_edges",
     "clean_edges", "explode_node2", "implode_node2", "degrees", "graph_statistics",
     "reachable_nodes", "connected_components", "paths", "paths_statistics", "graph_statistics_edges", "pagerank",

@@ -139,6 +139,62 @@ def compact(
                                 arrow_tag=True)
 
 
+def compact_sorted(ds: Dataset, key_columns: Sequence[str] | None = None,
+                   *, compact_id: bool = False) -> Dataset:
+    """:func:`compact` with key-sorted output in ONE all-to-all instead
+    of two (bucket exchange + separate sort).
+
+    Phase 1 is the same per-batch combiner (skew guard).  Phase 2 is a
+    global range-partition ``Dataset.sort`` on the key columns: Ray's
+    sort assigns every row to a partition by a pure function of its key
+    against the sampled boundaries, so ALL rows of a key land in one
+    sorted block (ties cannot straddle a boundary — verified by the
+    multi-block hot-key stress test).  A per-block order-preserving
+    grouped merge (:func:`~kgtk_ray.format.merge_lists_grouped`, whose
+    group ids follow first appearance = sorted order) then collapses
+    each key run in place, leaving the output globally key-sorted.
+
+    Use this whenever sorted compacted output is wanted (the
+    reference's canonical ``compact | sort`` tail): it removes an
+    entire exchange from the pipeline.  Plain :func:`compact` remains
+    for unordered output (hash buckets shuffle less data per skewed
+    key than range partitions when no sort is needed)."""
+    if key_columns:
+        keys = list(key_columns)
+    else:
+        cols = ds.schema().names
+        keys = _default_edge_keys(cols)
+        if "node1" in cols and "id" in cols and not compact_id:
+            keys.append("id")
+
+    partial = compact(ds, keys, _partial_only=True)
+    ranged = partial.sort(keys)
+
+    def merge_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        """Order-preserving per-block merge: singleton keys (already
+        cell-normalized by phase 1) pass through; only duplicated key
+        runs pay the grouped merge, whose group order (first
+        appearance) equals sorted order, so the merged values align
+        back onto the group-head rows in place."""
+        rest = [c for c in df.columns if c not in keys]
+        if not rest:
+            return df.drop_duplicates()
+        dup = df.duplicated(keys, keep=False).to_numpy()
+        if not dup.any():
+            return df
+        first = (~df.duplicated(keys)).to_numpy()
+        base = df[first].copy()
+        merged = merge_lists_grouped(df[dup], keys, rest)
+        head_of_dup = dup[first]
+        for c in rest:
+            col = base[c].to_numpy(dtype=object, copy=True)
+            col[head_of_dup] = merged[c].to_numpy()
+            base[c] = col
+        return base
+
+    return ranged.map_batches(merge_sorted, batch_format="pandas")
+
+
 def _compact_partial(ds: Dataset, keys: Sequence[str],
                      merge_df=None) -> Dataset:
     """compact's phase-1 combiner as a standalone stage (exposed for

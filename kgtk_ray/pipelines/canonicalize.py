@@ -16,7 +16,7 @@ from __future__ import annotations
 import ray.data
 
 from ..ops.core import add_id
-from ..ops.shuffle import compact, sort_edges
+from ..ops.shuffle import compact, compact_sorted
 from ..ops.validate import clean_edges
 
 Dataset = ray.data.Dataset
@@ -25,10 +25,16 @@ Dataset = ray.data.Dataset
 def canonicalize(edges: Dataset, *, value_columns=("node2",),
                  id_style: str = "node1-label-node2",
                  sort_output: bool = True) -> Dataset:
-    """clean -> compact(dedup+merge) -> add-id -> sort(node1)."""
+    """clean -> compact(dedup+merge) -> add-id -> sort(node1).
+
+    With ``sort_output`` the compact and the sort collapse into ONE
+    range-partition exchange (:func:`~kgtk_ray.ops.compact_sorted`):
+    the sort's partitioner colocates every key, so the grouped merge
+    runs per sorted block and the output needs no second all-to-all —
+    add-id is an order-preserving map after it."""
     ds = clean_edges(edges, list(value_columns))
-    ds = compact(ds, ["node1", "label", "node2"])
-    ds = add_id(ds, style=id_style)
     if sort_output:
-        ds = sort_edges(ds, ["node1", "label", "node2"])
-    return ds
+        return add_id(compact_sorted(ds, ["node1", "label", "node2"]),
+                      style=id_style)
+    ds = compact(ds, ["node1", "label", "node2"])
+    return add_id(ds, style=id_style)

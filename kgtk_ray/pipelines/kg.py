@@ -1,7 +1,8 @@
 """The flagship KG-construction pipeline (north_star):
 
 read pages -> extract text (byte-identical per url) -> rule-based
-triple extraction -> entity linking (actor pool, broadcast alias dict)
+triple extraction -> entity linking (broadcast alias dict read per
+task; actor pool when the embedding-index tier is attached)
 -> KGTK canonicalization (clean, compact/dedup, add-id, sort node1).
 
 ``kg_pipeline(sf_dir)`` runs it over the deterministic page table

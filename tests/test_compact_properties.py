@@ -68,3 +68,45 @@ def test_compact_phase1_bounds_hot_key_fanin():
     hot_out = full[full.node1 == "HOT"]
     assert len(hot_out) == 1
     assert hot_out.iloc[0].node2.count("|") == int(hot.sum()) - 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(ROW, min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=5))
+def test_compact_sorted_matches_naive_and_is_sorted(rows, parallelism):
+    ds = rd.from_pandas(pd.DataFrame(
+        rows, columns=["node1", "label", "node2", "extra"])) \
+        .repartition(parallelism)
+    got = O.compact_sorted(ds, ["node1", "label", "node2"]).to_pandas()
+    got_rows = sorted(map(tuple, got[["node1", "label", "node2",
+                                      "extra"]].to_numpy().tolist()))
+    assert got_rows == naive_compact(rows)
+    # output arrives globally key-sorted without a separate sort stage
+    keys = list(map(tuple, got[["node1", "label", "node2"]]
+                    .to_numpy().tolist()))
+    assert keys == sorted(keys)
+
+
+def test_compact_sorted_ties_never_split_across_partitions():
+    # the single-exchange design rests on Ray's range partitioner
+    # assigning rows by a pure function of the key: a key duplicated
+    # across MANY input blocks must still come out as exactly one row.
+    # 50k rows, only 199 distinct keys, 32 blocks — every key collides
+    # with every boundary candidate.
+    import numpy as np
+    rng = np.random.default_rng(11)
+    n = 50_000
+    k = rng.integers(0, 199, n)
+    df = pd.DataFrame({
+        "node1": [f"k{v:03d}" for v in k],
+        "label": "p",
+        "node2": "m",
+        "extra": [f"v{i % 7}" for i in range(n)],
+    })
+    ds = rd.from_pandas(df).repartition(32)
+    got = O.compact_sorted(ds, ["node1", "label", "node2"]).to_pandas()
+    assert len(got) == len(set(k)), "a key run split across partitions"
+    assert not got.duplicated(["node1", "label", "node2"]).any()
+    assert list(got.node1) == sorted(got.node1)
+    # every distinct extra value survived into the merged lists
+    assert got.extra.str.count(r"\|").sum() == len(set(k)) * 6
