@@ -100,14 +100,21 @@ class Ctx:
     #: output, kgtk/io/kgtkbase.py:153-191 resolves aliases per read
     #: without renaming).  Our reader normalizes to canonical names so
     #: operators are simple; this map restores the user's spelling at
-    #: the final file/stdout boundary.  First-seen alias wins.
+    #: the final file/stdout boundary.  Recorded from PRIMARY inputs
+    #: only (first-seen among them): a side file — a filter-on or
+    #: label file that spells ``label`` as ``predicate`` — must not
+    #: hijack the output spelling of the file actually flowing through
+    #: the pipe.
     alias_restore: dict = field(default_factory=dict)
 
     # ---- input -----------------------------------------------------
-    def read(self, spec, *, required: bool = True) -> Optional[Dataset]:
+    def read(self, spec, *, required: bool = True,
+             primary: bool = False) -> Optional[Dataset]:
         """Resolve one input slot: ``-``/None -> the piped stream (or
         stdin for a chain head); a path -> TSV/parquet read by
-        extension (gzip/bz2/lz4/zstd transparent)."""
+        extension (gzip/bz2/lz4/zstd transparent).  ``primary`` marks
+        the command's main input whose header spelling the output
+        should preserve (see ``alias_restore``)."""
         spec = _path_str(spec)
         if spec in (None, "-"):
             if self.piped is not None:
@@ -116,7 +123,8 @@ class Ctx:
             if spec == "-" or required:
                 return self._read_stdin()
             return None
-        self._note_aliases(spec)
+        if primary:
+            self._note_aliases(spec)
         return read_any(spec)
 
     def _note_aliases(self, spec: str) -> None:
@@ -139,7 +147,10 @@ class Ctx:
         spellings where that does not collide with another column."""
         if not self.alias_restore:
             return ds
-        cols = ds.schema().names
+        schema = ds.schema()
+        if schema is None:  # empty result (e.g. a filter dropped all rows)
+            return ds
+        cols = schema.names
         ren = {c: o for c, o in self.alias_restore.items()
                if c in cols and o not in cols}
         if not ren:
@@ -262,7 +273,10 @@ def stream_to(ds: Dataset, out: TextIO, fmt: str = "kgtk") -> None:
     the pipe-tail analog of the reference writer on fd 1.  Consumes
     the dataset with ``iter_batches``; nothing materializes."""
     from ..io.formats import format_lines
-    cols = ds.schema().names
+    schema = ds.schema()
+    if schema is None:  # all rows dropped from a zero-block read
+        return
+    cols = schema.names
     if fmt == "md":
         out.write("|" + "".join(f" {c} |" for c in cols) + "\n")
         out.write("|" + "".join(" -- |" for _ in cols) + "\n")
@@ -328,7 +342,7 @@ def input_of(args, ctx: Ctx, *, required: bool = True) -> Optional[Dataset]:
         ds = read_kgtk_tsv(spec, fill_short_lines=fill,
                            truncate_long_lines=trunc)
     else:
-        ds = ctx.read(spec, required=required)
+        ds = ctx.read(spec, required=required, primary=True)
     if ds is None:
         return None
     return apply_sampling(ds, args)
@@ -340,7 +354,10 @@ def inputs_of(args, ctx: Ctx) -> list[Dataset]:
                       getattr(args, "input_file_positional", None)])
     if not specs:
         return [ctx.read(None)]
-    return [apply_sampling(ctx.read(s), args) for s in specs]
+    # every input of a cat/validate chain is primary (the reference
+    # concatenates with the first file's header spelling = first-seen)
+    return [apply_sampling(ctx.read(s, primary=True), args)
+            for s in specs]
 
 
 def apply_sampling(ds: Dataset, args) -> Dataset:

@@ -362,7 +362,7 @@ def cmd_join(args, ctx: Ctx):
     if right_spec is None:
         raise CLIError("join: need two input files (or --left-file/"
                        "--right-file)")
-    left = ctx.read(left_spec)
+    left = ctx.read(left_spec, primary=True)  # output spelling follows left
     right = ctx.read(right_spec)
     return kgtk_join(
         left, right,

@@ -257,7 +257,8 @@ def format_lines(ds: Dataset, fmt: str = "kgtk") -> Dataset:
     :func:`write_kgtk_file`)."""
     import json
 
-    cols = ds.schema().names
+    schema = ds.schema()
+    cols = schema.names if schema is not None else []
     sep = "," if fmt == "csv" else "\t"
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -294,7 +295,14 @@ def write_kgtk_file(ds: Dataset, path: str, *, fmt: str = "kgtk") -> None:
     jsonl variants).  Streaming consumption (``iter_batches``) — the
     dataset never materializes; at 100 TB write partitioned Parquet or
     the ``format_lines`` dataset instead."""
-    cols = ds.schema().names
+    schema = ds.schema()
+    if schema is None:
+        # a chain that dropped every row of a zero-block read loses its
+        # schema; emit an empty file rather than crash (the header is
+        # unrecoverable at this point)
+        open(path, "w").close()
+        return
+    cols = schema.names
     lines = format_lines(ds, fmt)
     with open(path, "w") as f:
         if fmt == "md":

@@ -67,13 +67,26 @@ def initial_skip(ds: Dataset, count: int, *, key: str) -> Dataset:
 # and computable identically in SQL ((id * 2654435761) % 4294967296 —
 # products stay under 2^63 for any id < 2^31, so BIGINT arithmetic in
 # the oracle matches numpy uint64 exactly).
+#
+# Independent uses of the hash as a UNIFORM draw (the GPT-3 lottery in
+# text/classifier.py, the Gumbel noise in text/dsir.py) must NOT share
+# the unsalted stream with the hash-ordered SAMPLING uses below:
+# documents with the smallest hash would be both preferentially chosen
+# as training examples and near-guaranteed lottery survivors — a
+# correlated draw the papers' independent uniforms don't have.  Each
+# such use XORs a distinct salt into the id first (still one multiply,
+# still SQL-expressible as xor(id, salt) * 2654435761).
 _KNUTH = 2654435761
 _MOD32 = 4294967296
+SALT_LOTTERY = 0x9E3779B9   # classifier lottery uniform
+SALT_GUMBEL = 0x85EBCA6B    # DSIR Gumbel-noise uniform
 
 
-def _id_hash(ids) -> "np.ndarray":
+def _id_hash(ids, salt: int = 0) -> "np.ndarray":
     import numpy as np
     a = np.asarray(ids, dtype=np.uint64)
+    if salt:
+        a = a ^ np.uint64(salt)
     return (a * np.uint64(_KNUTH)) % np.uint64(_MOD32)
 
 

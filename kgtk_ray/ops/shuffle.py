@@ -140,7 +140,8 @@ def compact(
 
 
 def compact_sorted(ds: Dataset, key_columns: Sequence[str] | None = None,
-                   *, compact_id: bool = False) -> Dataset:
+                   *, compact_id: bool = False,
+                   validate: bool = False) -> Dataset:
     """:func:`compact` with key-sorted output in ONE all-to-all instead
     of two (bucket exchange + separate sort).
 
@@ -158,7 +159,13 @@ def compact_sorted(ds: Dataset, key_columns: Sequence[str] | None = None,
     reference's canonical ``compact | sort`` tail): it removes an
     entire exchange from the pipeline.  Plain :func:`compact` remains
     for unordered output (hash buckets shuffle less data per skewed
-    key than range partitions when no sort is needed)."""
+    key than range partitions when no sort is needed).
+
+    ``validate=True`` appends a global key-uniqueness check (one extra
+    count aggregate) that raises if any key run was split across two
+    merge batches — the cheap guard on the one-block-per-sort-partition
+    invariant below.  Tests run with it on; production pipelines leave
+    it off."""
     if key_columns:
         keys = list(key_columns)
     else:
@@ -192,7 +199,26 @@ def compact_sorted(ds: Dataset, key_columns: Sequence[str] | None = None,
             base[c] = col
         return base
 
-    return ranged.map_batches(merge_sorted, batch_format="pandas")
+    # batch_size=None pins the invariant merge_sorted relies on: each
+    # sorted range partition arrives as exactly ONE batch (Ray's
+    # documented whole-block batching; SortTaskSpec.reduce emits one
+    # block per partition in Ray 2.49).  If a future Ray splits large
+    # reduce outputs, a key run straddling two batches would emit
+    # partially-merged duplicate key rows — the validate path below is
+    # the detector for that regression.
+    out = ranged.map_batches(merge_sorted, batch_format="pandas",
+                             batch_size=None)
+    if validate:
+        dup = (out.groupby(keys).count()
+                  .filter(lambda row: row["count()"] > 1))
+        bad = dup.take(1)
+        if bad:
+            raise AssertionError(
+                "compact_sorted invariant violated: key "
+                f"{ {k: bad[0][k] for k in keys} } was emitted by more "
+                "than one merge batch (a sorted range partition reached "
+                "merge_sorted as multiple batches)")
+    return out
 
 
 def _compact_partial(ds: Dataset, keys: Sequence[str],

@@ -31,6 +31,25 @@ import ray.data
 
 Dataset = ray.data.Dataset
 
+# Per-worker-process cache of deserialized broadcast objects, keyed by
+# ObjectRef hex.  ray.get() of a plasma dict pays a full unpickle per
+# call; the stateless-task linking path constructs an EntityLinker per
+# batch, so without this a large alias map would be re-deserialized
+# once per 8192-row batch — the very re-ship cost the broadcast design
+# exists to avoid.  Bounded to a handful of entries (a worker serves at
+# most a couple of concurrent linking stages).
+_BROADCAST_CACHE: dict[str, object] = {}
+_BROADCAST_CACHE_MAX = 4
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        if len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
 
 def build_alias_map(aliases: pd.DataFrame, *, alias_col: str = "alias",
                     qid_col: str = "qid") -> dict[str, str]:
@@ -81,7 +100,7 @@ class EntityLinker:
 
     def __init__(self, alias_ref, columns=("node1", "node2"),
                  index_ref=None, threshold: float = 0.6):
-        self.alias_map: dict[str, str] = ray.get(alias_ref)
+        self.alias_map: dict[str, str] = _cached_get(alias_ref)
         self.columns = list(columns)
         self.threshold = threshold
         self.index_ids = None
@@ -136,9 +155,10 @@ def link_entities(edges: Dataset, alias_map: dict[str, str] | pd.DataFrame, *,
     Execution strategy (``use_actors=None`` auto-selects):
 
     * **stateless tasks** when the only state is the alias dict: the
-      dict lives in the object store once (``ray.put``) and each task
-      reads the plasma-cached copy via ``ray.get`` — no per-task
-      re-ship, and no actor-pool processes to spawn.  A Ray Data actor
+      dict lives in the object store once (``ray.put``) and each
+      WORKER PROCESS deserializes it once (module-level
+      ``_cached_get`` memo keyed by ObjectRef) — no per-task re-ship,
+      no per-batch re-unpickle, and no actor-pool processes to spawn.  A Ray Data actor
       pool is created and torn down PER EXECUTION; measured on the
       scaling corpus (1.8M-triple run, 32 CPUs) a 16-actor pool added
       ~9 s of spin-up/backpressure stall to a 6.6 s job, and the cost

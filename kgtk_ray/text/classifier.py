@@ -36,7 +36,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..ops.sample import _id_hash
+from ..ops.sample import SALT_LOTTERY, _id_hash
 from .dsir import _feature_buckets
 
 Dataset = ray.data.Dataset
@@ -167,8 +167,10 @@ def classifier_filter(corpus: Dataset, positive: Dataset,
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         if threshold is not None:
             return df[df["clf_score"].to_numpy() >= threshold]
-        u = (_id_hash(df[id_col].to_numpy()).astype(np.float64)
-             + 0.5) / 4294967296.0
+        # salted stream: independent of the hash-ordered training
+        # sampling above (see SALT_LOTTERY in ops/sample.py)
+        u = (_id_hash(df[id_col].to_numpy(), SALT_LOTTERY)
+             .astype(np.float64) + 0.5) / 4294967296.0
         return df[u < df["clf_score"].to_numpy() ** lottery_alpha]
 
     return scored.map_batches(keep, batch_format="pandas")

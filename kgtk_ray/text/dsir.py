@@ -34,7 +34,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..ops.sample import _id_hash
+from ..ops.sample import SALT_GUMBEL, _id_hash
 from .repetition import _token_series
 
 Dataset = ray.data.Dataset
@@ -151,8 +151,10 @@ def dsir_sample(corpus: Dataset, target: Dataset, *, k: int,
     def key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         if gumbel:
-            u = (_id_hash(df[id_col].to_numpy()).astype(np.float64)
-                 + 0.5) / 4294967296.0
+            # salted stream: independent of the id-hash sampling /
+            # lottery streams (see SALT_GUMBEL in ops/sample.py)
+            u = (_id_hash(df[id_col].to_numpy(), SALT_GUMBEL)
+                 .astype(np.float64) + 0.5) / 4294967296.0
             df["dsir_key"] = df["dsir_score"].to_numpy() - np.log(-np.log(u))
         else:
             df["dsir_key"] = df["dsir_score"]

@@ -493,7 +493,7 @@ def ref_dsir(docs: pd.DataFrame, *, num_buckets=10_000,
     """Single-process DSIR over the documents table (corpus = doc_id %
     10 != 0, target = % 10 == 0), mirroring the driver queries; returns
     (scores, gumbel-top-k sample)."""
-    from kgtk_ray.ops.sample import _id_hash
+    from kgtk_ray.ops.sample import SALT_GUMBEL, _id_hash
     from kgtk_ray.text.dsir import _ALPHA, _feature_buckets
 
     tgt = docs[docs.doc_id % 10 == 0]
@@ -513,7 +513,8 @@ def ref_dsir(docs: pd.DataFrame, *, num_buckets=10_000,
     np.add.at(n, rows, 1)
     scores = pd.DataFrame({"doc_id": raw.doc_id.to_numpy(), "n_feats": n,
                            "dsir_score": _round_away(w)})
-    u = (_id_hash(raw.doc_id.to_numpy()).astype(np.float64) + 0.5) / 2**32
+    u = (_id_hash(raw.doc_id.to_numpy(), SALT_GUMBEL)
+         .astype(np.float64) + 0.5) / 2**32
     key = w - np.log(-np.log(u))
     samp = pd.DataFrame({"doc_id": raw.doc_id.to_numpy(), "n_feats": n,
                          "dsir_score": w, "dsir_key": key})
@@ -532,7 +533,7 @@ def ref_classifier(docs: pd.DataFrame, *, num_buckets=10_000, iters=500,
     """Single-process quality classifier mirroring the driver queries
     (pos = doc_id%10==0, neg = doc_id%10==5, corpus = the rest);
     returns (scores, lottery-filtered)."""
-    from kgtk_ray.ops.sample import _id_hash
+    from kgtk_ray.ops.sample import SALT_LOTTERY, _id_hash
     from kgtk_ray.text.classifier import _featurize
 
     def hash_order(df):
@@ -571,7 +572,8 @@ def ref_classifier(docs: pd.DataFrame, *, num_buckets=10_000, iters=500,
     p = 1.0 / (1.0 + np.exp(-(margin + b0)))
     scores = pd.DataFrame({"doc_id": corpus.doc_id.to_numpy(),
                            "n_feats": n2, "clf_score": _round_away(p)})
-    u = (_id_hash(corpus.doc_id.to_numpy()).astype(np.float64) + 0.5) / 2**32
+    u = (_id_hash(corpus.doc_id.to_numpy(), SALT_LOTTERY)
+         .astype(np.float64) + 0.5) / 2**32
     kept = scores[u < p ** alpha].reset_index(drop=True)
     return scores, kept
 

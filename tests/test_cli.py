@@ -321,3 +321,42 @@ def test_text_embedding_cli(tmp_path):
     assert set(df["node1"]) == {"q1", "q2"}
     assert all("," in v for v in df["node2"])  # comma-joined vectors
     assert set(df["label"]) == {"text_embedding"}
+
+
+def test_side_file_alias_does_not_hijack_output_spelling(tmp_path):
+    """A filter-on side file spelling `label` as `relation` must not
+    rewrite the primary input's canonical header: alias restoration is
+    recorded from primary inputs only (ADVICE r4)."""
+    prim = write_tsv(tmp_path / "prim.tsv", (
+        "node1\tlabel\tnode2\n"
+        "a\tp1\tx\n"
+        "b\tp2\ty\n"
+    ))
+    side = write_tsv(tmp_path / "side.tsv", (
+        "node1\trelation\tnode2\n"
+        "a\tp1\tx\n"
+    ))
+    out = str(tmp_path / "out.tsv")
+    run(["ifexists", "-i", prim, "--filter-on", side, "-o", out])
+    df = read_tsv(out)
+    assert list(df.columns) == ["node1", "label", "node2"]
+    assert set(df["node1"]) == {"a"}
+    # and the converse: a primary spelled `relation` keeps `relation`
+    out2 = str(tmp_path / "out2.tsv")
+    run(["ifexists", "-i", side, "--filter-on", prim, "-o", out2])
+    assert list(read_tsv(out2).columns) == ["node1", "relation", "node2"]
+
+
+def test_alias_restore_survives_empty_result(tmp_path):
+    """A chain that drops every row of an alias-spelled input must
+    still emit (empty) output instead of crashing on a None schema
+    (ADVICE r4)."""
+    src = write_tsv(tmp_path / "r.tsv", (
+        "node1\trelation\tnode2\n"
+        "a\tp1\tx\n"
+    ))
+    out = str(tmp_path / "o.tsv")
+    run(["filter", "-i", src, "-p", " ; nomatch ; ", "-o", out])
+    assert os.path.exists(out)
+    body = open(out).read()
+    assert body == "" or len(body.splitlines()) == 1  # header at most

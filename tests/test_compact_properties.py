@@ -104,7 +104,10 @@ def test_compact_sorted_ties_never_split_across_partitions():
         "extra": [f"v{i % 7}" for i in range(n)],
     })
     ds = rd.from_pandas(df).repartition(32)
-    got = O.compact_sorted(ds, ["node1", "label", "node2"]).to_pandas()
+    # validate=True turns on the global key-uniqueness guard, the
+    # runtime detector for the one-block-per-sort-partition invariant
+    got = O.compact_sorted(ds, ["node1", "label", "node2"],
+                           validate=True).to_pandas()
     assert len(got) == len(set(k)), "a key run split across partitions"
     assert not got.duplicated(["node1", "label", "node2"]).any()
     assert list(got.node1) == sorted(got.node1)
