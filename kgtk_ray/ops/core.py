@@ -256,9 +256,15 @@ def add_id(ds: Dataset, *, style: str = "node1-label-node2",
                            if id_col in df.columns else pd.Series([""] * len(df)))
                     new = base + "-" + old.values
                 elif style == "wikidata":
-                    import hashlib
-                    new = base.map(lambda s: "E" + hashlib.sha1(
-                        s.encode("utf-8")).hexdigest()[:16])
+                    # content digest "E" + 16 hex chars.  Our extension
+                    # (the reference's style list has no digest style,
+                    # kgtk/reshape/kgtkidbuilder.py:20-34); the digest
+                    # is a vectorized 64-bit siphash of the content
+                    # triple — deterministic across runs / block
+                    # layouts, no per-row hashlib calls.
+                    h = pd.util.hash_array(base.to_numpy(dtype=object))
+                    new = pd.Series(np.char.mod("E%016x", h),
+                                    index=base.index)
                 else:
                     new = base
             if id_col in df.columns:

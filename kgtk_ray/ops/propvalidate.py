@@ -21,9 +21,10 @@ lists.  Supported kinds (reference Action enum, :220-295):
   ``equal_to_date`` / ``not_equal_to_date`` (:1354-1461), ``reject``;
 * structure: ``isa`` (row must conform to ALL listed datatypes'
   rules, transitively — :1829-1869), ``switch`` (first case whose
-  row-level rules pass matches; no case -> invalid.  Deviation: the
-  reference re-runs group-level checks per case, :1871-1960; here
-  switch matching is row-level only);
+  row-level rules pass matches; no case -> invalid; group-level rules
+  attached to a case datatype apply to the rows that matched it via
+  the matched-datatype occurrence counts below, mirroring the
+  reference's rolled-back occurs scoreboard, :1871-1960);
 * per-``node1``-group (one distributed count + per-bucket rule scan):
   ``minoccurs`` / ``maxoccurs``, ``mustoccur`` (groups missing the
   prop have all rows rejected), ``requires`` / ``prohibits``
@@ -454,8 +455,18 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
                  num_partitions: int, *,
                  count_all_rows: bool = False) -> Dataset:
     """minoccurs / maxoccurs / mustoccur / requires / prohibits: one
-    distributed (node1, label) count, then a per-node1 bucketed rule
+    distributed (node1, datatype) count, then a per-node1 bucketed rule
     scan emitting one violation row per bad node1.
+
+    Occurrences are counted per MATCHED datatype (the row phase's
+    ``_matched`` column: the label's isa closure plus the matched
+    switch case's closure), mirroring the reference's occurs
+    scoreboard, which validate_prop_or_datatype increments for every
+    datatype a row validates under — with failed switch cases rolled
+    back (propertypatternvalidator.py:1656-1672, 1871-1941).  This is
+    what makes group rules (minoccurs/mustoccur/...) attached to a
+    switch CASE datatype apply to exactly the rows that matched that
+    case.
 
     ``count_all_rows`` counts every row (the reference's grouped mode
     updates the occurs scoreboard during row validation regardless of
@@ -472,13 +483,38 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
     if checked.count() == 0:
         return checked  # empty datasets can lose their schema
 
+    relevant = frozenset(group_props) | frozenset(must_props)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # c: the occurrence count the rules check (all rows in grouped
-        # mode, row-valid rows otherwise); t: total rows, so the scan
-        # can tell "prop absent" from "prop present but all invalid"
-        g = df.groupby(["node1", "label"], as_index=False).agg(
-            c=("_ok", "size" if count_all_rows else "sum"),
-            t=("_ok", "size"))
+        # src=0: per-(node1, label) counts — the presence table the
+        # requires/prohibits scan consults (reference interesting
+        # scoreboard, :2056-2063).  src=1: per-(node1, matched
+        # datatype) counts — the occurs table (reference occurs
+        # scoreboard, :1656-1672), which is what applies min/maxoccurs
+        # and mustoccur attached to a switch CASE or isa datatype to
+        # the rows that matched it.  c: the occurrence count the rules
+        # check (all rows in grouped mode, row-valid rows otherwise);
+        # t: total rows, so the scan can tell "never occurs" from
+        # "occurs but all rows invalid".
+        lbl = pd.DataFrame({"node1": df["node1"].astype(str),
+                            "label": df["label"].astype(str),
+                            "_ok": df["_ok"].to_numpy()})
+        lbl["src"] = 0
+        ex = df["_matched"].astype(str).str.split("|").explode()
+        ex = ex[ex.isin(relevant)]
+        # a row validates a datatype once even when several paths reach
+        # it (closure lists can repeat entries)
+        mat = pd.DataFrame({
+            "node1": df["node1"].reindex(ex.index).astype(str),
+            "label": ex.to_numpy(),
+            "_ok": df["_ok"].reindex(ex.index).to_numpy(),
+        }).reset_index().drop_duplicates(["index", "label"]) \
+            .drop(columns="index")
+        mat["src"] = 1
+        g = (pd.concat([lbl, mat], ignore_index=True)
+             .groupby(["node1", "label", "src"], as_index=False)
+             .agg(c=("_ok", "size" if count_all_rows else "sum"),
+                  t=("_ok", "size")))
         g["c"] = g["c"].astype("int64")
         return g
 
@@ -487,7 +523,7 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
 
     counts = grouped_aggregate(
         checked.map_batches(partial, batch_format="pandas"),
-        ["node1", "label"], {"n": ("c", "sum"), "t": ("t", "sum")},
+        ["node1", "label", "src"], {"n": ("c", "sum"), "t": ("t", "sum")},
         num_buckets=num_partitions)
 
     rref = ray.put((group_props, must_props))
@@ -496,8 +532,12 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
         gp, mp = ray.get(rref)
         rows = []
         for node1, sub in df.groupby("node1", sort=False):
-            have = dict(zip(sub["label"], sub["n"]))
-            present = dict(zip(sub["label"], sub["t"]))
+            is_m = (sub["src"] == 1).to_numpy()
+            # matched-datatype counts drive the occurs family...
+            have = dict(zip(sub["label"][is_m], sub["n"][is_m]))
+            present = dict(zip(sub["label"][is_m], sub["t"][is_m]))
+            # ...label counts drive requires/prohibits presence
+            have_lbl = dict(zip(sub["label"][~is_m], sub["n"][~is_m]))
             bad_props: list[str] = []
             whole = False
             for p in mp:
@@ -505,8 +545,8 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
                     whole = True
             for p, r in gp.items():
                 if present.get(p, 0) == 0:
-                    # the prop never occurs in this group: occurs rules
-                    # attach only to groups containing the prop
+                    # the datatype never occurs in this group: occurs
+                    # rules attach only to groups containing it
                     # (reference occurs_scoreboard entries exist only
                     # for processed rows, :1656-1672)
                     continue
@@ -522,11 +562,13 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
                                                           np.inf):
                     bad_props.append(p)
                     continue
-                if n > 0 and any(q not in have for q in r.get("requires",
-                                                              [])):
+                nl = have_lbl.get(p, n)
+                if nl > 0 and any(q not in have_lbl
+                                  for q in r.get("requires", [])):
                     bad_props.append(p)
                     continue
-                if n > 0 and any(q in have for q in r.get("prohibits", [])):
+                if nl > 0 and any(q in have_lbl
+                                  for q in r.get("prohibits", [])):
                     bad_props.append(p)
             if bad_props or whole:
                 rows.append((node1, "|".join(sorted(set(bad_props))),
@@ -548,10 +590,12 @@ def _group_phase(checked: Dataset, rules: dict[str, dict],
     def apply_viol(df: pd.DataFrame) -> pd.DataFrame:
         bad = df["bad"].fillna("")
         whole = df["whole"].fillna(0).astype(bool)
-        labels = df["label"].astype(str)
+        # a violated datatype rejects the rows that counted toward it:
+        # the rows whose matched-datatype set contains it
+        matched = df["_matched"].astype(str)
         hit = whole.to_numpy()
-        for i, (b, lab) in enumerate(zip(bad, labels)):
-            if b and lab in b.split("|"):
+        for i, (b, mt) in enumerate(zip(bad, matched)):
+            if b and not set(b.split("|")).isdisjoint(mt.split("|")):
                 hit[i] = True
         out = df.drop(columns=["bad", "whole"]).copy()
         out["_ok"] = out["_ok"].astype(bool)  # left join may objectify

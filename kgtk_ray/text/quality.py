@@ -4,12 +4,21 @@ All measures are deterministic string arithmetic so the DuckDB oracle
 can reproduce them: n_chars, n_tokens (whitespace split), mean token
 length, punctuation ratio, stopword ratio, and a composite
 ``quality`` in [0,1].
+
+Arrow-native kernel (round 5): every string measure is a
+``pyarrow.compute`` (RE2) kernel over the zero-copy ``large_string``
+column; only the final scalar ratio arithmetic runs in numpy (cheap,
+numeric).  Whole-token stopword counting uses the same
+three-space-separator trick as :mod:`.langid`.
 """
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
+
+from .langid import _padded_tokens
 
 Dataset = ray.data.Dataset
 
@@ -17,31 +26,33 @@ STOPWORDS = ["the", "a", "and", "of", "to"]
 
 
 def quality_score(ds: Dataset, *, text_col: str = "text") -> Dataset:
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].astype(str)
-        n_chars = s.str.len().to_numpy()
-        n_tokens = s.str.count(r"\S+").to_numpy()
-        n_punct = s.str.count(r"[^\w\s]").to_numpy()
-        low = s.str.lower()
-        n_stop = np.zeros(len(s), dtype=np.int64)
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t[text_col], pa.large_string()), "")
+        n_chars = pc.utf8_length(s).to_numpy().astype(np.int64)
+        n_tokens = pc.count_substring_regex(
+            s, r"\S+").to_numpy().astype(np.int64)
+        n_punct = pc.count_substring_regex(
+            s, r"[^\w\s]").to_numpy().astype(np.int64)
+        padded = _padded_tokens(s)
+        n_stop = np.zeros(t.num_rows, dtype=np.int64)
         for w in STOPWORDS:
-            n_stop += low.str.count(
-                rf"(?<![A-Za-z0-9]){w}(?![A-Za-z0-9])").to_numpy()
+            n_stop += pc.count_substring(
+                padded, f" {w} ").to_numpy().astype(np.int64)
         tok = np.maximum(n_tokens, 1)
         punct_ratio = n_punct / np.maximum(n_chars, 1)
         stop_ratio = n_stop / tok
-        mean_tok_len = (n_chars - (n_tokens - 1).clip(min=0)) / tok
         # composite: long enough, not punctuation soup, some stopwords
         quality = (
             np.clip(n_tokens / 100.0, 0, 1) * 0.4
             + np.clip(1.0 - 5.0 * punct_ratio, 0, 1) * 0.3
             + np.clip(5.0 * stop_ratio, 0, 1) * 0.3
         )
-        df = df.copy()
-        df["n_tokens"] = n_tokens.astype("int64")
-        df["punct_ratio"] = punct_ratio
-        df["stop_ratio"] = stop_ratio
-        df["quality"] = quality
-        return df
+        for name in ("n_tokens", "punct_ratio", "stop_ratio", "quality"):
+            if name in t.column_names:
+                t = t.drop_columns([name])
+        return (t.append_column("n_tokens", pa.array(n_tokens))
+                 .append_column("punct_ratio", pa.array(punct_ratio))
+                 .append_column("stop_ratio", pa.array(stop_ratio))
+                 .append_column("quality", pa.array(quality)))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")

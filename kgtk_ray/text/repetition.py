@@ -7,16 +7,22 @@ cross-document duplicated-n-gram signal used by RefinedWeb-style
 pipelines — re-expressed as vectorized Ray Data batch transforms:
 
 * per-document signals (``repetition_signals``) are a single
-  ``map_batches`` pass: tokens are exploded to a long frame once and
-  every measure (distinct-token fraction, top-token fraction, top
-  bigram fraction, mean token length) is a pandas groupby at C speed —
-  no Python loop over rows, no shuffle;
+  ``map_batches`` pass.  Arrow-native kernel (round 5): tokens come
+  from ``pc.utf8_split_whitespace`` + ``pc.dictionary_encode`` on the
+  zero-copy ``large_string`` column, so every group statistic
+  (distinct-token fraction, top-token fraction, top bigram fraction,
+  mean token length) runs over int32 codes in numpy — token STRINGS
+  never materialize as Python objects, attacking the measured
+  DRAM-bandwidth wall (BASELINE.md round-4 scaling section);
 * the corpus-global signal (``corpus_dup_ngram_frac``) shuffles
   64-bit n-gram *hashes*, never n-gram strings: distinct
   (doc, gram) pairs -> bucketed count of containing docs -> hash join
   back onto per-doc occurrences -> per-doc aggregate.  Every stage is
   bounded by the gram-hash key space, so it holds at 100 TB where a
-  string shuffle would not.
+  string shuffle would not.  Gram hashes mix per-token content hashes
+  (computed once per DISTINCT token per batch over the dictionary)
+  positionally — object-dtype hashing cost is proportional to the
+  vocabulary of a batch, not its token count.
 
 All measures are deterministic string arithmetic mirrored 1:1 by the
 DuckDB oracle SQL in ``__ray_entry__.oracle_sql()``.
@@ -25,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 Dataset = ray.data.Dataset
@@ -32,8 +40,100 @@ Dataset = ray.data.Dataset
 
 def _token_series(s: pd.Series) -> pd.Series:
     """Whitespace tokens per row (list-valued), matching
-    ``string_split_regex(trim(text), '\\s+')`` on non-empty text."""
+    ``string_split_regex(trim(text), '\\s+')`` on non-empty text.
+    Pandas helper shared by the object-dtype consumers (dsir /
+    decontam / lm); the hot kernels in THIS module use the Arrow
+    :func:`_token_codes` path instead."""
     return s.astype(str).str.split()
+
+
+def _gram_hash(grams: pd.Series) -> np.ndarray:
+    """Stable 64-bit hash of n-gram strings (shuffle key; strings never
+    leave the producing task)."""
+    return pd.util.hash_pandas_object(grams, index=False).to_numpy()
+
+
+def _token_codes(col) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray, pa.Array, int]:
+    """Tokenize an Arrow string column: returns ``(row_ids, codes,
+    token_lengths, n_tokens_per_row, dictionary, n_rows)`` with empty
+    tokens (split artifacts at whitespace boundaries) removed and
+    document order preserved.  All outputs but the dictionary are
+    numeric numpy arrays."""
+    s = pc.fill_null(pc.cast(col, pa.large_string()), "")
+    lists = pc.utf8_split_whitespace(s)
+    n_rows = len(lists)
+    lens = pc.fill_null(pc.list_value_length(lists), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    toklen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    keep = toklen > 0          # drop "" boundary artifacts
+    row, codes, toklen = row[keep], codes[keep], toklen[keep]
+    n_tokens = np.bincount(row, minlength=n_rows)
+    return row, codes, toklen, n_tokens, enc.dictionary, n_rows
+
+
+def _group_top_distinct(row: np.ndarray, key: np.ndarray,
+                        n_rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (max multiplicity, distinct count) of ``key`` values —
+    the numpy lexsort replacement for a pandas groupby over object
+    strings.  O(n log n), no Python objects."""
+    top = np.zeros(n_rows, dtype=np.int64)
+    distinct = np.zeros(n_rows, dtype=np.int64)
+    if not len(row):
+        return top, distinct
+    order = np.lexsort((key, row))
+    r, k = row[order], key[order]
+    new = np.empty(len(r), dtype=bool)
+    new[0] = True
+    new[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(r)))
+    np.maximum.at(top, r[starts], counts)
+    np.add.at(distinct, r[starts], 1)
+    return top, distinct
+
+
+def _bigram_pairs(row: np.ndarray, codes: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row, first-code, second-code) of consecutive same-row token
+    pairs, in document order."""
+    if len(row) < 2:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    adj = row[1:] == row[:-1]
+    return row[:-1][adj], codes[:-1][adj], codes[1:][adj]
+
+
+def _signal_frame(col) -> dict[str, np.ndarray]:
+    row, codes, toklen, n_tokens, _, n_rows = _token_codes(col)
+    n = np.maximum(n_tokens, 1)
+    top, distinct = _group_top_distinct(row, codes, n_rows)
+
+    brow, c1, c2 = _bigram_pairs(row, codes)
+    # pack the pair into one key for the group scan: codes are batch-
+    # local dictionary indices, so c1 * K + c2 stays well inside int64
+    k = int(codes.max()) + 1 if len(codes) else 1
+    btop, _ = _group_top_distinct(brow, c1 * k + c2, n_rows)
+    n_big = np.bincount(brow, minlength=n_rows).astype(np.float64)
+
+    nonspace = np.bincount(row, weights=toklen, minlength=n_rows)
+    return {
+        "n_tokens": n_tokens.astype(np.int64),
+        "dup_word_frac": 1.0 - distinct / n,
+        "top_word_frac": top / n,
+        "top_bigram_frac": np.where(n_big > 0,
+                                    btop / np.maximum(n_big, 1), np.nan),
+        "mean_word_len": nonspace / n,
+    }
 
 
 def repetition_signals(ds: Dataset, *, text_col: str = "text",
@@ -49,35 +149,12 @@ def repetition_signals(ds: Dataset, *, text_col: str = "text",
       / bigrams (null when the document has < 2 tokens)
     * ``mean_word_len``  — non-whitespace characters / tokens
     """
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].astype(str)
-        toks = _token_series(s)
-        n_tokens = toks.str.len().to_numpy()
-        n = np.maximum(n_tokens, 1)
+    def f(t: pa.Table) -> pa.Table:
+        sig = _signal_frame(t[text_col])
+        return pa.table({id_col: t[id_col],
+                         **{name: pa.array(v) for name, v in sig.items()}})
 
-        ex = toks.explode().dropna()
-        cnt = ex.groupby([ex.index, ex]).size()
-        top = cnt.groupby(level=0).max().reindex(df.index, fill_value=0)
-        distinct = cnt.groupby(level=0).size().reindex(df.index, fill_value=0)
-
-        nxt = ex.groupby(level=0).shift(-1)
-        big = (ex + " " + nxt).dropna()
-        bcnt = big.groupby([big.index, big]).size()
-        btop = bcnt.groupby(level=0).max().reindex(df.index)
-        n_big = big.groupby(level=0).size().reindex(df.index)
-
-        nonspace = s.str.count(r"\S").to_numpy()
-        out = pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
-            "n_tokens": n_tokens.astype("int64"),
-            "dup_word_frac": 1.0 - distinct.to_numpy() / n,
-            "top_word_frac": top.to_numpy() / n,
-            "top_bigram_frac": btop.to_numpy() / n_big.to_numpy(),
-            "mean_word_len": nonspace / n,
-        })
-        return out
-
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def gopher_filter(ds: Dataset, *, text_col: str = "text",
@@ -95,32 +172,29 @@ def gopher_filter(ds: Dataset, *, text_col: str = "text",
     duplicate-token fraction at most ``max_dup_word_frac`` and
     top-token fraction at most ``max_top_word_frac``.
     """
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].astype(str)
-        toks = _token_series(s)
-        n_tokens = toks.str.len().to_numpy()
-        n = np.maximum(n_tokens, 1)
-        ex = toks.explode().dropna()
-        cnt = ex.groupby([ex.index, ex]).size()
-        top = cnt.groupby(level=0).max().reindex(df.index, fill_value=0)
-        distinct = cnt.groupby(level=0).size().reindex(df.index, fill_value=0)
-        mean_len = s.str.count(r"\S").to_numpy() / n
-        dup_frac = 1.0 - distinct.to_numpy() / n
-        top_frac = top.to_numpy() / n
+    def f(t: pa.Table) -> pa.Table:
+        sig = _signal_frame(t[text_col])
+        n_tokens = sig["n_tokens"]
         keep = ((n_tokens >= min_tokens) & (n_tokens <= max_tokens)
-                & (mean_len >= min_mean_word_len)
-                & (mean_len <= max_mean_word_len)
-                & (dup_frac <= max_dup_word_frac)
-                & (top_frac <= max_top_word_frac))
-        return df.loc[keep]
+                & (sig["mean_word_len"] >= min_mean_word_len)
+                & (sig["mean_word_len"] <= max_mean_word_len)
+                & (sig["dup_word_frac"] <= max_dup_word_frac)
+                & (sig["top_word_frac"] <= max_top_word_frac))
+        return t.filter(pa.array(keep))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _gram_hash(grams: pd.Series) -> np.ndarray:
-    """Stable 64-bit hash of n-gram strings (shuffle key; strings never
-    leave the producing task)."""
-    return pd.util.hash_pandas_object(grams, index=False).to_numpy()
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the positional combine."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
 
 
 def corpus_dup_ngram_frac(ds: Dataset, *, text_col: str = "text",
@@ -143,19 +217,34 @@ def corpus_dup_ngram_frac(ds: Dataset, *, text_col: str = "text",
     """
     from ..ops._bucket import bucketed_join, MIN_BUNDLE_ROWS
     from ..ops.agg import grouped_aggregate
-    import pyarrow as pa
 
-    def to_grams(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _token_series(df[text_col].astype(str))
-        ex = toks.explode().dropna()
-        parts = [ex]
+    def to_grams(t: pa.Table) -> pd.DataFrame:
+        row, codes, _, _, dictionary, _ = _token_codes(t[text_col])
+        doc_ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = max(len(codes) - k + 1, 0)  # candidate gram start positions
+        if m == 0:
+            return pd.DataFrame({id_col: doc_ids[:0],
+                                 "gram_h": np.empty(0, np.uint64)})
+        # content-hash once per DISTINCT token, then map through codes:
+        # cross-batch stable, object-dtype cost bounded by the batch
+        # vocabulary, not its token count
+        vocab_h = pd.util.hash_array(
+            dictionary.to_pandas().to_numpy(dtype=object))
+        th = vocab_h[codes]
+        gram_h = _mix64(th[:m])
+        ok = np.ones(m, dtype=bool)  # all k tokens inside one document
         for i in range(1, k):
-            parts.append(ex.groupby(level=0).shift(-i))
-        gram = parts[0].str.cat(parts[1:], sep=" ").dropna()
-        doc = df[id_col].reindex(gram.index).to_numpy()
-        return pd.DataFrame({id_col: doc, "gram_h": _gram_hash(gram)})
+            # positional combine: the accumulator is multiplied before
+            # the xor, so token order matters (a plain mix(a)^mix(b)
+            # commutes and collides transposed grams)
+            with np.errstate(over="ignore"):
+                gram_h = _mix64(gram_h * np.uint64(0x100000001B3)
+                                ^ th[i:m + i])
+            ok &= row[i:m + i] == row[:m]
+        return pd.DataFrame({id_col: doc_ids[row[:m][ok]],
+                             "gram_h": gram_h[ok]})
 
-    grams = ds.map_batches(to_grams, batch_format="pandas",
+    grams = ds.map_batches(to_grams, batch_format="pyarrow",
                            batch_size=MIN_BUNDLE_ROWS)
 
     pairs = grams.map_batches(

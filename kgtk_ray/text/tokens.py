@@ -1,9 +1,14 @@
 """Token counting: whitespace tokens and a BPE-ish regex token count
 (the GPT-2 pre-tokenizer word/number/punct split, approximated with a
-deterministic regex DuckDB can also run)."""
+deterministic regex DuckDB can also run).
+
+Arrow-native kernel (round 5): both counts are RE2
+``count_substring_regex`` calls over the zero-copy ``large_string``
+column — no pandas object-dtype round trip per batch."""
 from __future__ import annotations
 
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 Dataset = ray.data.Dataset
@@ -14,11 +19,14 @@ BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 def token_counts(ds: Dataset, *, text_col: str = "text") -> Dataset:
     """Add ``ws_tokens`` (whitespace) and ``bpe_tokens`` (regex) counts."""
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].astype(str)
-        df = df.copy()
-        df["ws_tokens"] = s.str.count(r"\S+").astype("int64")
-        df["bpe_tokens"] = s.str.count(BPEISH).astype("int64")
-        return df
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t[text_col], pa.large_string()), "")
+        ws = pc.cast(pc.count_substring_regex(s, r"\S+"), pa.int64())
+        bpe = pc.cast(pc.count_substring_regex(s, BPEISH), pa.int64())
+        for name in ("ws_tokens", "bpe_tokens"):
+            if name in t.column_names:
+                t = t.drop_columns([name])
+        return (t.append_column("ws_tokens", ws)
+                 .append_column("bpe_tokens", bpe))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")

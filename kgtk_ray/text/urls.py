@@ -6,8 +6,7 @@ operators (it is a KG toolkit), so semantics here follow the public
 pipelines; everything is deterministic and SQL-replicable so the
 driver oracle can hash-verify it.
 
-Canonicalization rule (applied in this order; every step is a
-vectorized pandas/C-regex pass — no per-row Python):
+Canonicalization rule (applied in this order):
 
 1. strip surrounding whitespace
 2. drop the ``#fragment``
@@ -21,15 +20,24 @@ vectorized pandas/C-regex pass — no per-row Python):
    nothing survives)
 7. strip one trailing ``/`` from the path
 
+Arrow-native kernel (round 5): steps 1-5 and 7 run as
+``pyarrow.compute`` (RE2) kernels over the zero-copy ``large_string``
+column — no pandas object-dtype round trip of the full URL strings.
+Only step 6's per-row parameter sort drops to pandas, and only over
+the (typically small) subset of rows that actually carry a query
+string; Arrow has no per-list string sort kernel.
+
 At 100 TB every step is stateless per batch; URL dedup then reuses the
 exact-dedup exchange (hash-bucketed shuffle on the canonical string,
 min-id winner per group) and domain filtering broadcasts the
-block/allow list once via ``ray.put``.
+block/allow list once via ``ray.put`` as a ready-to-use Arrow
+``value_set`` (near-zero-copy out of plasma per task).
 """
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -40,13 +48,13 @@ Dataset = ray.data.Dataset
 TRACKING_PARAM_RE = (
     r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$")
 
-_HEAD_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)(.*)$"
+_HEAD_RE = r"^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?]*)(?P<rest>.*)$"
 
 
 def _sorted_query(q: pd.Series) -> pd.Series:
     """Filter tracking params out of '&'-joined query strings and
-    byte-sort the rest; fully vectorized (explode -> mask -> stable
-    sort -> group join)."""
+    byte-sort the rest; vectorized (explode -> mask -> stable sort ->
+    group join) over only the rows that have a query."""
     out = pd.Series([""] * len(q), index=q.index, dtype=object)
     has = q.notna() & (q != "")
     if not has.any():
@@ -62,39 +70,57 @@ def _sorted_query(q: pd.Series) -> pd.Series:
     return out
 
 
+def canonicalize_array(col, *, strip_www: bool = False) -> pa.ChunkedArray:
+    """The canonicalization rule over an Arrow string array (one
+    batch); returns ``large_string``."""
+    s = pc.fill_null(pc.cast(col, pa.large_string()), "")
+    s = pc.utf8_trim_whitespace(s)                       # 1: strip
+    s = pc.replace_substring_regex(s, "#.*$", "")        # 2: fragment
+    ex = pc.extract_regex(s, _HEAD_RE)                   # null = no scheme
+    head = pc.utf8_lower(pc.struct_field(ex, "head"))    # 3: scheme+host
+    head = pc.replace_substring_regex(
+        head, r"^(http://[^/?:]*):80$", r"\1")           # 4: ports
+    head = pc.replace_substring_regex(
+        head, r"^(https://[^/?:]*):443$", r"\1")
+    if strip_www:                                        # 5: www.
+        head = pc.replace_substring_regex(
+            head, r"^([a-z][a-z0-9+.-]*://)www\.", r"\1")
+    rest = pc.struct_field(ex, "rest")
+    path = pc.replace_substring_regex(rest, r"\?.*$", "")
+    path = pc.replace_substring_regex(path, "/$", "")    # 7: trailing /
+    # 6: the per-row parameter sort — pandas over the query subset only
+    query = pc.struct_field(pc.extract_regex(rest, r"\?(?P<q>.*)$"), "q")
+    canon_q = pa.array(
+        _sorted_query(query.to_pandas()).to_numpy(), pa.large_string())
+    empty = pa.scalar("", pa.large_string())
+    base = pc.binary_join_element_wise(head, path, empty)
+    withq = pc.binary_join_element_wise(
+        base, pa.scalar("?", pa.large_string()), canon_q, empty)
+    out = pc.if_else(pc.not_equal(canon_q, ""), withq, base)
+    # 3: no-scheme rows pass through steps 1-2 only (out is null there)
+    return pc.if_else(pc.is_null(out), s, out)
+
+
 def canonicalize_series(s: pd.Series, *, strip_www: bool = False) -> pd.Series:
-    """The canonicalization rule over a string Series (one batch)."""
-    s = s.astype(str).str.strip()
-    s = s.str.replace(r"#.*$", "", regex=True)          # 2: fragment
-    parts = s.str.extract(_HEAD_RE)
-    head, rest = parts[0], parts[1]
-    no_scheme = head.isna()
-    head = head.str.lower()                              # 3: scheme+host
-    head = head.str.replace(r"^(http://[^/?:]*):80$", r"\1", regex=True)
-    head = head.str.replace(r"^(https://[^/?:]*):443$", r"\1", regex=True)
-    if strip_www:
-        head = head.str.replace(r"^([a-z][a-z0-9+.-]*://)www\.",
-                                r"\1", regex=True)
-    path = rest.str.replace(r"\?.*$", "", regex=True)
-    query = rest.str.extract(r"\?(.*)$")[0]
-    canon_q = _sorted_query(query)
-    path = path.str.replace(r"/$", "", regex=True)       # 7: trailing /
-    out = head.fillna("") + path.fillna("")
-    hasq = canon_q != ""
-    out = out.where(~hasq, out + "?" + canon_q)
-    return out.where(~no_scheme, s)                      # 3: pass-through
+    """The canonicalization rule over a string Series (pandas wrapper
+    around :func:`canonicalize_array` for driver-side/test use)."""
+    arr = canonicalize_array(
+        pa.Array.from_pandas(s.astype(str), type=pa.large_string()),
+        strip_www=strip_www)
+    return pd.Series(arr.to_pandas().to_numpy(), index=s.index, dtype=object)
 
 
 def canonicalize_urls(ds: Dataset, *, url_col: str = "url",
                       out_col: str = "url_canon",
                       strip_www: bool = False) -> Dataset:
     """Add ``out_col`` = canonical form of ``url_col``."""
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[out_col] = canonicalize_series(df[url_col], strip_www=strip_www)
-        return df
+    def f(t: pa.Table) -> pa.Table:
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(
+            out_col, canonicalize_array(t[url_col], strip_www=strip_www))
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def dedup_urls(ds: Dataset, *, url_col: str = "url",
@@ -112,14 +138,25 @@ def dedup_urls(ds: Dataset, *, url_col: str = "url",
         text_col=canon_col, id_col=id_col)
 
 
-def extract_host(s: pd.Series, *, strip_www: bool = True) -> pd.Series:
-    """Lowercased host (no port) of each URL; '' when there is no
-    ``scheme://``."""
-    host = s.astype(str).str.strip().str.extract(
-        r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?:#]*)")[0].str.lower()
+def extract_host_array(col, *, strip_www: bool = True) -> pa.ChunkedArray:
+    """Lowercased host (no port) per URL as Arrow ``large_string``;
+    '' when there is no ``scheme://``."""
+    s = pc.utf8_trim_whitespace(
+        pc.fill_null(pc.cast(col, pa.large_string()), ""))
+    host = pc.utf8_lower(pc.struct_field(
+        pc.extract_regex(
+            s, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?:#]*)"), "h"))
     if strip_www:
-        host = host.str.replace(r"^www\.", "", regex=True)
-    return host.fillna("")
+        host = pc.replace_substring_regex(host, r"^www\.", "")
+    return pc.fill_null(host, "")
+
+
+def extract_host(s: pd.Series, *, strip_www: bool = True) -> pd.Series:
+    """Pandas wrapper around :func:`extract_host_array`."""
+    arr = extract_host_array(
+        pa.Array.from_pandas(s.astype(str), type=pa.large_string()),
+        strip_www=strip_www)
+    return pd.Series(arr.to_pandas().to_numpy(), index=s.index, dtype=object)
 
 
 def filter_domains(ds: Dataset, *, blocklist=None, allowlist=None,
@@ -127,23 +164,26 @@ def filter_domains(ds: Dataset, *, blocklist=None, allowlist=None,
                    strip_www: bool = True) -> Dataset:
     """Drop rows whose URL host is in ``blocklist`` (or, with
     ``allowlist``, keep only hosts in it).  The list is broadcast once
-    via ``ray.put`` and membership is a vectorized ``isin`` per batch
-    — the UT1-blocklist shape (millions of hosts) stays a single
-    object-store copy per node, never a shuffle.  ``host_col`` (when
-    not None) is added to the output for downstream per-domain stats."""
+    via ``ray.put`` as a sorted Arrow array and used directly as the
+    ``is_in`` value_set per batch — the UT1-blocklist shape (millions
+    of hosts) stays a single object-store copy per node, never a
+    shuffle.  ``host_col`` (when not None) is added to the output for
+    downstream per-domain stats."""
     if (blocklist is None) == (allowlist is None):
         raise ValueError("pass exactly one of blocklist / allowlist")
     wanted = allowlist is not None
-    ref = ray.put(frozenset(allowlist if wanted else blocklist))
+    ref = ray.put(pa.array(sorted(set(allowlist if wanted else blocklist)),
+                           pa.large_string()))
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        hosts = extract_host(df[url_col], strip_www=strip_www)
-        mask = hosts.isin(ray.get(ref))
-        out = df[mask if wanted else ~mask.to_numpy()]
+    def f(t: pa.Table) -> pa.Table:
+        hosts = extract_host_array(t[url_col], strip_www=strip_www)
+        mask = pc.is_in(hosts, value_set=ray.get(ref))
+        if not wanted:
+            mask = pc.invert(mask)
         if host_col:
-            out = out.copy()
-            out[host_col] = hosts[mask.to_numpy() if wanted
-                                  else ~mask.to_numpy()].to_numpy()
-        return out
+            if host_col in t.column_names:
+                t = t.drop_columns([host_col])
+            t = t.append_column(host_col, hosts)
+        return t.filter(mask)
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")

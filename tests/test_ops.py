@@ -141,6 +141,36 @@ def test_add_id_styles():
         "peter-zipcode-0000", "peter-zipcode-0001", "peter-zipcode-0002"}
 
 
+def test_add_id_wikidata_digest_style():
+    """Content digest ids: E + 16 hex, deterministic, content-keyed
+    (identical triples share one id regardless of block layout)."""
+    out = O.add_id(edge_ds(), style="wikidata").to_pandas()
+    assert out["id"].str.match(r"^E[0-9a-f]{16}$").all()
+    again = O.add_id(edge_ds().repartition(3), style="wikidata").to_pandas()
+    key = ["node1", "label", "node2"]
+    merged = out.merge(again, on=key, suffixes=("_a", "_b"))
+    assert (merged["id_a"] == merged["id_b"]).all()
+    # distinct triples get distinct digests on this input
+    assert out.groupby(key)["id"].nunique().max() == 1
+
+
+def test_every_nth_string_key_vectorized_hash():
+    """The string-key fallback keeps the documented byte-polynomial
+    values (sum b*31^i mod 2^31) after the round-5 vectorization."""
+    from kgtk_ray.ops.sample import every_nth, string_poly_hash
+    import pandas as pd
+    keys = [f"row{i}x" for i in range(200)]
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys, "v": range(200)}))
+    out = every_nth(ds, 7, key="k").to_pandas()
+    want = [k for k in keys
+            if sum(b * pow(31, i, 2**31)
+                   for i, b in enumerate(k.encode())) % (2**31) % 7 == 0]
+    assert sorted(out["k"]) == sorted(want)
+    assert list(string_poly_hash(pd.Series(["abc"]))) == [
+        sum(b * pow(31, i, 2**31)
+            for i, b in enumerate(b"abc")) % (2**31)]
+
+
 def test_expand_lists():
     ds = edges([("a", "p", "x", "u|v|w"), ("b", "p", "y", "")],
                ("node1", "label", "node2", "q"))

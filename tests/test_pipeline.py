@@ -308,3 +308,36 @@ def test_dsl_cc_pipeline_chain(ray_session):
     cols = sorted(gold.columns)
     assert sorted(map(tuple, out[cols].astype(str).to_numpy())) == \
         sorted(map(tuple, gold[cols].to_numpy()))
+
+
+def test_extract_arrow_kernel_matches_row_spec():
+    """The vectorized Arrow extraction kernel must agree byte-for-byte
+    with the row-level spec extract_html_text on adversarial HTML
+    (unmatched tags, nesting, entities, empty paragraphs, no-p pages,
+    case-mixed closers, non-UTF8 bytes)."""
+    import pyarrow as pa
+    from kgtk_ray.pipelines.extract import _extract_column, extract_html_text
+
+    cases = [
+        b"<html><head><script>x</script></head><body><p>a</p></body></html>",
+        b"<body><article><p>a</p><p> </p><p>b</p></article></body>",
+        b"<body>no paragraphs at all</body>",
+        b"<body><p>open but never closed",
+        b"<body><p>a</p>junk<p>trailing-open",
+        b"<body><p>first<p>nested</p><p>b</p></body>",
+        b"<body><P>upper</P><p>c</p></body>",
+        b"<body><p>a &amp; b &lt;c&gt;</p><p>&nbsp;x</p></body>",
+        b"<nav>menu</nav><p>kept</p><footer>foot</footer>",
+        b"<style>s</style><p>one</p><aside>x</aside><p>two</p>",
+        b"<article><p>in article</p></article><p>outside</p>",
+        b"<p>tab\tand  spaces</p><p>line\nbreak kept</p>",
+        b"",
+        b"<p></p><p></p>",
+        b"<p>\xff\xfe broken utf8</p>",
+        b"<body><p>a</p>between text dropped<p>b</p></body>",
+        b"<script><style></script></style><p>x</p>",
+    ]
+    got = _extract_column(pa.array(cases, pa.large_binary())).to_pylist()
+    want = [extract_html_text(c) for c in cases]
+    assert got == want, [
+        (c, g, w) for c, g, w in zip(cases, got, want) if g != w]

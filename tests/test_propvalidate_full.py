@@ -143,6 +143,42 @@ def test_switch_first_match():
     assert dict(zip(out.node1, out.reason)) == {"c": "switch"}
 
 
+def test_switch_case_minoccurs_group_recheck():
+    """Group rules attached to a switch CASE datatype apply to the rows
+    that matched that case (reference validate_switch keeps the matched
+    case's occurs-scoreboard increments and rolls back failed cases,
+    propertypatternvalidator.py:1871-1941 + :1656-1672): Q2 has only
+    one numcase row against minoccurs=2, so that row — and only that
+    row — is rejected; its strcase sibling survives."""
+    edges = [edge("Q1", "val", "1"), edge("Q1", "val", "2"),
+             edge("Q2", "val", "3"), edge("Q2", "val", '"s"')]
+    pats = [("val", "switch", "numcase|strcase"),
+            ("numcase", "node2_type", "number"),
+            ("numcase", "minoccurs", "2"),
+            ("strcase", "node2_type", "string")]
+    out = run(edges, pats)
+    assert sorted(zip(out.node1, out.node2)) == [
+        ("Q1", "1"), ("Q1", "2"), ("Q2", '"s"')]
+    rej = run(edges, pats, emit="reject")
+    assert list(zip(rej.node1, rej.node2)) == [("Q2", "3")]
+    assert list(rej.reason) == ["occurs"]
+
+
+def test_isa_closure_minoccurs_counts_child_rows():
+    """Occurrence counts accumulate per matched datatype, so rows of a
+    child prop count toward the isa parent's minoccurs (the reference
+    increments the occurs scoreboard for every datatype a row validates
+    under, :1656-1672)."""
+    edges = [edge("Q1", "child", "1"), edge("Q1", "child", "2"),
+             edge("Q2", "child", "3")]
+    pats = [("child", "isa", "parent"),
+            ("parent", "minoccurs", "2")]
+    out = run(edges, pats)
+    assert set(out.node1) == {"Q1"}
+    rej = run(edges, pats, emit="reject")
+    assert set(rej.node1) == {"Q2"} and list(rej.reason) == ["occurs"]
+
+
 def test_blank_and_id_rules():
     edges = [edge("a", "p", "x", id="E1"), edge("b", "p", "y", id=""),
              edge("c", "p", "", id="E3")]
