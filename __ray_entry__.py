@@ -210,6 +210,22 @@ def _q_add_id_num(sf: str):
     return add_id(_edges_lineitem(sf), style="node1-label-num")
 
 
+def _q_cskg_dedup(sf: str):
+    """cskg_utils.deduplicate_with_transformations: comma-list merge
+    per (node1, label) group (kgtk/cskg_utils.py:17-30)."""
+    import ray.data as _rd
+
+    from kgtk_ray.ops import dedup_with_transforms
+    nat = _rd.read_parquet(f"{sf}/nation.parquet",
+                           columns=["n_regionkey", "n_name"])
+    rows = nat.map_batches(lambda df: pd.DataFrame({
+        "node1": "R" + df.n_regionkey.astype(str),
+        "label": "has_nation",
+        "vals": df.n_name.astype(str).str.strip() + ",common",
+    }), batch_format="pandas")
+    return dedup_with_transforms(rows, ["node1", "label"], ["vals"])
+
+
 def _q_add_id_prefix(sf: str):
     from kgtk_ray.ops import add_id
     return add_id(_edges_nation(sf).drop_columns(["n_name"]),
@@ -1464,6 +1480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "add_id": _q_add_id,
         "calc": _q_calc,
         "topk_cosine": _q_topk_cosine,
+        # --- new in round 5 (oracle-checked in pytest; tail slot) ---
+        "cskg_dedup": _q_cskg_dedup,
         # --- driver-verified in round 4 (CORRECTNESS_r04: 50/50 green);
         # tail of the final window.  Kernels touched in round 5 carry
         # pytest oracle-parity coverage (see tests/). ---
@@ -1748,6 +1766,19 @@ def oracle_sql() -> dict[str, str]:
         "add_id": f"""
             SELECT node1||'-'||label||'-'||node2 AS id, node1, label, node2
             FROM (SELECT node1, label, node2 FROM ({_EDGE_SQL_NATION}))
+        """,
+        "cskg_dedup": """
+            WITH rows AS (
+              SELECT 'R'||CAST(n_regionkey AS VARCHAR) AS node1,
+                     'has_nation' AS label,
+                     trim(n_name)||',common' AS vals
+              FROM nation),
+            ex AS (SELECT node1, label,
+                          unnest(string_split(vals, ',')) AS v
+                   FROM rows)
+            SELECT node1, label,
+                   array_to_string(list_sort(list(DISTINCT v)), ',') AS vals
+            FROM ex GROUP BY node1, label
         """,
         "add_id_num": f"""
             SELECT node1||'-'||label||'-'||lpad(CAST(

@@ -104,7 +104,7 @@ def run_bench() -> dict:
 
     pages_path = ensure_corpus()
     # warm the page cache so both parallelism levels measure compute+shuffle
-    rd.read_parquet(pages_path).count()
+    n_pages = rd.read_parquet(pages_path).count()
 
     results: dict[str, float] = {}
 
@@ -124,14 +124,24 @@ def run_bench() -> dict:
         # amortized.  The dict-only linker runs as stateless tasks (the
         # concurrency arg only sizes the actor pool of the
         # embedding-index tier, unused here — a 16-actor pool re-spawned
-        # per execution measured ~9 s of stall on this corpus); batch
-        # size grows with the CPU budget so tasks see full batches.
+        # per execution measured ~9 s of stall on this corpus).
+        # link_batch_size scales with ROWS PER CPU, not with the CPU
+        # count: an explicit map_batches batch_size bundles upstream
+        # blocks into tasks of >= that many rows, so the round-4
+        # CPU-scaled formula (16384 at 32 CPUs) collapsed the fused
+        # extract->triples->link chain to 9 tasks on 32 cores for the
+        # rep-30 corpus (3.25 s vs 1.64 s at 4096).  On the big scaling
+        # corpora the task count is block-bound either way and larger
+        # batches amortize per-batch overhead (rep-480 @ 4 CPUs: 74.4 s
+        # at 16384 vs 76.7 s at 4096) — so pick the largest batch that
+        # still leaves ~4 bundles per CPU, clamped to [4096, 16384].
         pages = rd.read_parquet(pages_path,
                                 override_num_blocks=2 * NUM_CPUS)
         edges = kg_pipeline_from_pages(
             pages, alias, DOC_PATTERNS,
             concurrency=max(2, NUM_CPUS // 2),
-            link_batch_size=max(4096, min(16384, 512 * NUM_CPUS)))
+            link_batch_size=max(4096, min(16384,
+                                          n_pages // (4 * NUM_CPUS))))
         edges.write_parquet(out_dir)
 
     # untimed warm-up: starts Ray worker processes and caches imports so
@@ -150,7 +160,8 @@ def run_bench() -> dict:
         edges = kg_pipeline_from_pages(
             pages, alias, DOC_PATTERNS,
             concurrency=max(2, NUM_CPUS // 2),
-            link_batch_size=max(4096, min(16384, 512 * NUM_CPUS)))
+            link_batch_size=max(4096, min(16384,
+                                          n_pages // (4 * NUM_CPUS))))
         edges.write_parquet(out_dir)
         print(edges.stats(), file=sys.stderr)
     runs = []

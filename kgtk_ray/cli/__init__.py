@@ -282,6 +282,12 @@ def stream_to(ds: Dataset, out: TextIO, fmt: str = "kgtk") -> None:
         out.write("|" + "".join(" -- |" for _ in cols) + "\n")
     elif fmt == "csv":
         out.write(",".join(cols) + "\n")
+    elif fmt == "json":
+        import json as _json
+        out.write("[\n")
+        out.write(_json.dumps(cols, separators=(",", ":")) + ",\n")
+    elif fmt in ("json-map", "json-map-compact"):
+        out.write("[\n")  # see write_kgtk_file: "]" is json-only
     elif fmt not in ("jsonl", "jsonl-map", "jsonl-map-compact"):
         from ..io.kgtk_tsv import _order_columns
         order = _order_columns(list(cols))
@@ -292,6 +298,8 @@ def stream_to(ds: Dataset, out: TextIO, fmt: str = "kgtk") -> None:
     for batch in format_lines(ds, fmt).iter_batches(batch_format="pandas"):
         for line in batch["line"]:
             out.write(line + "\n")
+    if fmt == "json":
+        out.write("]\n")
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +325,8 @@ def add_io(parser, *, inputs: int = 1, positional: bool = True,
                             choices=["kgtk", "tsv", "tsv-unquoted",
                                      "tsv-csvlike", "csv", "md", "jsonl",
                                      "jsonl-map", "jsonl-map-compact",
-                                     "parquet"])
+                                     "json", "json-map",
+                                     "json-map-compact", "parquet"])
     # reader sampling knobs — expert KgtkReaderOptions available on every
     # reference command (kgtk/io/kgtkreader.py:83-86)
     parser.add_argument("--record-limit", type=int, default=None)

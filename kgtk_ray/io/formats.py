@@ -263,17 +263,28 @@ def format_lines(ds: Dataset, fmt: str = "kgtk") -> Dataset:
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         sdf = df.astype(str)
-        if fmt in ("jsonl", "jsonl-map", "jsonl-map-compact"):
+        if fmt in ("jsonl", "jsonl-map", "jsonl-map-compact",
+                   "json", "json-map", "json-map-compact"):
+            # the whole-file json variants are the jsonl lines with a
+            # trailing comma on EVERY row, wrapped in "["..."]" by the
+            # writer (reference kgtkwriter.py:639-649: the reference
+            # emits the trailing comma unconditionally, last row
+            # included — mirrored for byte parity)
+            wholefile = fmt == "json" or fmt.startswith("json-")
+            suffix = "," if wholefile else ""
+            # the reference writes the whole-file variants with compact
+            # separators (kgtkwriter.py:639)
+            seps = (",", ":") if wholefile else None
             lines = []
             for row in sdf.itertuples(index=False):
                 vals = [_json_cell(v) for v in row]
-                if fmt == "jsonl":
-                    lines.append(json.dumps(vals))
+                if fmt in ("jsonl", "json"):
+                    lines.append(json.dumps(vals, separators=seps) + suffix)
                 else:
                     compact = fmt.endswith("compact")
                     obj = {c: v for c, v, raw in zip(cols, vals, row)
                            if raw or not compact}
-                    lines.append(json.dumps(obj))
+                    lines.append(json.dumps(obj, separators=seps) + suffix)
         elif fmt == "md":
             lines = [
                 "|" + "".join(" " + v.replace("|", "\\|") + " |"
@@ -310,8 +321,22 @@ def write_kgtk_file(ds: Dataset, path: str, *, fmt: str = "kgtk") -> None:
             f.write("|" + "".join(" -- |" for _ in cols) + "\n")
         elif fmt == "csv":
             f.write(",".join(cols) + "\n")
+        elif fmt == "json":
+            # whole-file array: "[", header array + ",", rows + ",",
+            # "]" (reference kgtkwriter.py:534-536,639,669-672)
+            import json as _json
+            f.write("[\n")
+            f.write(_json.dumps(cols, separators=(",", ":")) + ",\n")
+        elif fmt in ("json-map", "json-map-compact"):
+            # "[" only — the reference's close() appends "]" solely for
+            # the "json" format (kgtkwriter.py:537-541,669-672), so the
+            # map variants emit an unterminated array; mirrored for
+            # byte parity
+            f.write("[\n")
         elif fmt not in ("jsonl", "jsonl-map", "jsonl-map-compact"):
             f.write("\t".join(cols) + "\n")
         for batch in lines.iter_batches(batch_format="pandas"):
             for line in batch["line"]:
                 f.write(line + "\n")
+        if fmt == "json":
+            f.write("]\n")

@@ -15,6 +15,7 @@ from .core import (
 from .shuffle import (
     compact,
     compact_sorted,
+    dedup_with_transforms,
     unique_counts,
     ifexists,
     ifnotexists,
@@ -46,7 +47,8 @@ from .profile import grouped_profile
 __all__ = [
     "kgtk_filter", "ifempty", "ifnotempty", "calc_percentage", "expand_lists",
     "normalize_nodes", "lower_labels", "add_id", "remove_columns", "rename_columns",
-    "reorder_columns", "cat", "compact", "compact_sorted", "unique_counts", "ifexists", "ifnotexists",
+    "reorder_columns", "cat", "compact", "compact_sorted",
+    "dedup_with_transforms", "unique_counts", "ifexists", "ifnotexists",
     "kgtk_join", "lift", "sort_edges", "dedup_exact_edges", "validate_edges",
     "clean_edges", "explode_node2", "implode_node2", "degrees", "graph_statistics",
     "reachable_nodes", "connected_components", "paths", "paths_statistics", "graph_statistics_edges", "pagerank",

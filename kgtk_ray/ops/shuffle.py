@@ -139,6 +139,44 @@ def compact(
                                 arrow_tag=True)
 
 
+def dedup_with_transforms(ds: Dataset, join_columns: Sequence[str],
+                          transform_columns: Sequence[str] | None = None,
+                          *, sep: str = ",") -> Dataset:
+    """The cskg merge helper (reference kgtk/cskg_utils.py:17-30,
+    ``deduplicate_with_transformations``): group on ``join_columns``
+    and merge each transform column's values into a deduplicated
+    ``sep``-joined list.  Where the reference's
+    ``','.join(set(x.split(',')))`` emits values in arbitrary set
+    order, this emits sorted-unique — the deterministic choice a
+    distributed run needs for reproducible output.
+
+    Same two-phase shape as :func:`compact` (the per-batch combiner is
+    the skew guard; the merge is associative because re-splitting a
+    joined list and re-deduplicating is idempotent).  Output columns:
+    ``join_columns`` + transform columns, like the reference's
+    ``groupby(...).agg(transformations)``."""
+    keys = list(join_columns)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = list(transform_columns) if transform_columns else \
+            [c for c in df.columns if c not in keys]
+        out = df[keys].drop_duplicates().reset_index(drop=True)
+        gkey = pd.MultiIndex.from_frame(out[keys])
+        for c in cols:
+            ex = df[c].fillna("").astype(str).str.split(sep).explode()
+            sub = df[keys].reindex(ex.index)
+            sub[c] = ex.to_numpy()
+            sub = (sub.drop_duplicates()
+                      .sort_values(keys + [c], kind="mergesort"))
+            joined = sub.groupby(keys, sort=False)[c].agg(sep.join)
+            out[c] = joined.reindex(gkey).to_numpy()
+        return out
+
+    from ._bucket import bucketed_group_apply
+    partial = ds.map_batches(combine, batch_format="pandas")
+    return bucketed_group_apply(partial, keys, combine)
+
+
 def compact_sorted(ds: Dataset, key_columns: Sequence[str] | None = None,
                    *, compact_id: bool = False,
                    validate: bool = False) -> Dataset:

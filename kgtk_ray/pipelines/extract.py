@@ -113,18 +113,18 @@ def _extract_column(col) -> pa.Array:
     p = pc.replace_substring_regex(
         p, r"(?is)</p\s*>.*?<p\b[^>]*>", _SEP)      # between paragraphs
 
-    def tail(x):
-        # strip tags, collapse spaces/tabs (per paragraph — \x00 is not
-        # in the class, so markers bound the collapse)
-        x = pc.replace_substring_regex(x, r"<[^>]+>", " ")
-        x = pc.replace_substring_regex(x, r"[ \t]+", " ")
-        # trim each paragraph, drop emptied paragraphs, trim the ends
-        x = pc.replace_substring_regex(x, r"\s*\x00\s*", _SEP)
-        x = pc.replace_substring_regex(x, r"\x00+", _SEP)
-        x = pc.replace_substring_regex(x, r"^[\s\x00]+|[\s\x00]+$", "")
-        return pc.replace_substring(x, _SEP, "\n")
-
-    out = pc.if_else(has_p, tail(p), tail(scope))
+    # one shared tail pass: p-path rows carry \x00 markers, body-path
+    # rows have none (so the marker passes are no-ops for them)
+    x = pc.if_else(has_p, p, scope)
+    # strip tags, collapse spaces/tabs (per paragraph — \x00 is not in
+    # the class, so markers bound the collapse)
+    x = pc.replace_substring_regex(x, r"<[^>]+>", " ")
+    x = pc.replace_substring_regex(x, r"[ \t]+", " ")
+    # trim each paragraph, drop emptied paragraphs, trim the ends
+    x = pc.replace_substring_regex(x, r"\s*\x00\s*", _SEP)
+    x = pc.replace_substring_regex(x, r"\x00+", _SEP)
+    x = pc.replace_substring_regex(x, r"^[\s\x00]+|[\s\x00]+$", "")
+    out = pc.replace_substring(x, _SEP, "\n")
     # entities: no Arrow kernel — unescape only the rows that need it
     amp = pc.match_substring(out, "&").to_numpy(zero_copy_only=False)
     if amp.any():
@@ -143,6 +143,9 @@ def extract_text(pages: Dataset, *, html_col: str = "html",
     def f(t: pa.Table) -> pa.Table:
         if out_col in t.column_names:
             t = t.drop_columns([out_col])
-        return t.append_column(out_col, _extract_column(t[html_col]))
+        # drop parquet/pandas schema metadata: it makes block schemas
+        # unhashable, defeating Ray's schema-dedup fast path
+        return (t.replace_schema_metadata(None)
+                 .append_column(out_col, _extract_column(t[html_col])))
 
     return pages.map_batches(f, batch_format="pyarrow")

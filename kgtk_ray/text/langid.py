@@ -72,6 +72,8 @@ def langid(ds: Dataset, *, text_col: str = "text",
         pred[scores.max(axis=1) == 0] = "und"
         if out_col in t.column_names:
             t = t.drop_columns([out_col])
-        return t.append_column(out_col, pa.array(pred, pa.large_string()))
+        # metadata-free schema keeps Ray's block-schema dedup hashable
+        return (t.replace_schema_metadata(None)
+                 .append_column(out_col, pa.array(pred, pa.large_string())))
 
     return ds.map_batches(f, batch_format="pyarrow")

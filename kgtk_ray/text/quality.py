@@ -50,7 +50,8 @@ def quality_score(ds: Dataset, *, text_col: str = "text") -> Dataset:
         for name in ("n_tokens", "punct_ratio", "stop_ratio", "quality"):
             if name in t.column_names:
                 t = t.drop_columns([name])
-        return (t.append_column("n_tokens", pa.array(n_tokens))
+        return (t.replace_schema_metadata(None)
+                 .append_column("n_tokens", pa.array(n_tokens))
                  .append_column("punct_ratio", pa.array(punct_ratio))
                  .append_column("stop_ratio", pa.array(stop_ratio))
                  .append_column("quality", pa.array(quality)))

@@ -180,7 +180,7 @@ def gopher_filter(ds: Dataset, *, text_col: str = "text",
                 & (sig["mean_word_len"] <= max_mean_word_len)
                 & (sig["dup_word_frac"] <= max_dup_word_frac)
                 & (sig["top_word_frac"] <= max_top_word_frac))
-        return t.filter(pa.array(keep))
+        return t.replace_schema_metadata(None).filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

@@ -26,7 +26,8 @@ def token_counts(ds: Dataset, *, text_col: str = "text") -> Dataset:
         for name in ("ws_tokens", "bpe_tokens"):
             if name in t.column_names:
                 t = t.drop_columns([name])
-        return (t.append_column("ws_tokens", ws)
+        return (t.replace_schema_metadata(None)
+                 .append_column("ws_tokens", ws)
                  .append_column("bpe_tokens", bpe))
 
     return ds.map_batches(f, batch_format="pyarrow")

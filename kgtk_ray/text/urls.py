@@ -117,7 +117,8 @@ def canonicalize_urls(ds: Dataset, *, url_col: str = "url",
     def f(t: pa.Table) -> pa.Table:
         if out_col in t.column_names:
             t = t.drop_columns([out_col])
-        return t.append_column(
+        # metadata-free schema keeps Ray's block-schema dedup hashable
+        return t.replace_schema_metadata(None).append_column(
             out_col, canonicalize_array(t[url_col], strip_www=strip_www))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -180,6 +181,7 @@ def filter_domains(ds: Dataset, *, blocklist=None, allowlist=None,
         mask = pc.is_in(hosts, value_set=ray.get(ref))
         if not wanted:
             mask = pc.invert(mask)
+        t = t.replace_schema_metadata(None)
         if host_col:
             if host_col in t.column_names:
                 t = t.drop_columns([host_col])

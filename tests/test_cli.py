@@ -243,6 +243,20 @@ def test_output_formats(edges_file, tmp_path):
     import json
     rows = [json.loads(l) for l in open(jl)]
     assert rows[0]["node1"] == "peter"
+    # whole-file json: "[", header array + ",", rows + ",", "]"
+    # (reference kgtkwriter.py:534-536,639,669-672)
+    js = str(tmp_path / "o.json")
+    run(["cat", "-i", edges_file, "--output-format", "json", "-o", js])
+    lines = open(js).read().splitlines()
+    assert lines[0] == "[" and lines[-1] == "]"
+    assert json.loads(lines[1][:-1]) == ["node1", "label", "node2"]
+    assert json.loads(lines[2][:-1])[0] == "peter"
+    jm = str(tmp_path / "o.jsonmap")
+    run(["cat", "-i", edges_file, "--output-format", "json-map",
+         "-o", jm])
+    mlines = open(jm).read().splitlines()
+    assert mlines[0] == "[" and mlines[-1].endswith(",")  # json-only "]"
+    assert json.loads(mlines[1][:-1])["node1"] == "peter"
 
 
 def test_unreify_values_docs_example(tmp_path):

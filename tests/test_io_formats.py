@@ -144,3 +144,31 @@ def test_jsonl_reader_resolves_aliases(ray_session, tmp_path):
     back = read_kgtk_jsonl(str(p)).to_pandas().sort_values("node1")
     assert list(back.columns) == ["node1", "label", "node2"]
     assert back.node1.tolist() == ["a", "c"]
+
+
+def test_json_wholefile_format(ray_session, tmp_path):
+    """Whole-file `json` format: '[' line, compact header array with a
+    trailing comma, one compact row array + ',' per row, closing ']'
+    (reference kgtkwriter.py:534-536,639,669-672)."""
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node1": ["Q1"], "label": ["age"], "node2": ["42"]}))
+    p = str(tmp_path / "o.json")
+    write_kgtk_file(ds, p, fmt="json")
+    body = open(p).read()
+    assert body == ('[\n["node1","label","node2"],\n'
+                    '["Q1","age",42],\n]\n')
+
+
+def test_json_map_wholefile_formats(ray_session, tmp_path):
+    """`json-map`/`json-map-compact`: '[' + object rows with trailing
+    commas; the reference's close() terminates only the `json` array
+    (kgtkwriter.py:669-672), so no ']' — mirrored for byte parity.
+    The compact variant drops empty-valued columns."""
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "node1": ["Q1"], "label": ["p"], "node2": [""]}))
+    p = str(tmp_path / "o.jsonmap")
+    write_kgtk_file(ds, p, fmt="json-map")
+    assert open(p).read() == ('[\n{"node1":"Q1","label":"p","node2":""},\n')
+    p2 = str(tmp_path / "o.jsonmapc")
+    write_kgtk_file(ds, p2, fmt="json-map-compact")
+    assert open(p2).read() == ('[\n{"node1":"Q1","label":"p"},\n')

@@ -439,3 +439,27 @@ def test_expand_lists_key_columns_convention():
     import pytest as _p
     with _p.raises(ValueError):
         O.expand_lists(ds, ["q1"], key_columns=["node1"])
+
+
+def test_dedup_with_transforms_cskg():
+    """Reference kgtk/cskg_utils.py:17-30: groupby join columns, merge
+    transform columns into comma-joined deduplicated lists (sorted here
+    for distributed determinism; the reference's set() order is
+    arbitrary)."""
+    df = pd.DataFrame({
+        "node1": ["a", "a", "b", "a"],
+        "label": ["p", "p", "p", "p"],
+        "node2": ["x", "x", "y", "x"],
+        "datasource": ["CN", "WN,CN", "CN", "VG"],
+        "aliases": ["m1", "", "m2", "m1,m3"],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = O.dedup_with_transforms(
+        ds, ["node1", "label", "node2"],
+        ["datasource", "aliases"]).to_pandas().sort_values("node1")
+    assert len(out) == 2
+    a = out[out.node1 == "a"].iloc[0]
+    assert a["datasource"] == "CN,VG,WN"
+    assert a["aliases"] == ",m1,m3"  # empty cell survives as "" like the reference's split
+    b = out[out.node1 == "b"].iloc[0]
+    assert (b["datasource"], b["aliases"]) == ("CN", "m2")
