@@ -24,21 +24,35 @@ import ray.data as rd
 def _edges_lineitem(sf: str) -> "rd.Dataset":
     """lineitem -> edge file: O<orderkey> --has_part--> P<partkey>
     with supp + ln qualifier columns (ln makes rows unique for the
-    deterministic sequence-id test)."""
+    deterministic sequence-id test).  Arrow-native build: the string
+    tagging runs as zero-copy large_string kernels (the pandas object
+    concat was ~45% of the `compact` bench entry's wall time)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
     li = rd.read_parquet(f"{sf}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey", "l_suppkey",
                                   "l_linenumber"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node1": "O" + df.l_orderkey.astype(str),
-            "label": "has_part",
-            "node2": "P" + df.l_partkey.astype(str),
-            "supp": "S" + df.l_suppkey.astype(str),
-            "ln": df.l_linenumber.astype(str),
+    def f(t: "_pa.Table") -> "_pa.Table":
+        empty = _pa.scalar("", _pa.large_string())
+
+        def tag(prefix: str, col: str):
+            return _pc.binary_join_element_wise(
+                _pa.scalar(prefix, _pa.large_string()),
+                _pc.cast(t[col], _pa.large_string()), empty)
+
+        n = t.num_rows
+        return _pa.table({
+            "node1": tag("O", "l_orderkey"),
+            "label": _pc.fill_null(_pa.nulls(n, _pa.large_string()),
+                                   "has_part"),
+            "node2": tag("P", "l_partkey"),
+            "supp": tag("S", "l_suppkey"),
+            "ln": _pc.cast(t["l_linenumber"], _pa.large_string()),
         })
 
-    return li.map_batches(f, batch_format="pandas")
+    return li.map_batches(f, batch_format="pyarrow")
 
 
 def _edges_nation(sf: str) -> "rd.Dataset":
