@@ -280,13 +280,29 @@ def run_bench() -> dict:
     # iteratives' scale check: rank state stays a Dataset; driver RSS
     # flat vs input size)
     def bench_pagerank():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         from kgtk_ray.ops.graph import pagerank
         li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
                              columns=["l_orderkey", "l_partkey"])
-        edges = li.map_batches(lambda df: pd.DataFrame({
-            "node1": "O" + df.l_orderkey.astype(str), "label": "has_part",
-            "node2": "P" + df.l_partkey.astype(str)}),
-            batch_format="pandas")
+
+        def build(t: "pa.Table") -> "pa.Table":
+            empty = pa.scalar("", pa.large_string())
+
+            def tag(prefix, col):
+                return pc.binary_join_element_wise(
+                    pa.scalar(prefix, pa.large_string()),
+                    pc.cast(t[col], pa.large_string()), empty)
+
+            return pa.table({
+                "node1": tag("O", "l_orderkey"),
+                "label": pc.fill_null(
+                    pa.nulls(t.num_rows, pa.large_string()), "has_part"),
+                "node2": tag("P", "l_partkey"),
+            })
+
+        edges = li.map_batches(build, batch_format="pyarrow")
         pagerank(edges, iters=3, num_partitions=2 * NUM_CPUS).count()
 
     timed("pagerank", bench_pagerank)

@@ -1082,6 +1082,15 @@ def _empty_edge_result() -> Dataset:
 DENSE_NODE_LIMIT = 4_000_000
 
 
+def _cast_cols_large_string(t):
+    """Zero-copy-where-possible cast of every column to large_string
+    (the Arrow replacement for a defensive pandas ``astype(str)``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    return pa.table({c: pc.cast(t[c], pa.large_string())
+                     for c in t.column_names})
+
+
 def _dense_edge_index(e: Dataset, names: np.ndarray):
     """Int32-encode the edge list against the sorted node-name array:
     one pass, materialized once, reused every iteration.  ``names`` is
@@ -1108,9 +1117,19 @@ def _vector_sum_pass(eidx: Dataset, fn, n: int) -> np.ndarray:
         v = fn(df["src"].to_numpy(), df["dst"].to_numpy())
         return pd.DataFrame({"v": [v.tobytes()]})
 
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n, dtype=np.float64)
+        for b in df["v"]:
+            acc += np.frombuffer(b, dtype=np.float64)
+        return pd.DataFrame({"v": [acc.tobytes()]})
+
+    # second-level combine: one dense vector per upstream block is
+    # num_blocks x 8n bytes; folding groups of partials in workers
+    # bounds what the driver ingests to <= ceil(blocks/8) vectors
+    parts = eidx.map_batches(partial, batch_format="pandas") \
+        .map_batches(combine, batch_format="pandas", batch_size=8)
     out = np.zeros(n, dtype=np.float64)
-    for row in eidx.map_batches(partial,
-                                batch_format="pandas").take_all():
+    for row in parts.take_all():
         out += np.frombuffer(row["v"], dtype=np.float64)
     return out
 
@@ -1277,7 +1296,7 @@ def pagerank(edges: Dataset, *, damping: float = 0.85, iters: int = 10,
     from ._bucket import bucketed_join
 
     e = edges.select_columns(["node1", "node2"]).map_batches(
-        lambda df: df.astype(str), batch_format="pandas") \
+        _cast_cols_large_string, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
     nodes = _distinct_nodes(e).repartition(num_partitions).materialize()
     n = nodes.count()
