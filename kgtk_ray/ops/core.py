@@ -191,7 +191,11 @@ def normalize_nodes(ds: Dataset, *, id_col: str = "id",
         out = df.melt(id_vars=[id_col], value_vars=value_cols,
                       var_name="label", value_name="node2")
         out = out.rename(columns={id_col: "node1"})
-        out["label"] = out["label"].map(lambda c: labels.get(c, c))
+        if labels:
+            # dict-map + fillna: C-level hash lookups, no per-row lambda,
+            # and two columns may legally share one output label.
+            lab = out["label"]
+            out["label"] = lab.map(labels).fillna(lab)
         out = out[out["node2"].notna() & (out["node2"].astype(str) != "")]
         return out[["node1", "label", "node2"]].astype(str)
 
