@@ -85,12 +85,24 @@ def record_limit(ds: Dataset, limit: int) -> Dataset:
 
 def tail(ds: Dataset, count: int, *, key: str) -> Dataset:
     """Last ``count`` rows by ``key`` order (reference tail_count is
-    positional; here order is made explicit by the sort key)."""
+    positional; here order is made explicit by the sort key).
+
+    Scale note: pays one global range sort; the limit then prunes to
+    the top partitions.  Fine for the head/tail-inspection use the
+    reference puts it to; not a building block for large extracts."""
     return ds.sort(key, descending=True).limit(count)
 
 
 def initial_skip(ds: Dataset, count: int, *, key: str) -> Dataset:
-    """Skip the first ``count`` rows by ``key`` order."""
+    """Skip the first ``count`` rows by ``key`` order.
+
+    Scale bound: the first-``count`` key set is collected and
+    broadcast once via ``ray.put`` (read zero-copy by every filter
+    task), so driver + worker memory is O(count) keys.  That matches
+    the operator's intent — skipping a header-ish prefix, where
+    ``count`` is thousands at most.  Skipping a large fraction of a
+    100-TB table would need a rank-based anti-join instead; no §2 use
+    case calls for it."""
     import ray
 
     head = ds.sort(key).limit(count).select_columns([key])
