@@ -196,6 +196,21 @@ def test_normalize_nodes_alias_relabeled():
     assert set(out["label"]) == {"aliases"}
 
 
+def test_normalize_nodes_shared_output_label():
+    # Two source columns may legally map to ONE edge label; partial
+    # label maps must leave unmapped columns untouched.
+    import ray.data as rd
+    ds = rd.from_pandas(pd.DataFrame({
+        "id": ["n1", "n2"], "alias": ["a1", "a2"],
+        "aka": ["b1", ""], "name": ["x1", "x2"]}))
+    out = O.normalize_nodes(
+        ds, labels={"alias": "aliases", "aka": "aliases"}).to_pandas()
+    got = set(map(tuple, out[["node1", "label", "node2"]].to_numpy()))
+    assert got == {("n1", "aliases", "a1"), ("n2", "aliases", "a2"),
+                   ("n1", "aliases", "b1"),
+                   ("n1", "name", "x1"), ("n2", "name", "x2")}
+
+
 # ---- test_cat.py ----
 
 def test_cat_roundtrip_counts_columns_ids(edge_df):
