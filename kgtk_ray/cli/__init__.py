@@ -245,7 +245,7 @@ def read_any(path: str) -> Dataset:
         return ds.map_batches(_to_string_batch, batch_format="pyarrow")
     if p.endswith((".jsonl", ".jl")):
         return read_kgtk_jsonl(p)
-    if p.endswith((".gz", ".bz2", ".lz4", ".zst")):
+    if p.endswith((".gz", ".bz2", ".lz4", ".zst", ".xz")):
         return read_kgtk_tsv_any(p)
     return read_kgtk_tsv(p)
 

@@ -300,22 +300,61 @@ def format_lines(ds: Dataset, fmt: str = "kgtk") -> Dataset:
     return ds.map_batches(f, batch_format="pandas")
 
 
+def _open_text_out(path: str):
+    """Text writer that compresses by output extension, as the
+    reference writer does (kgtk/io/kgtkwriter.py:162-180 routes
+    .gz/.bz2/.xz/.lz4 through codec file objects).  gz/bz2/xz are
+    stdlib; lz4/zst go through Arrow's codec stream."""
+    p = str(path)
+    if p.endswith(".gz"):
+        import gzip
+        return gzip.open(p, "wt", encoding="utf-8")
+    if p.endswith(".bz2"):
+        import bz2
+        return bz2.open(p, "wt", encoding="utf-8")
+    if p.endswith(".xz"):
+        import lzma
+        return lzma.open(p, "wt", encoding="utf-8")
+    if p.endswith((".lz4", ".zst")):
+        import io as _io
+
+        import pyarrow as _pa
+        codec = "lz4" if p.endswith(".lz4") else "zstd"
+        raw = _pa.output_stream(p, compression=codec)
+
+        class _Text:
+            def write(self, s: str):
+                raw.write(s.encode("utf-8"))
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                raw.close()
+
+        return _Text()
+    return open(p, "w")
+
+
 def write_kgtk_file(ds: Dataset, path: str, *, fmt: str = "kgtk") -> None:
     """Stream a Dataset to ONE file in the given KgtkWriter format,
     header first (csv/tsv headers, ``|``-framed md header, none for
-    jsonl variants).  Streaming consumption (``iter_batches``) — the
-    dataset never materializes; at 100 TB write partitioned Parquet or
-    the ``format_lines`` dataset instead."""
+    jsonl variants); a ``.gz/.bz2/.xz/.lz4/.zst`` extension on the
+    destination compresses the stream, as in the reference writer.
+    Streaming consumption (``iter_batches``) — the dataset never
+    materializes; at 100 TB write partitioned Parquet or the
+    ``format_lines`` dataset instead."""
     schema = ds.schema()
     if schema is None:
         # a chain that dropped every row of a zero-block read loses its
         # schema; emit an empty file rather than crash (the header is
         # unrecoverable at this point)
-        open(path, "w").close()
+        with _open_text_out(path):
+            pass
         return
     cols = schema.names
     lines = format_lines(ds, fmt)
-    with open(path, "w") as f:
+    with _open_text_out(path) as f:
         if fmt == "md":
             f.write("|" + "".join(f" {c} |" for c in cols) + "\n")
             f.write("|" + "".join(" -- |" for _ in cols) + "\n")

@@ -158,9 +158,12 @@ class _KgtkTsvDatasink(BlockBasedFileDatasink):
     def __init__(self, path: str, *, compression: str | None = None,
                  **kwargs):
         # pyarrow's filesystem.open_output_stream auto-compresses by
-        # path suffix, so the extension alone selects the codec
+        # path suffix, so the extension alone selects the codec —
+        # except xz, which Arrow lacks: it opens raw and the payload
+        # is lzma-compressed here before the write.
         ext = "tsv" if compression is None else \
-            f"tsv.{ {'gzip': 'gz', 'bz2': 'bz2', 'lz4': 'lz4', 'zstd': 'zst'}[compression] }"
+            f"tsv.{ {'gzip': 'gz', 'bz2': 'bz2', 'lz4': 'lz4', 'zstd': 'zst', 'xz': 'xz'}[compression] }"
+        self._xz = compression == "xz"
         super().__init__(path, file_format=ext, **kwargs)
 
     def write_block_to_file(self, block, file) -> None:
@@ -170,10 +173,13 @@ class _KgtkTsvDatasink(BlockBasedFileDatasink):
                 for c in order]
         lines = cols[0].str.cat(cols[1:], sep="\t") if len(cols) > 1 \
             else cols[0]
-        buf = "\t".join(order) + "\n"
-        file.write(buf.encode("utf-8"))
+        payload = ("\t".join(order) + "\n").encode("utf-8")
         if len(lines):
-            file.write(("\n".join(lines) + "\n").encode("utf-8"))
+            payload += ("\n".join(lines) + "\n").encode("utf-8")
+        if self._xz:
+            import lzma
+            payload = lzma.compress(payload)
+        file.write(payload)
 
 
 def write_kgtk_tsv(ds: ray.data.Dataset, path: str, *,
@@ -181,7 +187,7 @@ def write_kgtk_tsv(ds: ray.data.Dataset, path: str, *,
     """Write a Dataset as KGTK TSV part files under ``path`` (a directory,
     each part carrying the header line).  Filesystem-aware: see
     :class:`_KgtkTsvDatasink`.  ``compression`` in
-    ``{gzip, bz2, lz4, zstd}`` writes codec-wrapped parts with the
+    ``{gzip, bz2, lz4, zstd, xz}`` writes codec-wrapped parts with the
     matching extension (the reference writer compresses by output
     extension, kgtk/io/kgtkwriter.py); ``read_kgtk_tsv_any`` reads them
     back transparently."""
@@ -213,22 +219,55 @@ def _compression_of(path: str) -> str | None:
         if str(path).endswith(ext):
             return codec
     if str(path).endswith(".xz"):
-        raise NotImplementedError(
-            "xz/lzma is not an Arrow stream codec; decompress first or "
-            "use gzip/bz2/lz4/zstd")
+        # not an Arrow stream codec — routed through stdlib lzma below
+        return "xz"
     return None
+
+
+def _read_xz_tsv(paths: list[str], *, normalize: bool) -> ray.data.Dataset:
+    """xz-compressed TSV via stdlib ``lzma``: Arrow has no LZMA stream
+    codec, so each file decompresses whole inside one task (xz frames
+    aren't splittable — the same one-task-per-file granularity the
+    gzip stream path has).  Column types are pinned to string from the
+    decompressed header, as in :func:`read_kgtk_tsv`."""
+    import lzma
+
+    raw = ray.data.read_binary_files(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        tables = []
+        for data in t["bytes"]:
+            buf = lzma.decompress(data.as_py())
+            header = buf.split(b"\n", 1)[0].decode("utf-8")
+            names = header.lstrip("﻿").rstrip("\r").split("\t")
+            tables.append(pyarrow.csv.read_csv(
+                pa.BufferReader(buf),
+                parse_options=pyarrow.csv.ParseOptions(delimiter="\t",
+                                                       quote_char=False),
+                convert_options=pyarrow.csv.ConvertOptions(
+                    strings_can_be_null=False,
+                    column_types={n: pa.string() for n in names})))
+        return pa.concat_tables(tables, promote_options="default")
+
+    ds = raw.map_batches(parse, batch_format="pyarrow")
+    return ds.map_batches(_normalize_batch if normalize else _to_string_batch,
+                          batch_format="pyarrow")
 
 
 def read_kgtk_tsv_any(path: str | list[str], *,
                       normalize: bool = True) -> ray.data.Dataset:
     """`read_kgtk_tsv` with transparent decompression by extension
-    (gzip/bz2/lz4/zstd), mirroring the reference reader's behavior."""
+    (gzip/bz2/lz4/zstd/xz), mirroring the reference reader's behavior
+    (kgtk/io/kgtkreader.py:693-698); xz goes through stdlib lzma since
+    Arrow lacks the codec."""
     paths = [path] if isinstance(path, str) else list(path)
     codecs = {_compression_of(p) for p in paths}
     if len(codecs) > 1:
         raise ValueError("mix of compressed and plain inputs; read "
                          "separately and union")
     codec = codecs.pop()
+    if codec == "xz":
+        return _read_xz_tsv(paths, normalize=normalize)
     kwargs = {}
     if codec:
         kwargs["arrow_open_stream_args"] = {"compression": codec}

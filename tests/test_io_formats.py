@@ -28,6 +28,31 @@ def test_gz_roundtrip(ray_session, tmp_path):
     assert list(back.node2) == list(EDGES.node2)
 
 
+def test_xz_roundtrip_string_fidelity(ray_session, tmp_path):
+    """xz routes through stdlib lzma (no Arrow codec); cells that CSV
+    inference would mangle (007, True) must come back verbatim."""
+    import lzma
+    p = tmp_path / "edges.tsv.xz"
+    with lzma.open(p, "wt") as f:
+        f.write("node1\tlabel\tnode2\nq1\tp\t007\nq2\tp\tTrue\n")
+    back = read_kgtk_tsv_any(str(p)).to_pandas().sort_values("node1")
+    assert list(back.node2) == ["007", "True"]
+
+
+@pytest.mark.parametrize("ext,opener", [
+    ("gz", lambda p: gzip.open(p, "rt")),
+    ("xz", lambda p: __import__("lzma").open(p, "rt")),
+])
+def test_write_kgtk_file_compresses_by_extension(ray_session, tmp_path,
+                                                 ext, opener):
+    # reference kgtkwriter.py:162-180: output extension selects codec
+    p = str(tmp_path / f"out.tsv.{ext}")
+    write_kgtk_file(ray.data.from_pandas(EDGES), p)
+    text = opener(p).read()
+    assert text.startswith("node1\tlabel\tnode2\n")
+    assert '"Alice \\"A\\""' in text
+
+
 def test_bz2_roundtrip(ray_session, tmp_path):
     import bz2
     p = tmp_path / "edges.tsv.bz2"
@@ -80,14 +105,14 @@ def test_plain_tsv_writer_still_works(ray_session, tmp_path):
     assert files
 
 
-@pytest.mark.parametrize("codec", ["gzip", "zstd"])
+@pytest.mark.parametrize("codec", ["gzip", "zstd", "xz"])
 def test_write_kgtk_tsv_compressed_roundtrip(tmp_path, codec):
     import glob
 
     out = str(tmp_path / codec)
     write_kgtk_tsv(ray.data.from_pandas(EDGES), out, compression=codec)
     files = glob.glob(out + "/*")
-    assert files and files[0].rsplit(".", 1)[-1] in ("gz", "zst")
+    assert files and files[0].rsplit(".", 1)[-1] in ("gz", "zst", "xz")
     back = read_kgtk_tsv_any(files).to_pandas()
     want = EDGES.astype(str)
     key = lambda df: sorted(map(tuple, df[sorted(df.columns)].astype(str)
