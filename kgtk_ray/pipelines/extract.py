@@ -36,7 +36,11 @@ matches only runs that actually change — the naive ``[ \\t]+`` spent
 most of its time replacing single spaces with themselves), and the
 two marker-trim passes fused.  13 full-column passes -> 10, 1.7x
 per-batch (176.9 -> 104.9 ms / 5k pages), byte-identical output on
-the adversarial suite and the full corpus.
+the adversarial suite and the full corpus.  (An 11th pass was added
+back for fidelity: the greedy cut-after-last-``</p>`` kept text after
+a stray closer that has no opener — common in real web HTML — where
+findall's complete-pair walk drops it; hypothesis tag-soup parity
+found it, the marker-based tail cleanup fixes it.)
 """
 from __future__ import annotations
 
@@ -93,6 +97,7 @@ def extract_html_text(raw: bytes | str) -> str:
 
 
 _SEP = "\x00"  # paragraph marker: cannot appear in decoded HTML text
+_END = "\x01"  # last-pair terminator marker (same assumption as _SEP)
 
 
 def _extract_column(col) -> pa.Array:
@@ -123,15 +128,23 @@ def _extract_column(col) -> pa.Array:
     # the body fallback applies unless a COMPLETE <p>...</p> pair exists
     has_p = pc.match_substring_regex(scope, r"(?is)<p\b[^>]*>.*?</p\s*>")
     # paragraph path: keep only <p> contents, gaps -> \x00 markers.
-    # Order matters: cut after the LAST </p> (greedy .* backtrack)
-    # BEFORE collapsing gaps, so an unmatched trailing <p> opener is
-    # dropped exactly as findall's complete-pair semantics drop it.
+    # Pass order reproduces findall's non-overlapping lazy-pair walk:
+    # after the gap collapse, every inter-pair closer is consumed, so
+    # the leftmost remaining </p> is exactly the LAST pair's closer —
+    # everything after it (including stray closers with no opener,
+    # which the old greedy cut-after-last-</p> wrongly kept) becomes
+    # the \x01 end marker.  A final segment with no end marker is an
+    # unterminated trailing <p>'s content; findall drops it, so the
+    # cleanup pass drops the marker-less tail segment (or the whole
+    # string when no marker survives) and the \x01 itself.
     p = pc.replace_substring_regex(
         scope, r"(?is)^.*?<p\b[^>]*>", "")          # before first <p>
     p = pc.replace_substring_regex(
-        p, r"(?is)(.*)</p\s*>.*$", r"\1")           # after last </p>
-    p = pc.replace_substring_regex(
         p, r"(?is)</p\s*>.*?<p\b[^>]*>", _SEP)      # between paragraphs
+    p = pc.replace_substring_regex(
+        p, r"(?is)</p\s*>.*$", _END)                # last pair's closer + tail
+    p = pc.replace_substring_regex(
+        p, r"\x00[^\x00\x01]*$|^[^\x00\x01]*$|\x01$", "")
 
     # one shared tail pass: p-path rows carry \x00 markers, body-path
     # rows have none (so the marker passes are no-ops for them)
