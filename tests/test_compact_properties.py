@@ -12,7 +12,13 @@ import kgtk_ray.ops as O
 import ray.data as rd
 from kgtk_ray.format import merge_list_cells
 
-TOK = st.sampled_from(["a", "b", "c", "x|y", "", "q1", "v2"])
+# token alphabet exercises all three split tiers of the vectorized
+# merge (no-pipe passthrough, plain C split, regex split under
+# backslashes): escaped pipes, backslashes without pipes, mixed
+# escaped/unescaped, and empty |-components
+TOK = st.sampled_from(["a", "b", "c", "x|y", "", "q1", "v2",
+                       r"x\|y", r"a\|b|c", r"p\q", r"p\q|r", "|",
+                       "a||b", r"tr\\", r"tr\\|u"])
 ROW = st.tuples(st.sampled_from(["n1", "n2", "n3"]),
                 st.sampled_from(["p", "q"]),
                 st.sampled_from(["m1", "m2"]),
@@ -113,3 +119,26 @@ def test_compact_sorted_ties_never_split_across_partitions():
     assert list(got.node1) == sorted(got.node1)
     # every distinct extra value survived into the merged lists
     assert got.extra.str.count(r"\|").sum() == len(set(k)) * 6
+
+# direct fuzz of the vectorized grouped merge against the naive
+# per-group set-union (pure pandas, no Ray session) — the tier
+# dispatch (pipe/backslash detection) is the risk surface
+MTOK = st.one_of(st.sampled_from([
+    "", "a", "x|y", r"x\|y", r"a\|b|c", "|", "a||b",
+    r"end\\", r"end\\|z", r"\|", r"q\n", " sp ", "a|a|a",
+]), st.text(alphabet="ab|\\", max_size=6))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["g1", "g2", "g3"]), MTOK, MTOK),
+                min_size=1, max_size=30))
+def test_merge_lists_grouped_matches_naive(rows):
+    from kgtk_ray.format import merge_lists_grouped
+    df = pd.DataFrame(rows, columns=["k", "c1", "c2"])
+    got = merge_lists_grouped(df, ["k"], ["c1", "c2"])
+    want = (df.groupby("k", as_index=False)
+              .agg(c1=("c1", merge_list_cells),
+                   c2=("c2", merge_list_cells)))
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    assert got.equals(want), (got.to_dict(), want.to_dict())
