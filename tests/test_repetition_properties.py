@@ -76,3 +76,44 @@ def test_scrub_no_residual_email_or_ip():
         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", regex=True).any()
     assert not out.str.contains(
         r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", regex=True).any()
+
+
+def naive_signal_frame(text: str):
+    """Per-row spec of _signal_frame's five signals."""
+    toks = text.split()
+    n = len(toks)
+    c = Counter(toks)
+    bigrams = Counter(zip(toks, toks[1:]))
+    n_big = max(len(toks) - 1, 0)
+    return {
+        "n_tokens": n,
+        "dup_word_frac": 1.0 - len(c) / max(n, 1),
+        "top_word_frac": (max(c.values()) if c else 0) / max(n, 1),
+        "top_bigram_frac": (max(bigrams.values()) / n_big
+                            if n_big > 0 else None),
+        "mean_word_len": sum(len(t) for t in toks) / max(n, 1),
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="ab xyz\t\n.0", max_size=40),
+                min_size=1, max_size=10))
+def test_signal_frame_kernel_matches_naive(texts):
+    """The numpy lexsort group-scan kernel (Arrow column in, all five
+    signals out) must agree with the per-row spec — including the
+    bigram pack (c1 * K + c2) and the empty/one-token edge rows."""
+    import math
+    import pyarrow as pa
+    from kgtk_ray.text.repetition import _signal_frame
+
+    got = _signal_frame(pa.array(texts, pa.large_string()))
+    for i, t in enumerate(texts):
+        want = naive_signal_frame(t)
+        assert got["n_tokens"][i] == want["n_tokens"], t
+        for k in ("dup_word_frac", "top_word_frac", "mean_word_len"):
+            assert abs(got[k][i] - want[k]) < 1e-12, (k, t)
+        g = got["top_bigram_frac"][i]
+        if want["top_bigram_frac"] is None:
+            assert math.isnan(g), t
+        else:
+            assert abs(g - want["top_bigram_frac"]) < 1e-12, t
