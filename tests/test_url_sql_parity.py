@@ -57,3 +57,39 @@ def test_grid_parity_with_sql_oracle():
     sql = _sql_canon(urls).to_list()
     diffs = [(u, a, b) for u, a, b in zip(urls["u"], py, sql) if a != b]
     assert not diffs, f"{len(diffs)} disagreements, first 5: {diffs[:5]}"
+
+
+def test_random_url_parity_with_sql_oracle():
+    """Hypothesis fuzz past the grid: random scheme/host/port/path/query/
+    fragment compositions, including percent-escapes, repeated params,
+    empty components, unicode path segments and junk non-URLs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(alphabet="abZ09._%-é~", max_size=6)
+    scheme = st.sampled_from(["http://", "https://", "HTTP://", "ftp://",
+                              "", "mailto:", "//"])
+    host = st.sampled_from(["Example.COM", "a.b", "WWW.x.Org", "h", ""])
+    port = st.sampled_from(["", ":80", ":443", ":8080", ":0"])
+    path = st.lists(seg, max_size=3).map(lambda ps: "".join("/" + p for p in ps))
+    param = st.one_of(
+        seg.map(lambda s: f"{s}=v"),
+        st.sampled_from(["utm_source=x", "utm_medium=", "ref=1", "fbclid=z",
+                         "gclid=1", "a", "", "a=1=2", "A=1"]))
+    query = st.lists(param, max_size=4).map(
+        lambda ps: "?" + "&".join(ps) if ps else "")
+    frag = st.sampled_from(["", "#f", "#", "#a?b=1"])
+    url = st.one_of(
+        st.tuples(scheme, host, port, path, query, frag).map("".join),
+        st.sampled_from(["", "   ", "not a url", "http://", "?x=1", "#only"]))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(url, min_size=1, max_size=25))
+    def run(urls):
+        df = pd.DataFrame({"u": urls})
+        py = canonicalize_series(df["u"]).to_list()
+        sql = _sql_canon(df).to_list()
+        diffs = [(u, a, b) for u, a, b in zip(urls, py, sql) if a != b]
+        assert not diffs, f"{len(diffs)} disagreements, first 5: {diffs[:5]}"
+
+    run()
