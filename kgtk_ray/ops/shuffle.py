@@ -340,18 +340,14 @@ def unique_counts(
     return counts.map_batches(to_edges, batch_format="pyarrow")
 
 
-def _key_expr(df: pd.DataFrame, columns: Sequence[str]) -> pd.Series:
-    """KGTK join key: the | -joined column values
-    (reference kgtk/iff/kgtkifexists.py:117-127)."""
-    key = df[columns[0]].fillna("").astype(str)
-    for c in columns[1:]:
-        key = key + "|" + df[c].fillna("").astype(str)
-    return key
-
-
 def _key_expr_arrow(t: pa.Table, columns: Sequence[str]) -> pa.Array:
-    """Arrow-native `_key_expr`: zero pandas conversion on the hot
-    filter path."""
+    """KGTK join key: the | -joined column values (reference
+    kgtk/iff/kgtkifexists.py:117-127), rendered with Arrow cast
+    semantics.  This is the ONLY key renderer — every side of every
+    semi/anti/join comparison must come through here (a second
+    renderer caused a silent empty-join on float/bool key columns:
+    pandas astype(str) spells 1.0 as "1.0" and True as "True" where
+    Arrow casts to "1"/"true")."""
     parts = [pc.fill_null(pc.cast(t[c], pa.string()), "") for c in columns]
     if len(parts) == 1:
         return parts[0].combine_chunks() if isinstance(
@@ -412,9 +408,15 @@ def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
     if n_filter <= BROADCAST_LIMIT:
         # broadcast the filter-side keys once as an Arrow array; the
         # per-batch filter is a zero-copy pyarrow is_in (no pandas
-        # conversion, no per-task Python-set rehydration cost)
+        # conversion, no per-task Python-set rehydration cost).  BOTH
+        # sides must render keys through the SAME cast: the per-batch
+        # side uses _key_expr_arrow, so the filter side must too —
+        # pandas astype(str) renders 1.0 as "1.0" and True as "True"
+        # where Arrow renders "1"/"true", and a mixed rendering would
+        # silently empty the semi-join on float/bool key columns.
         kdf = filter_ds.select_columns(list(dict.fromkeys(fkeys))).to_pandas()
-        keyset = pa.array(pd.unique(_key_expr(kdf, fkeys)), pa.string())
+        kt = pa.Table.from_pandas(kdf, preserve_index=False)
+        keyset = pc.unique(_key_expr_arrow(kt, fkeys)).cast(pa.string())
         ref = ray.put(keyset)
 
         def f(t: pa.Table) -> pa.Table:
@@ -432,15 +434,22 @@ def _semi_anti(ds: Dataset, filter_ds: Dataset, *, anti: bool,
     # large filter set)
     from ._bucket import bucketed_semi_anti, schema_pa_fields
 
-    def addkey(df: pd.DataFrame, cols) -> pd.DataFrame:
-        df = df.copy()
-        df["__key__"] = _key_expr(df, cols)
-        return df
+    # Arrow key rendering on both sides (same rationale as the
+    # broadcast path above: one cast semantics for every comparison)
+    def addkey_left(t: pa.Table) -> pa.Table:
+        if "__key__" in t.column_names:
+            t = t.drop_columns(["__key__"])
+        k = _key_expr_arrow(t, ikeys)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return t.append_column("__key__", k.cast(pa.string()))
 
-    left = ds.map_batches(lambda d: addkey(d, ikeys), batch_format="pandas")
-    right = filter_ds.map_batches(
-        lambda d: addkey(d, fkeys)[["__key__"]].drop_duplicates(),
-        batch_format="pandas")
+    def rightkeys(t: pa.Table) -> pa.Table:
+        return pa.table({"__key__": pc.unique(
+            _key_expr_arrow(t, fkeys)).cast(pa.string())})
+
+    left = ds.map_batches(addkey_left, batch_format="pyarrow")
+    right = filter_ds.map_batches(rightkeys, batch_format="pyarrow")
     left_fields = schema_pa_fields(ds)
     left_fields["__key__"] = pa.string()
     joined = bucketed_semi_anti(
@@ -529,11 +538,13 @@ def kgtk_join(
 
     def keys_raw(d: Dataset, cols: Sequence[str]) -> Dataset:
         """Per-batch-distinct keys — no shuffle; row count is an upper
-        bound on the true distinct count (the path decision)."""
+        bound on the true distinct count (the path decision).  Arrow
+        rendering, because the broadcast path below filters batches
+        with _key_expr_arrow — see the rendering note in ifexists."""
         return d.map_batches(
-            lambda df, c=tuple(cols): pd.DataFrame(
-                {"__key__": _key_expr(df, list(c)).drop_duplicates()}),
-            batch_format="pandas",
+            lambda t, c=tuple(cols): pa.table(
+                {"__key__": pc.unique(_key_expr_arrow(t, list(c)))}),
+            batch_format="pyarrow",
         ).materialize()
 
     from .core import cat
