@@ -1975,9 +1975,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "repetition": r"""
+            -- empty-token filter: string_split_regex('') yields ['']
+            -- (one empty token); the spec (Python str.split / the Arrow
+            -- kernel) counts an empty/whitespace-only document as ZERO
+            -- tokens, with dup=1-0/max(n,1)=1, top=0, mwl=0
             WITH t AS (
               SELECT doc_id, text,
-                     string_split_regex(trim(text), '\s+') AS toks
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
               FROM documents
             ), b AS (
               SELECT *, list_transform(
@@ -1987,17 +1992,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    len(toks) AS n_tokens,
-                   ROUND(1.0 - len(list_distinct(toks))*1.0/len(toks), 6)
-                     AS dup_word_frac,
-                   ROUND(list_max(list_transform(list_distinct(toks),
-                           w -> len(list_filter(toks, x -> x = w))))
-                         *1.0/len(toks), 6) AS top_word_frac,
+                   ROUND(1.0 - len(list_distinct(toks))*1.0
+                         / GREATEST(len(toks), 1), 6) AS dup_word_frac,
+                   ROUND(coalesce(list_max(list_transform(list_distinct(toks),
+                           w -> len(list_filter(toks, x -> x = w)))), 0)
+                         *1.0/GREATEST(len(toks), 1), 6) AS top_word_frac,
                    CASE WHEN len(bigrams) > 0 THEN
                      ROUND(list_max(list_transform(list_distinct(bigrams),
                              g -> len(list_filter(bigrams, x -> x = g))))
                            *1.0/len(bigrams), 6) END AS top_bigram_frac,
                    ROUND(len(regexp_replace(text, '\s', '', 'g'))
-                         *1.0/len(toks), 6) AS mean_word_len
+                         *1.0/GREATEST(len(toks), 1), 6) AS mean_word_len
             FROM b
         """,
         "gopher_filter": r"""
@@ -2020,9 +2025,12 @@ def oracle_sql() -> dict[str, str]:
               AND dupf <= 0.55 AND topf <= 0.13
         """,
         "dup_ngrams": r"""
+            -- list_filter drops the [''] artifact of splitting an
+            -- empty document (the operator counts zero tokens there)
             WITH t AS (
               SELECT doc_id,
-                     string_split_regex(trim(text), '\s+') AS toks
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
               FROM documents
             ), g AS (
               SELECT doc_id, unnest(list_transform(
@@ -2040,10 +2048,15 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN cnt USING (gram) GROUP BY g.doc_id
         """,
         "dedup_spans": r"""
-            WITH w AS (
+            WITH w0 AS (
               SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws,1) AS i
               FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
                     FROM documents)
+            ), w AS (
+              -- drop the [''] artifact of splitting an empty document
+              -- (the operator spec: no tokens -> the document is
+              -- dropped; trimmed non-empty text never yields empties)
+              SELECT * FROM w0 WHERE word <> ''
             ), sp AS (
               SELECT doc_id, (i-1)//3 AS span_idx,
                      string_agg(word, ' ' ORDER BY i) AS span_text
@@ -2090,8 +2103,13 @@ def oracle_sql() -> dict[str, str]:
             FROM a
         """,
         "lm_score": r"""
+            -- empty tokens filtered on both sides (string_split_regex
+            -- of an empty document yields ['']); a token-less
+            -- reference corpus defines no model, so no scores
             WITH ref AS (
-              SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              SELECT unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
               FROM documents WHERE doc_id % 10 = 0
             ), cnt AS (
               SELECT tok, count(*) AS c FROM ref GROUP BY tok
@@ -2100,13 +2118,16 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT count(*) FROM cnt) AS v
             ), toks AS (
               SELECT doc_id,
-                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                     unnest(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
               FROM documents WHERE doc_id % 10 != 0
             )
             SELECT t.doc_id, count(*) AS n_tokens,
                    ROUND(avg(ln((coalesce(c.c, 0) + 0.5)
                                 / (s.n + 0.5 * s.v))), 6) AS lm_score
             FROM toks t LEFT JOIN cnt c USING (tok), stats s
+            WHERE s.v > 0
             GROUP BY t.doc_id
         """,
         "decontaminate": r"""

@@ -51,6 +51,17 @@ def unigram_logprob(corpus: Dataset, reference: Dataset, *,
         reference.map_batches(to_tokens, batch_format="pandas",
                               batch_size=MIN_BUNDLE_ROWS),
         ["tok"], {"c": (None, "count")}, num_buckets=num_buckets).to_pandas()
+    if "c" not in counts.columns or not len(counts):
+        # token-less reference corpus (an empty aggregate also loses
+        # its schema): the smoothed model is undefined, so no document
+        # gets a score — mirror the "documents with no tokens are
+        # dropped" rule at the model level
+        return corpus.map_batches(
+            lambda df: pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "lm_score": pd.Series([], dtype="float64")}),
+            batch_format="pandas")
     if len(counts) > max_vocab:
         counts = counts.sort_values(["c", "tok"],
                                     ascending=[False, True]).head(max_vocab)

@@ -37,6 +37,17 @@ import ray.data
 
 Dataset = ray.data.Dataset
 
+# NOTE on tokenization: pc.utf8_split_whitespace was observed
+# returning the whole string UNSPLIT (['the '] for 'the ')
+# intermittently inside fresh Ray Data workers (~1/3 of pipeline runs
+# on a 4-row corpus; never reproducible in-process, with plasma
+# round-trips, with sliced/chunked inputs, or with 8 concurrent
+# first-calls in a fresh interpreter).  The kernel's whitespace
+# classification appears unreliable under some worker initialization
+# order, so tokenization uses the RE2 split instead — which also
+# matches the DuckDB oracle's '\s+' (ASCII) semantics exactly.
+_WS_SPLIT = r"\s+"
+
 
 def _token_series(s: pd.Series) -> pd.Series:
     """Whitespace tokens per row (list-valued), matching
@@ -61,7 +72,7 @@ def _token_codes(col) -> tuple[np.ndarray, np.ndarray, np.ndarray,
     document order preserved.  All outputs but the dictionary are
     numeric numpy arrays."""
     s = pc.fill_null(pc.cast(col, pa.large_string()), "")
-    lists = pc.utf8_split_whitespace(s)
+    lists = pc.split_pattern_regex(s, _WS_SPLIT)
     n_rows = len(lists)
     lens = pc.fill_null(pc.list_value_length(lists), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)

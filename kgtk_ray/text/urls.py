@@ -74,7 +74,10 @@ def canonicalize_array(col, *, strip_www: bool = False) -> pa.ChunkedArray:
     """The canonicalization rule over an Arrow string array (one
     batch); returns ``large_string``."""
     s = pc.fill_null(pc.cast(col, pa.large_string()), "")
-    s = pc.utf8_trim_whitespace(s)                       # 1: strip
+    # RE2 trim, not utf8_trim_whitespace — the whitespace-classifying
+    # kernels misbehaved intermittently in fresh Ray workers (see the
+    # note in text/repetition.py); the oracle's trim() is ASCII anyway
+    s = pc.replace_substring_regex(s, r"^\s+|\s+$", "")  # 1: strip
     s = pc.replace_substring_regex(s, "#.*$", "")        # 2: fragment
     ex = pc.extract_regex(s, _HEAD_RE)                   # null = no scheme
     head = pc.utf8_lower(pc.struct_field(ex, "head"))    # 3: scheme+host
@@ -142,8 +145,9 @@ def dedup_urls(ds: Dataset, *, url_col: str = "url",
 def extract_host_array(col, *, strip_www: bool = True) -> pa.ChunkedArray:
     """Lowercased host (no port) per URL as Arrow ``large_string``;
     '' when there is no ``scheme://``."""
-    s = pc.utf8_trim_whitespace(
-        pc.fill_null(pc.cast(col, pa.large_string()), ""))
+    s = pc.replace_substring_regex(
+        pc.fill_null(pc.cast(col, pa.large_string()), ""),
+        r"^\s+|\s+$", "")
     host = pc.utf8_lower(pc.struct_field(
         pc.extract_regex(
             s, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?:#]*)"), "h"))

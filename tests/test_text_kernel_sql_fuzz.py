@@ -23,6 +23,13 @@ from hypothesis import strategies as st
 
 QUERIES = ["langid", "quality", "token_counts", "fingerprint"]
 
+# second wave: every other oracle that reads only the documents view
+# and consumes its text — corpus-wide ops (span dedup, dup-ngrams,
+# unigram LM) included, since at fuzz scale they are cheap
+QUERIES2 = ["text_normalize", "repetition", "gopher_filter", "pii_scrub",
+            "dup_ngrams", "dedup_spans", "lm_score", "chunk_text",
+            "dedup_exact", "c4_lines", "corpus_stats"]
+
 WORD = st.sampled_from([
     "the", "and", "is", "der", "und", "le", "la", "el", "que",
     "word", "Zahl", "été", "naïve", "mañana", "好", "你好世界",
@@ -68,6 +75,44 @@ def test_text_kernels_match_sql_oracles_on_random_docs(
         res = qs[name](str(d))
         got = res.to_pandas() if hasattr(res, "to_pandas") else res
         want = con.sql(oracles[name]).df()
+        g, w = _norm(got), _norm(want)
+        assert g.equals(w), (name, texts,
+                             g.to_dict("records")[:3],
+                             w.to_dict("records")[:3])
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(TEXT, min_size=2, max_size=10), st.integers(0, 3))
+def test_corpus_ops_match_sql_oracles_on_random_docs(
+        ray_session, tmp_path_factory, texts, dup_phase):
+    """Corpus-wide text ops vs their oracles on random documents.
+    Duplicated texts are injected (dup_phase rotates which) so
+    dedup_exact / dedup_spans / dup_ngrams see actual duplication."""
+    import __ray_entry__ as E
+
+    texts = texts + [texts[dup_phase % len(texts)]]  # guaranteed dup
+    d = tmp_path_factory.mktemp("fuzzcorpus")
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "de"][:1] * len(texts), pa.string()),
+        "source": pa.array(["s" + str(i % 2) for i in range(len(texts))],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    for name in QUERIES2:
+        res = qs[name](str(d))
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        want = con.sql(oracles[name]).df()
+        if len(got) == 0 and len(want) == 0:
+            continue  # Ray empty results can lose their schema
         g, w = _norm(got), _norm(want)
         assert g.equals(w), (name, texts,
                              g.to_dict("records")[:3],
